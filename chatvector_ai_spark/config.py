@@ -1,0 +1,41 @@
+"""Engine configuration constants.
+
+Defaults mirror the reference's pinned constants so outputs are comparable:
+- CHUNK_SIZE / CHUNK_OVERLAP: /root/reference/backend/core/config.py:130-131
+- RRF_K: /root/reference/backend/services/retrieval_service.py:19
+- rerank weights: /root/reference/backend/services/reranker/similarity.py:45-50
+- MAX_CONTEXT_CHARS: /root/reference/backend/services/context_service.py:8
+- candidate widening factor: /root/reference/backend/db/sqlalchemy_service.py:562
+"""
+
+from __future__ import annotations
+
+import os
+
+# --- chunking -------------------------------------------------------------
+CHUNK_SIZE = int(os.getenv("CVS_CHUNK_SIZE", "1000"))
+CHUNK_OVERLAP = int(os.getenv("CVS_CHUNK_OVERLAP", "200"))
+CHUNKING_STRATEGY = os.getenv("CVS_CHUNKING_STRATEGY", "fixed")  # fixed|paragraph|semantic
+
+# --- embeddings -----------------------------------------------------------
+# Deterministic hash-embedding dimension (reference resolves the dim per
+# provider model, backend/core/config.py:258-281; we pin a small test dim).
+EMBEDDING_DIM = int(os.getenv("CVS_EMBEDDING_DIM", "64"))
+
+# --- retrieval / fusion / rerank -------------------------------------------
+RRF_K = 60
+CANDIDATE_WIDENING = 2  # candidate_limit = match_count * 2
+RERANK_RETRIEVAL_WEIGHT = 0.7
+RERANK_LEXICAL_WEIGHT = 0.3
+MAX_CONTEXT_CHARS = int(os.getenv("CVS_MAX_CONTEXT_CHARS", "32000"))
+
+# --- spark tuning ----------------------------------------------------------
+SHUFFLE_PARTITIONS = int(os.getenv("CVS_SHUFFLE_PARTITIONS", "32"))
+ARROW_MAX_RECORDS_PER_BATCH = int(os.getenv("CVS_ARROW_BATCH", "2048"))
+
+# --- canonicalization -------------------------------------------------------
+CC_MAX_ITERATIONS = int(os.getenv("CVS_CC_MAX_ITERS", "20"))
+SKEW_SALT_BUCKETS = int(os.getenv("CVS_SKEW_SALT", "8"))
+
+# --- warehouse (snapshot/lineage store) -------------------------------------
+WAREHOUSE_DIR = os.getenv("CVS_WAREHOUSE", "/tmp/cvs_warehouse")
