@@ -1,0 +1,43 @@
+"""Stage 1 — ingest: interleaved spans → ordered chunk/media rows.
+
+The reference's upload worker (ingestion_pipeline.py:961-1064) runs
+extract → clean → chunk per document on an asyncio pool; here the same
+per-document flow (oracle.docflow.ingest_doc) runs inside ``mapInPandas`` —
+a single narrow, shuffle-free stage whose parallelism is the input partition
+count. One Arrow batch in, a variable number of chunk rows out (the UDTF
+shape of the reference's 1-doc→N-chunks step).
+
+Scale notes (100 TB): no shuffle, no driver collect; per-doc state never
+leaves its partition; Python crossing is Arrow-batched both ways and bounded
+by spark.sql.execution.arrow.maxRecordsPerBatch.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+
+from chatvector_ai_spark.config import CHUNK_OVERLAP, CHUNK_SIZE
+from chatvector_ai_spark.oracle.docflow import CHUNK_ROW_DDL, ingest_doc
+
+
+def ingest_chunks(
+    docs: DataFrame,
+    strategy: str = "fixed",
+    size: int = CHUNK_SIZE,
+    overlap: int = CHUNK_OVERLAP,
+) -> DataFrame:
+    """documents(doc_id, spans[]) → chunks table (CHUNK_ROW_DDL schema)."""
+
+    def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = CHUNK_ROW_DDL.split(", ")
+        names = [c.split(" ")[0] for c in cols]
+        for pdf in batches:
+            rows: list[dict] = []
+            for doc_id, spans in zip(pdf["doc_id"], pdf["spans"]):
+                rows.extend(ingest_doc(doc_id, list(spans), strategy=strategy, size=size, overlap=overlap))
+            yield pd.DataFrame(rows, columns=names)
+
+    return docs.mapInPandas(process, schema=CHUNK_ROW_DDL)

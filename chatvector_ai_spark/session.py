@@ -1,0 +1,40 @@
+"""SparkSession factory with the engine's standard configuration.
+
+Defaults are chosen for the 100 TB design point and verified at local scale:
+AQE (runtime re-planning + skew-join splitting), Arrow-batched Python UDFs
+with a bounded batch size (the Python-worker memory analog of the reference's
+provider batch size, gemini.py:32), and explicit shuffle parallelism.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+
+from chatvector_ai_spark.config import ARROW_MAX_RECORDS_PER_BATCH, SHUFFLE_PARTITIONS
+
+
+def get_spark(
+    app_name: str = "chatvector-ai-spark",
+    master: str | None = None,
+    shuffle_partitions: int = SHUFFLE_PARTITIONS,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    builder = SparkSession.builder.appName(app_name)
+    if master:
+        builder = builder.master(master)
+    conf = {
+        "spark.sql.shuffle.partitions": str(shuffle_partitions),
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.coalescePartitions.enabled": "true",
+        "spark.sql.execution.arrow.pyspark.enabled": "true",
+        "spark.sql.execution.arrow.maxRecordsPerBatch": str(ARROW_MAX_RECORDS_PER_BATCH),
+        "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+        "spark.serializer": "org.apache.spark.serializer.KryoSerializer",
+        "spark.sql.session.timeZone": "UTC",
+        "spark.ui.enabled": "false",
+    }
+    conf.update(extra_conf or {})
+    for k, v in conf.items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
