@@ -1,0 +1,744 @@
+"""Operator query suite: Spark queries + DuckDB oracle twins.
+
+Every SQL-expressible operator from SURVEY.md §2 (joins J1-J4, aggregations
+A1/A3/A4, top-k T1/T2/T4/T7, set-ops U1/U4, scoring W1/W4/W5) plus the
+training-data-pipeline operators (dedup exact/minhash-LSH/simhash/Jaccard/
+embedding-cosine, ANN, language-ID, quality scoring, token counting,
+fingerprinting) is expressed twice:
+
+- ``SPARK_SQL[name]`` — Spark SQL over temp views of the sf-dir parquet;
+- ``DUCK_SQL[name]``  — the ANSI/DuckDB twin the driver runs as the oracle.
+
+Design rules that make the two engines hash-identical:
+
+- **No float accumulation across rows.** Money/value sums are per-row
+  quantized to integer cents (``CAST(floor(x*100 + 0.5) AS BIGINT)``) before
+  summing, so partial-aggregation order (Spark) vs sequential order (DuckDB)
+  cannot flip a bit. Rankings order by the quantized integers.
+- **Per-row float math only**, where both engines execute the identical IEEE
+  double expression (e.g. cosine over the same array), then ``round(x, 6)``.
+- **Total tiebreaks** on every window/top-k (unique key last in ORDER BY).
+- **Dialect pairs** kept textually parallel: size/len, filter/list_filter,
+  transform/list_transform, array_*/list_*, sequence/generate_series,
+  conv(h,16,10)/CAST('0x'||h AS BIGINT); DuckDB regexp_replace gets the 'g'
+  flag Spark applies implicitly.
+
+KG-pipeline queries (prefix ``kg_``) run over the deterministic synthesized
+interleaved-document table (datagen.py) and have no DuckDB twin — the driver
+records rows-only checks; their semantics are pinned by the single-node
+oracle parity tests instead (tests/test_spark_ingest.py etc.).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+# --- dialect helpers (kept as format fragments) ----------------------------
+
+# tokenization: lowercase, split on non-alphanumeric runs, drop empties
+_SPARK_TOK = "filter(split(lower({c}), '[^a-z0-9]+'), x -> x != '')"
+_DUCK_TOK = "list_filter(regexp_split_to_array(lower({c}), '[^a-z0-9]+'), x -> x != '')"
+
+# integer-cents quantization of a per-row double expression
+_CENTS = "CAST(floor(({x}) * 100.0 + 0.5) AS BIGINT)"
+
+_QUERY_TEXT = "table scan fast query join filter sort window"
+
+SPARK_SQL: dict[str, str] = {}
+DUCK_SQL: dict[str, str] = {}
+
+
+def _q(name: str, spark_sql: str, duck_sql: str | None = None) -> None:
+    SPARK_SQL[name] = spark_sql
+    DUCK_SQL[name] = duck_sql if duck_sql is not None else spark_sql
+
+
+# ---------------------------------------------------------------------------
+# Joins (SURVEY §2.4)
+# ---------------------------------------------------------------------------
+
+# J1 — chunk→document provenance equi-join (sqlalchemy_service.py:489-492):
+# fact join dim join dim, revenue aggregated in integer cents.
+_q(
+    "j1_provenance_join",
+    f"""
+    SELECT o.o_orderkey, c.c_name,
+           count(*) AS n_items,
+           CAST(sum({_CENTS.format(x="l.l_extendedprice * (1.0 - l.l_discount)")}) AS BIGINT) AS revenue_cents
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY o.o_orderkey, c.c_name
+    """,
+)
+
+# J2 — tenant-scope semi-join (retrieval_service.py:91-100)
+_q(
+    "j2_semi_join_scope",
+    f"""
+    SELECT l.l_returnflag,
+           count(*) AS n_rows,
+           CAST(sum({_CENTS.format(x="l.l_quantity")}) AS BIGINT) AS qty_cents
+    FROM lineitem l
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_orderkey = l.l_orderkey AND o.o_totalprice > 250000.0)
+    GROUP BY l.l_returnflag
+    """,
+)
+
+# J3 — isolation anti-join (retrieval_service.py:103-116): customers with no
+# very-large order.
+_q(
+    "j3_anti_join_isolation",
+    """
+    SELECT c.c_mktsegment, count(*) AS n_customers
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000.0)
+    GROUP BY c.c_mktsegment
+    """,
+)
+
+# J4 — scope-resolution semi-join chain (retrieval_service.py:51-88)
+_q(
+    "j4_scope_chain",
+    f"""
+    SELECT o.o_orderpriority,
+           count(*) AS n_orders,
+           CAST(sum({_CENTS.format(x="o.o_totalprice")}) AS BIGINT) AS total_cents
+    FROM orders o
+    WHERE EXISTS (
+        SELECT 1 FROM customer c
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        JOIN region r ON n.n_regionkey = r.r_regionkey
+        WHERE c.c_custkey = o.o_custkey
+          AND c.c_mktsegment = 'BUILDING' AND r.r_name = 'ASIA')
+    GROUP BY o.o_orderpriority
+    """,
+)
+
+# ---------------------------------------------------------------------------
+# Aggregations (SURVEY §2.5)
+# ---------------------------------------------------------------------------
+
+# A1 — per-parent child counts (ingestion progress {"total","processed"})
+_q(
+    "a1_chunk_counts",
+    """
+    SELECT l_orderkey AS o_orderkey, count(*) AS n_lines, max(l_linenumber) AS max_line
+    FROM lineitem GROUP BY l_orderkey
+    """,
+)
+
+# A4 — status counts (routes/chat.py:224-231)
+_q(
+    "a4_status_counts",
+    "SELECT o_orderstatus, count(*) AS n FROM orders GROUP BY o_orderstatus",
+)
+
+# A3/W3/U3 — reciprocal-rank fusion of two ranked lists, k=60
+# (retrieval_service.py:119-152). List 1: users by purchase cents; list 2:
+# users by event count. rrf from integer ranks is bit-identical both engines.
+_RRF_BODY = f"""
+    WITH per_user AS (
+        SELECT user_id,
+               CAST(sum(CASE WHEN event_type = 'purchase'
+                             THEN {_CENTS.format(x="value")} ELSE 0 END) AS BIGINT) AS purchase_cents,
+               count(*) AS n_events
+        FROM events GROUP BY user_id
+    ),
+    r1 AS (SELECT user_id, row_number() OVER (ORDER BY purchase_cents DESC, user_id) AS rnk FROM per_user),
+    r2 AS (SELECT user_id, row_number() OVER (ORDER BY n_events DESC, user_id) AS rnk FROM per_user)
+    SELECT u.user_id,
+           round(CAST(1 AS DOUBLE) / CAST(60 + r1.rnk AS DOUBLE)
+                 + CAST(1 AS DOUBLE) / CAST(60 + r2.rnk AS DOUBLE), 6) AS rrf_score,
+           r1.rnk AS vector_rank, r2.rnk AS keyword_rank
+    FROM per_user u JOIN r1 ON u.user_id = r1.user_id JOIN r2 ON u.user_id = r2.user_id
+    ORDER BY CAST(1 AS DOUBLE) / CAST(60 + r1.rnk AS DOUBLE)
+             + CAST(1 AS DOUBLE) / CAST(60 + r2.rnk AS DOUBLE) DESC, u.user_id
+    LIMIT 50
+"""
+_q("a3_rrf_fusion", _RRF_BODY)
+
+# ---------------------------------------------------------------------------
+# Top-k / sorts (SURVEY §2.6)
+# ---------------------------------------------------------------------------
+
+# T1 — per-group top-k (vector top-k per document, sqlalchemy_service.py:479-506)
+_q(
+    "t1_topk_per_group",
+    """
+    SELECT p_brand, p_partkey, CAST(floor(p_retailprice * 100.0 + 0.5) AS BIGINT) AS price_cents, rk
+    FROM (SELECT p_brand, p_partkey, p_retailprice,
+                 row_number() OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC, p_partkey) AS rk
+          FROM part) t
+    WHERE rk <= 2
+    """,
+)
+
+# T2 — keyword top-k via token overlap (ts_rank analog, sqlalchemy_service.py:508-543)
+_q(
+    "t2_keyword_topk",
+    f"""
+    SELECT doc_id,
+           size(array_intersect(array_distinct({_SPARK_TOK.format(c="text")}),
+                                array_distinct({_SPARK_TOK.format(c="'{_QUERY_TEXT}'")}))) AS overlap
+    FROM documents
+    ORDER BY overlap DESC, doc_id
+    LIMIT 20
+    """.replace("{_QUERY_TEXT}", _QUERY_TEXT),
+    f"""
+    SELECT doc_id,
+           len(list_intersect(list_distinct({_DUCK_TOK.format(c="text")}),
+                              list_distinct({_DUCK_TOK.format(c="'{_QUERY_TEXT}'")}))) AS overlap
+    FROM documents
+    ORDER BY overlap DESC, doc_id
+    LIMIT 20
+    """.replace("{_QUERY_TEXT}", _QUERY_TEXT),
+)
+
+# T7 — greedy context budget via running sum (context_service.py:48-80,
+# MAX_CONTEXT_CHARS=32000)
+_q(
+    "t7_context_budget",
+    """
+    SELECT doc_id, n_chars, cum_chars
+    FROM (SELECT doc_id, n_chars,
+                 sum(n_chars) OVER (ORDER BY n_chars DESC, doc_id
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_chars
+          FROM documents) t
+    WHERE cum_chars <= 32000
+    """,
+)
+
+# ---------------------------------------------------------------------------
+# Set ops / dedup (SURVEY §2.7)
+# ---------------------------------------------------------------------------
+
+# U1 — multi-query union + first-wins dedup (chat_service.py:329-344)
+_q(
+    "u1_union_first_wins",
+    """
+    WITH qa AS (SELECT doc_id, 1 AS query_rank,
+                       row_number() OVER (ORDER BY n_chars DESC, doc_id) AS rank_in_list
+                FROM documents ORDER BY n_chars DESC, doc_id LIMIT 100),
+         qb AS (SELECT doc_id, 2 AS query_rank,
+                       row_number() OVER (ORDER BY n_chars ASC, doc_id) AS rank_in_list
+                FROM documents ORDER BY n_chars ASC, doc_id LIMIT 100),
+         uni AS (SELECT * FROM qa UNION ALL SELECT * FROM qb)
+    SELECT doc_id, query_rank, rank_in_list
+    FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+                                       ORDER BY query_rank, rank_in_list) AS wins
+          FROM uni) t
+    WHERE wins = 1
+    """,
+)
+
+# U4 — last-wins merge by id (sqlalchemy_service.py:581-583): latest event
+# per (user, type).
+_q(
+    "u4_last_wins_merge",
+    """
+    SELECT user_id, event_type, event_id AS last_event_id, n_merged
+    FROM (SELECT user_id, event_type, event_id,
+                 count(*) OVER (PARTITION BY user_id, event_type) AS n_merged,
+                 row_number() OVER (PARTITION BY user_id, event_type
+                                    ORDER BY ts DESC, event_id DESC) AS rk
+          FROM events) t
+    WHERE rk = 1
+    """,
+)
+
+# ---------------------------------------------------------------------------
+# Scoring (SURVEY §2.8)
+# ---------------------------------------------------------------------------
+
+# W1/T1 — brute-force cosine top-k against one query vector (pgvector `<=>`
+# order-by, sqlalchemy_service.py:479-506). Dot/norm folds run in array
+# order in identical IEEE doubles on both engines.
+_SPARK_DOT = (
+    "aggregate(zip_with({a}, {b}, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),"
+    " CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+)
+_DUCK_DOT = "list_dot_product(CAST({a} AS DOUBLE[]), CAST({b} AS DOUBLE[]))"
+
+_q(
+    "w1_cosine_topk",
+    f"""
+    WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+    SELECT e.vec_id,
+           round({_SPARK_DOT.format(a="e.embedding", b="q.qv")}
+                 / (sqrt({_SPARK_DOT.format(a="e.embedding", b="e.embedding")})
+                    * sqrt({_SPARK_DOT.format(a="q.qv", b="q.qv")})), 6) AS cosine
+    FROM embeddings e CROSS JOIN q
+    WHERE e.vec_id <> 0
+    ORDER BY cosine DESC, e.vec_id
+    LIMIT 20
+    """,
+    f"""
+    WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+    SELECT e.vec_id,
+           round({_DUCK_DOT.format(a="e.embedding", b="q.qv")}
+                 / (sqrt({_DUCK_DOT.format(a="e.embedding", b="e.embedding")})
+                    * sqrt({_DUCK_DOT.format(a="q.qv", b="q.qv")})), 6) AS cosine
+    FROM embeddings e CROSS JOIN q
+    WHERE e.vec_id <> 0
+    ORDER BY cosine DESC, e.vec_id
+    LIMIT 20
+    """,
+)
+
+# W4/T5 — combined rerank score 0.7·retrieval + 0.3·lexical
+# (reranker/similarity.py:22-95); both terms are exact integer ratios.
+_W4_SPARK_TOKS = f"array_distinct({_SPARK_TOK.format(c='text')})"
+_W4_DUCK_TOKS = f"list_distinct({_DUCK_TOK.format(c='text')})"
+_W4_SPARK_Q = f"array_distinct({_SPARK_TOK.format(c=repr(_QUERY_TEXT))})"
+_W4_DUCK_Q = f"list_distinct({_DUCK_TOK.format(c=repr(_QUERY_TEXT))})"
+_q(
+    "w4_rerank_combined",
+    f"""
+    SELECT doc_id,
+           round(0.7 * (CAST(ov AS DOUBLE) / CAST(nq AS DOUBLE))
+                 + 0.3 * (CAST(ov AS DOUBLE) / CAST(nd AS DOUBLE)), 6) AS rerank_score,
+           ov AS overlap
+    FROM (SELECT doc_id,
+                 size(array_intersect({_W4_SPARK_TOKS}, {_W4_SPARK_Q})) AS ov,
+                 size({_W4_SPARK_Q}) AS nq,
+                 size({_W4_SPARK_TOKS}) AS nd
+          FROM documents) t
+    ORDER BY 0.7 * (CAST(ov AS DOUBLE) / CAST(nq AS DOUBLE))
+             + 0.3 * (CAST(ov AS DOUBLE) / CAST(nd AS DOUBLE)) DESC, doc_id
+    LIMIT 20
+    """,
+    f"""
+    SELECT doc_id,
+           round(0.7 * (CAST(ov AS DOUBLE) / CAST(nq AS DOUBLE))
+                 + 0.3 * (CAST(ov AS DOUBLE) / CAST(nd AS DOUBLE)), 6) AS rerank_score,
+           ov AS overlap
+    FROM (SELECT doc_id,
+                 len(list_intersect({_W4_DUCK_TOKS}, {_W4_DUCK_Q})) AS ov,
+                 len({_W4_DUCK_Q}) AS nq,
+                 len({_W4_DUCK_TOKS}) AS nd
+          FROM documents) t
+    ORDER BY 0.7 * (CAST(ov AS DOUBLE) / CAST(nq AS DOUBLE))
+             + 0.3 * (CAST(ov AS DOUBLE) / CAST(nd AS DOUBLE)) DESC, doc_id
+    LIMIT 20
+    """,
+)
+
+# W5 — rank assignment (enumerate from 1, retrieval_service.py:146)
+_q(
+    "w5_rank_assignment",
+    """
+    SELECT row_number() OVER (ORDER BY CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) DESC,
+                              o_orderkey) AS rnk,
+           o_orderkey,
+           CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS total_cents
+    FROM orders
+    ORDER BY rnk
+    LIMIT 100
+    """,
+)
+
+# ---------------------------------------------------------------------------
+# Training-data pipeline: deduplication
+# ---------------------------------------------------------------------------
+
+# exact + token-set dedup summary (hash-groupBy dedup)
+_q(
+    "dd_exact_summary",
+    f"""
+    SELECT count(*) AS n_docs,
+           count(DISTINCT md5(text)) AS n_exact_distinct,
+           count(DISTINCT md5(concat_ws(' ', array_sort(array_distinct({_SPARK_TOK.format(c='text')}))))) AS n_tokenset_distinct
+    FROM documents
+    """,
+    f"""
+    SELECT count(*) AS n_docs,
+           count(DISTINCT md5(text)) AS n_exact_distinct,
+           count(DISTINCT md5(array_to_string(list_sort(list_distinct({_DUCK_TOK.format(c='text')})), ' '))) AS n_tokenset_distinct
+    FROM documents
+    """,
+)
+
+# blocked n-gram/token Jaccard near-dup pairs (block = source)
+_q(
+    "dd_jaccard_pairs",
+    f"""
+    WITH toks AS (SELECT doc_id, source,
+                         array_distinct({_SPARK_TOK.format(c='text')}) AS tk
+                  FROM documents)
+    SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+           round(CAST(size(array_intersect(a.tk, b.tk)) AS DOUBLE)
+                 / CAST(size(a.tk) + size(b.tk) - size(array_intersect(a.tk, b.tk)) AS DOUBLE), 6) AS jaccard
+    FROM toks a JOIN toks b ON a.source = b.source AND a.doc_id < b.doc_id
+    WHERE CAST(size(array_intersect(a.tk, b.tk)) AS DOUBLE)
+          / CAST(size(a.tk) + size(b.tk) - size(array_intersect(a.tk, b.tk)) AS DOUBLE) >= 0.8
+    """,
+    f"""
+    WITH toks AS (SELECT doc_id, source,
+                         list_distinct({_DUCK_TOK.format(c='text')}) AS tk
+                  FROM documents)
+    SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+           round(CAST(len(list_intersect(a.tk, b.tk)) AS DOUBLE)
+                 / CAST(len(a.tk) + len(b.tk) - len(list_intersect(a.tk, b.tk)) AS DOUBLE), 6) AS jaccard
+    FROM toks a JOIN toks b ON a.source = b.source AND a.doc_id < b.doc_id
+    WHERE CAST(len(list_intersect(a.tk, b.tk)) AS DOUBLE)
+          / CAST(len(a.tk) + len(b.tk) - len(list_intersect(a.tk, b.tk)) AS DOUBLE) >= 0.8
+    """,
+)
+
+
+def _spark_minhash(i: int) -> str:
+    return (
+        f"array_min(transform(tk, t -> md5(concat(t, ':{i}'))))"
+    )
+
+
+def _duck_minhash(i: int) -> str:
+    return f"list_aggregate(list_transform(tk, t -> md5(t || ':{i}')), 'min')"
+
+
+# MinHash + LSH banding: 8 hashes, 2 bands of 4; candidate pairs share a
+# band within the source block; verified Jaccard attached.
+_SPARK_MH = ", ".join(f"{_spark_minhash(i)} AS h{i}" for i in range(8))
+_DUCK_MH = ", ".join(f"{_duck_minhash(i)} AS h{i}" for i in range(8))
+_MH_TAIL = """
+    , sigs AS (SELECT doc_id, tk,
+                      md5(concat(h0, h1, h2, h3)) AS band1,
+                      md5(concat(h4, h5, h6, h7)) AS band2
+               FROM hashes),
+    cand AS (
+        SELECT a.doc_id AS a_id, b.doc_id AS b_id FROM sigs a JOIN sigs b
+            ON a.band1 = b.band1 AND a.doc_id < b.doc_id
+        UNION
+        SELECT a.doc_id AS a_id, b.doc_id AS b_id FROM sigs a JOIN sigs b
+            ON a.band2 = b.band2 AND a.doc_id < b.doc_id
+    )
+"""
+_q(
+    "dd_minhash_lsh",
+    f"""
+    WITH toks AS (SELECT doc_id, array_distinct({_SPARK_TOK.format(c='text')}) AS tk FROM documents),
+    hashes AS (SELECT doc_id, tk, {_SPARK_MH} FROM toks)
+    {_MH_TAIL.replace("concat(h0, h1, h2, h3)", "concat(h0, h1, h2, h3)")}
+    SELECT c.a_id, c.b_id,
+           round(CAST(size(array_intersect(ta.tk, tb.tk)) AS DOUBLE)
+                 / CAST(size(ta.tk) + size(tb.tk) - size(array_intersect(ta.tk, tb.tk)) AS DOUBLE), 6) AS jaccard
+    FROM cand c JOIN toks ta ON c.a_id = ta.doc_id JOIN toks tb ON c.b_id = tb.doc_id
+    """,
+    f"""
+    WITH toks AS (SELECT doc_id, list_distinct({_DUCK_TOK.format(c='text')}) AS tk FROM documents),
+    hashes AS (SELECT doc_id, tk, {_DUCK_MH} FROM toks)
+    {_MH_TAIL.replace("concat(h0, h1, h2, h3)", "h0 || h1 || h2 || h3").replace("concat(h4, h5, h6, h7)", "h4 || h5 || h6 || h7")}
+    SELECT c.a_id, c.b_id,
+           round(CAST(len(list_intersect(ta.tk, tb.tk)) AS DOUBLE)
+                 / CAST(len(ta.tk) + len(tb.tk) - len(list_intersect(ta.tk, tb.tk)) AS DOUBLE), 6) AS jaccard
+    FROM cand c JOIN toks ta ON c.a_id = ta.doc_id JOIN toks tb ON c.b_id = tb.doc_id
+    """,
+)
+
+# SimHash (16-bit, distinct-token majority vote per bit)
+_SPARK_BITS = ", ".join(
+    f"sum(CASE WHEN shiftright(CAST(conv(substring(md5(tok), 1, 4), 16, 10) AS BIGINT), {b}) % 2 = 1 THEN 1 ELSE -1 END) AS s{b}"
+    for b in range(16)
+)
+_DUCK_BITS = ", ".join(
+    f"sum(CASE WHEN (CAST(concat('0x', substring(md5(tok), 1, 4)) AS BIGINT) >> {b}) % 2 = 1 THEN 1 ELSE -1 END) AS s{b}"
+    for b in range(16)
+)
+_SIMHASH_SUM = " + ".join(f"(CASE WHEN s{b} > 0 THEN {1 << b} ELSE 0 END)" for b in range(16))
+_q(
+    "dd_simhash",
+    f"""
+    WITH toks AS (SELECT doc_id, explode(array_distinct({_SPARK_TOK.format(c='text')})) AS tok FROM documents),
+    bits AS (SELECT doc_id, {_SPARK_BITS} FROM toks GROUP BY doc_id)
+    SELECT doc_id, CAST({_SIMHASH_SUM} AS BIGINT) AS simhash FROM bits
+    """,
+    f"""
+    WITH toks AS (SELECT doc_id, unnest(list_distinct({_DUCK_TOK.format(c='text')})) AS tok FROM documents),
+    bits AS (SELECT doc_id, {_DUCK_BITS} FROM toks GROUP BY doc_id)
+    SELECT doc_id, CAST({_SIMHASH_SUM} AS BIGINT) AS simhash FROM bits
+    """,
+)
+
+# embedding-cosine near-dup: top-20 most-similar same-label pairs
+_q(
+    "dd_embed_neardup",
+    f"""
+    SELECT a.vec_id AS a_id, b.vec_id AS b_id, a.label,
+           round({_SPARK_DOT.format(a="a.embedding", b="b.embedding")}
+                 / (sqrt({_SPARK_DOT.format(a="a.embedding", b="a.embedding")})
+                    * sqrt({_SPARK_DOT.format(a="b.embedding", b="b.embedding")})), 6) AS cosine
+    FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+    ORDER BY cosine DESC, a.vec_id, b.vec_id
+    LIMIT 20
+    """,
+    f"""
+    SELECT a.vec_id AS a_id, b.vec_id AS b_id, a.label,
+           round({_DUCK_DOT.format(a="a.embedding", b="b.embedding")}
+                 / (sqrt({_DUCK_DOT.format(a="a.embedding", b="a.embedding")})
+                    * sqrt({_DUCK_DOT.format(a="b.embedding", b="b.embedding")})), 6) AS cosine
+    FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+    ORDER BY cosine DESC, a.vec_id, b.vec_id
+    LIMIT 20
+    """,
+)
+
+# ---------------------------------------------------------------------------
+# Similarity search: IVF-style ANN (coarse quantize to nearest centroid,
+# probe one cell). Centroids = vectors 0..9; query = vector 1.
+# ---------------------------------------------------------------------------
+
+
+def _ivf_sql(dot: str) -> str:
+    cos = (
+        f"round({dot.format(a='e.embedding', b='c.embedding')}"
+        f" / (sqrt({dot.format(a='e.embedding', b='e.embedding')})"
+        f" * sqrt({dot.format(a='c.embedding', b='c.embedding')})), 9)"
+    )
+    return f"""
+    WITH cent AS (SELECT vec_id AS cid, embedding FROM embeddings WHERE vec_id < 10),
+    assign AS (
+        SELECT vec_id, cid FROM (
+            SELECT e.vec_id, c.cid,
+                   row_number() OVER (PARTITION BY e.vec_id ORDER BY {cos} DESC, c.cid) AS rk
+            FROM embeddings e CROSS JOIN cent c
+        ) t WHERE rk = 1
+    ),
+    probe AS (SELECT cid FROM assign WHERE vec_id = 1),
+    cell AS (SELECT e.vec_id, e.embedding FROM embeddings e
+             JOIN assign a ON e.vec_id = a.vec_id JOIN probe p ON a.cid = p.cid
+             WHERE e.vec_id <> 1),
+    q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 1)
+    SELECT cell.vec_id,
+           round({dot.format(a='cell.embedding', b='q.qv')}
+                 / (sqrt({dot.format(a='cell.embedding', b='cell.embedding')})
+                    * sqrt({dot.format(a='q.qv', b='q.qv')})), 6) AS cosine
+    FROM cell CROSS JOIN q
+    ORDER BY cosine DESC, cell.vec_id
+    LIMIT 10
+    """
+
+
+_q("ann_ivf_topk", _ivf_sql(_SPARK_DOT), _ivf_sql(_DUCK_DOT))
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+_STOP_EN = "('the','a','of','to','and','in','is','on','for','with')"
+_STOP_DE = "('der','die','das','und','ist','ein','mit','von','zu','den')"
+_STOP_FR = "('le','la','les','et','est','un','une','des','du','dans')"
+_STOP_ES = "('el','la','los','las','y','es','un','una','de','en')"
+
+
+def _langid_sql(tok: str, size_fn: str, filt: str) -> str:
+    hits = {
+        "en": _STOP_EN, "de": _STOP_DE, "fr": _STOP_FR, "es": _STOP_ES,
+    }
+    cols = ", ".join(
+        f"{size_fn}({filt}(tk, t -> t IN {lst})) AS {lg}_hits" for lg, lst in hits.items()
+    )
+    return f"""
+    WITH toks AS (SELECT doc_id, {tok} AS tk FROM documents),
+    hits AS (SELECT doc_id, {cols} FROM toks)
+    SELECT doc_id, en_hits, de_hits, fr_hits, es_hits,
+           CASE WHEN en_hits >= de_hits AND en_hits >= fr_hits AND en_hits >= es_hits AND en_hits > 0 THEN 'en'
+                WHEN de_hits >= fr_hits AND de_hits >= es_hits AND de_hits > 0 THEN 'de'
+                WHEN fr_hits >= es_hits AND fr_hits > 0 THEN 'fr'
+                WHEN es_hits > 0 THEN 'es'
+                ELSE 'und' END AS pred_lang
+    FROM hits
+    """
+
+
+_q(
+    "tx_lang_id",
+    _langid_sql(_SPARK_TOK.format(c="text"), "size", "filter"),
+    _langid_sql(_DUCK_TOK.format(c="text"), "len", "list_filter"),
+)
+
+
+def _quality_sql(tok: str, size_fn: str, filt: str, distinct_fn: str) -> str:
+    return f"""
+    WITH t AS (SELECT doc_id, n_chars, {tok} AS tk, length(text) AS len FROM documents),
+    m AS (SELECT doc_id, n_chars,
+                 {size_fn}(tk) AS n_tokens,
+                 {size_fn}({distinct_fn}(tk)) AS n_distinct,
+                 {size_fn}({filt}(tk, t -> t IN {_STOP_EN})) AS n_stop
+          FROM t)
+    SELECT doc_id, n_tokens, n_distinct,
+           round(0.4 * least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0)
+                 + 0.3 * (CAST(n_distinct AS DOUBLE) / CAST(n_tokens AS DOUBLE))
+                 + 0.3 * least(10.0 * CAST(n_stop AS DOUBLE) / CAST(n_tokens AS DOUBLE), 1.0), 6) AS quality
+    FROM m WHERE n_tokens > 0
+    """
+
+
+_q(
+    "tx_quality_score",
+    _quality_sql(_SPARK_TOK.format(c="text"), "size", "filter", "array_distinct"),
+    _quality_sql(_DUCK_TOK.format(c="text"), "len", "list_filter", "list_distinct"),
+)
+
+# token counting: whitespace tokens + BPE-ish regex pieces
+_q(
+    "tx_token_count",
+    """
+    SELECT doc_id,
+           size(filter(split(text, ' '), x -> x != '')) AS ws_tokens,
+           size(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)) AS bpe_tokens
+    FROM documents
+    """,
+    """
+    SELECT doc_id,
+           len(list_filter(string_split(text, ' '), x -> x != '')) AS ws_tokens,
+           len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS bpe_tokens
+    FROM documents
+    """,
+)
+
+# document fingerprint: min-md5 over character 8-gram shingles of the
+# normalized text (winnowing-lite rolling fingerprint)
+_q(
+    "tx_fingerprint",
+    """
+    WITH n AS (SELECT doc_id,
+                      trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ''), ' +', ' ')) AS norm
+               FROM documents)
+    SELECT doc_id,
+           array_min(transform(sequence(1, greatest(length(norm) - 7, 1)),
+                               i -> md5(substring(norm, i, 8)))) AS fingerprint
+    FROM n WHERE length(norm) > 0
+    """,
+    """
+    WITH n AS (SELECT doc_id,
+                      trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS norm
+               FROM documents)
+    SELECT doc_id,
+           list_aggregate(list_transform(generate_series(1, greatest(length(norm) - 7, 1)),
+                                         i -> md5(substring(norm, CAST(i AS INT), 8))), 'min') AS fingerprint
+    FROM n WHERE length(norm) > 0
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# KG pipeline queries (synthesized interleaved documents; rows-only checks —
+# semantics pinned by oracle parity tests instead of DuckDB)
+# ---------------------------------------------------------------------------
+
+KG_N_DOCS = 96
+
+
+def _kg_docs(spark: SparkSession):
+    from chatvector_ai_spark.datagen import documents_df
+
+    return documents_df(spark, KG_N_DOCS)
+
+
+def kg_ingest_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from chatvector_ai_spark.operators.ingest import ingest_chunks
+
+    return ingest_chunks(_kg_docs(spark)).select(
+        "doc_id", "seq", "span_idx", "span_offset", "kind", "media_ref",
+        "chunk_index", "chunk_id", "char_start", "char_end", "heading",
+    )
+
+
+def kg_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from chatvector_ai_spark.operators.extract import extract_triples_df, good_triples
+    from chatvector_ai_spark.operators.ingest import ingest_chunks
+
+    chunks = ingest_chunks(_kg_docs(spark))
+    return good_triples(extract_triples_df(chunks, keep_embedding=False)).drop("embedding")
+
+
+def kg_linked_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from chatvector_ai_spark.datagen import alias_df
+    from chatvector_ai_spark.operators.extract import extract_triples_df, good_triples
+    from chatvector_ai_spark.operators.ingest import ingest_chunks
+    from chatvector_ai_spark.operators.link import link_mentions, mentions_from_triples
+
+    chunks = ingest_chunks(_kg_docs(spark))
+    triples = good_triples(extract_triples_df(chunks, keep_embedding=False))
+    linked = link_mentions(mentions_from_triples(triples), alias_df(spark))
+    return linked.select(
+        "doc_id", "chunk_id", "role", "surface", "m_start", "m_end",
+        "entity_id", "canonical", "linked",
+    )
+
+
+def kg_canonical_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: top canonical entities by triple count + provenance docs."""
+    from pyspark.sql import functions as F
+
+    from chatvector_ai_spark.datagen import alias_df
+    from chatvector_ai_spark.operators.canonicalize import canonical_map
+    from chatvector_ai_spark.operators.extract import extract_triples_df, good_triples
+    from chatvector_ai_spark.operators.ingest import ingest_chunks
+    from chatvector_ai_spark.operators.link import link_mentions, mentions_from_triples
+
+    aliases = alias_df(spark)
+    chunks = ingest_chunks(_kg_docs(spark))
+    triples = good_triples(extract_triples_df(chunks, keep_embedding=False))
+    linked = link_mentions(mentions_from_triples(triples), aliases)
+    cmap = canonical_map(linked, aliases)
+    resolved = linked.join(F.broadcast(cmap), "entity_id", "left").withColumn(
+        "canonical_entity", F.coalesce(F.col("canonical_entity"), F.col("entity_id"))
+    )
+    return (
+        resolved.groupBy("canonical_entity")
+        .agg(
+            F.count("*").alias("n_mentions"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+        .orderBy(F.desc("n_mentions"), F.asc("canonical_entity"))
+        .limit(10)
+    )
+
+
+KG_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "kg_ingest_chunks": kg_ingest_chunks,
+    "kg_triples": kg_triples,
+    "kg_linked_mentions": kg_linked_mentions,
+    "kg_canonical_entities": kg_canonical_entities,
+}
+
+
+# ---------------------------------------------------------------------------
+# public API used by __spark_entry__
+# ---------------------------------------------------------------------------
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    for t in TABLES:
+        spark.read.parquet(f"{sf_dir}/{t}.parquet").createOrReplaceTempView(t)
+
+
+def _mk_sql_query(name: str) -> Callable[[SparkSession, str], DataFrame]:
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        register_views(spark, sf_dir)
+        return spark.sql(SPARK_SQL[name])
+
+    run.__name__ = f"query_{name}"
+    return run
+
+
+def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    out: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+        name: _mk_sql_query(name) for name in SPARK_SQL
+    }
+    out.update(KG_QUERIES)
+    return out
+
+
+def all_oracles() -> dict[str, str]:
+    return dict(DUCK_SQL)
