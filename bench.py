@@ -1,0 +1,90 @@
+"""Benchmark: KG pipeline throughput + headline operator queries.
+
+Driver contract: run at ``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1)
+on ``local[$SPARK_GRAFT_CPUS]`` and print ONE JSON line::
+
+    {"metric": ..., "value": <total sec>, "unit": "sec",
+     "queries": {name: sec, ...}, "sf": ..., ...}
+
+The KG pipeline segment synthesizes ``CVS_BENCH_DOCS`` interleaved documents
+(default 2000 ≈ the sf0.1 design point) into a fresh warehouse and reports
+docs/sec — the BASELINE.json throughput metric. Scaling-efficiency evidence
+(same job at local[8] vs local[32]) is produced by tools/bench_scaling.py
+and recorded in BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "j1_provenance_join",
+    "a3_rrf_fusion",
+    "t1_topk_per_group",
+    "w1_cosine_topk",
+    "ann_ivf_topk",
+    "dd_minhash_lsh",
+    "dd_simhash",
+    "tx_fingerprint",
+    "tx_quality_score",
+    "u4_last_wins_merge",
+]
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    n_docs = int(os.environ.get("CVS_BENCH_DOCS", "2000"))
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or "0.1"
+
+    from chatvector_ai_spark.pipeline import flagship_query, run_pipeline
+    from chatvector_ai_spark.session import get_spark
+    from chatvector_ai_spark.suite import all_queries
+    from chatvector_ai_spark.warehouse import Warehouse
+
+    spark = get_spark(app_name="cvs-bench", master=f"local[{cpus}]",
+                      shuffle_partitions=max(cpus, 8))
+    timings: dict[str, float] = {}
+
+    # 1) KG pipeline: synthesize → ingest → extract → link → canonicalize →
+    #    materialize, all stages committed (the real, resumable path).
+    wh_root = tempfile.mkdtemp(prefix="cvs_bench_wh_")
+    try:
+        t0 = time.time()
+        run = run_pipeline(spark, Warehouse(wh_root), n_docs, resume=False)
+        flagship_query(spark, Warehouse(wh_root), run.input_key).collect()
+        kg_sec = time.time() - t0
+    finally:
+        shutil.rmtree(wh_root, ignore_errors=True)
+    timings["kg_pipeline"] = round(kg_sec, 3)
+
+    # 2) headline operator queries on the sf-dir tables
+    queries = all_queries()
+    for name in HEADLINE:
+        t0 = time.time()
+        queries[name](spark, sf_dir).collect()
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(json.dumps({
+        "metric": "kg_pipeline+headline_queries_total_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "kg_docs": n_docs,
+        "kg_docs_per_sec": round(n_docs / kg_sec, 2),
+        "cpus": cpus,
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,223 @@
+"""End-to-end KG construction pipeline with stage-per-snapshot resume.
+
+Stage graph (SURVEY.md §3.1 "Spark lifecycle equivalent"):
+
+    documents ──ingest+embed──> chunks            (narrow, Arrow UDFs)
+    chunks ──extract──> triples + quarantine      (narrow, Arrow UDF)
+    triples ──link──> linked_mentions             (broadcast join, narrow)
+    linked ──canonicalize──> canonical_map        (iterative shuffle joins)
+    ──materialize──> nodes / edges                (bucketed by entity hash)
+
+Each stage commits exactly one warehouse snapshot plus its lineage row
+(atomic manifest rename) — the Spark-native form of the reference's status
+FSM queued→extracting→chunking→embedding→storing→completed
+(/root/reference/backend/services/ingestion_pipeline.py:961-1064). Resume
+skips stages whose (stage, input_key) lineage row already exists, so a rerun
+after a crash recomputes only uncommitted stages and never duplicates
+lineage — the contract the reference implements with its stale-document
+sweep + idempotent status upserts (main.py:133-155).
+
+Scale posture: stages 1-3 are shuffle-free (parallelism = input partitions);
+stage 4's only wide ops are the mention-pivot joins and the salted
+connected-components rounds; materialize buckets nodes/edges by entity hash
+(`pmod(xxhash64(id), n_buckets)`) so downstream graph queries prune buckets —
+the Iceberg `bucket(N, entity_hash)` partition transform of the north rule.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from chatvector_ai_spark.config import CHUNK_OVERLAP, CHUNK_SIZE, EMBEDDING_DIM
+from chatvector_ai_spark.datagen import alias_df, documents_df
+from chatvector_ai_spark.functions.embeddings import with_embedding
+from chatvector_ai_spark.operators.canonicalize import canonical_map
+from chatvector_ai_spark.operators.extract import extract_triples_df, good_triples, quarantine_df
+from chatvector_ai_spark.operators.ingest import ingest_chunks
+from chatvector_ai_spark.operators.link import link_mentions, mentions_from_triples
+from chatvector_ai_spark.warehouse import Warehouse
+
+N_BUCKETS = 16
+
+
+@dataclass
+class PipelineRun:
+    run_id: str
+    input_key: str
+    stages_run: list[str] = field(default_factory=list)
+    stages_skipped: list[str] = field(default_factory=list)
+
+
+def _stage(
+    wh: Warehouse,
+    spark: SparkSession,
+    run: PipelineRun,
+    table: str,
+    build,
+    resume: bool,
+    metrics: dict | None = None,
+    partition_by: list[str] | None = None,
+) -> DataFrame:
+    if resume and wh.is_done(table, run.input_key):
+        run.stages_skipped.append(table)
+        return wh.read(spark, table, run.input_key)
+    df = build()
+    wh.commit(
+        df,
+        table,
+        run_id=run.run_id,
+        stage=table,
+        input_key=run.input_key,
+        metrics=metrics,
+        partition_by=partition_by,
+    )
+    run.stages_run.append(table)
+    return wh.read(spark, table, run.input_key)
+
+
+def run_pipeline(
+    spark: SparkSession,
+    warehouse: Warehouse,
+    n_docs: int,
+    *,
+    n_entities: int = 5000,
+    strategy: str = "fixed",
+    chunk_size: int = CHUNK_SIZE,
+    overlap: int = CHUNK_OVERLAP,
+    resume: bool = True,
+    run_id: str | None = None,
+) -> PipelineRun:
+    """Run (or resume) the full KG build; returns stage bookkeeping."""
+    import uuid
+
+    run = PipelineRun(
+        run_id=run_id or f"run-{uuid.uuid4().hex[:8]}",
+        input_key=f"docs={n_docs}/ents={n_entities}/{strategy}-{chunk_size}-{overlap}/dim={EMBEDDING_DIM}",
+    )
+    aliases = alias_df(spark, n_entities)
+
+    # stage 1+2: ingest (clean+chunk, media passthrough) + embed — one
+    # narrow Arrow stage, committed together ("extracting…embedding").
+    chunks = _stage(
+        warehouse, spark, run, "chunks",
+        lambda: with_embedding(
+            ingest_chunks(
+                documents_df(spark, n_docs, n_entities=n_entities),
+                strategy=strategy, size=chunk_size, overlap=overlap,
+            )
+        ),
+        resume,
+    )
+
+    # stage 3: triple extraction; good rows and quarantine (DLQ analog)
+    # from one pass.
+    raw_cache: list[DataFrame] = []
+
+    def build_triples() -> DataFrame:
+        raw = extract_triples_df(chunks)
+        raw_cache.append(raw)
+        return good_triples(raw)
+
+    triples = _stage(warehouse, spark, run, "triples", build_triples, resume)
+
+    def build_quarantine() -> DataFrame:
+        raw = raw_cache[0] if raw_cache else extract_triples_df(chunks)
+        return quarantine_df(raw)
+
+    _stage(warehouse, spark, run, "quarantine", build_quarantine, resume)
+
+    # stage 4: entity linking (broadcast dictionary join + top-1 window)
+    linked = _stage(
+        warehouse, spark, run, "linked_mentions",
+        lambda: link_mentions(mentions_from_triples(triples), aliases),
+        resume,
+    )
+
+    # stage 5: canonicalization (iterative CC with salted hub keys)
+    cmap = _stage(
+        warehouse, spark, run, "canonical_map",
+        lambda: canonical_map(linked, aliases),
+        resume,
+    )
+
+    # stage 6: materialize nodes/edges bucketed by entity hash
+    def build_nodes() -> DataFrame:
+        resolved = linked.join(F.broadcast(cmap), "entity_id", "left").withColumn(
+            "canonical_entity", F.coalesce(F.col("canonical_entity"), F.col("entity_id"))
+        )
+        return (
+            resolved.groupBy("canonical_entity")
+            .agg(
+                F.count("*").alias("n_mentions"),
+                F.countDistinct("doc_id").alias("n_docs"),
+                F.min("canonical").alias("label"),
+            )
+            .withColumn("bucket", F.pmod(F.xxhash64("canonical_entity"), F.lit(N_BUCKETS)))
+        )
+
+    nodes = _stage(
+        warehouse, spark, run, "nodes", build_nodes, resume, partition_by=["bucket"]
+    )
+
+    def build_edges() -> DataFrame:
+        key = ["doc_id", "chunk_id", "chunk_index"]
+        canon = F.broadcast(cmap)
+        subj_m = (
+            linked.where(F.col("role") == "subj")
+            .join(canon, "entity_id", "left")
+            .select(
+                *key,
+                F.col("m_start").alias("subj_start"),
+                F.coalesce(F.col("canonical_entity"), F.col("entity_id")).alias("src"),
+            )
+        )
+        obj_m = (
+            linked.where(F.col("role") == "obj")
+            .join(canon, "entity_id", "left")
+            .select(
+                *key,
+                F.col("m_start").alias("obj_start"),
+                F.coalesce(F.col("canonical_entity"), F.col("entity_id")).alias("dst"),
+            )
+        )
+        return (
+            triples.join(subj_m, key + ["subj_start"])
+            .join(obj_m, key + ["obj_start"])
+            .select(
+                "src", F.col("pred").alias("rel"), "dst",
+                "doc_id", "chunk_id", "conf",
+                F.col("subj").alias("src_surface"), F.col("obj").alias("dst_surface"),
+            )
+            .withColumn("bucket", F.pmod(F.xxhash64("src"), F.lit(N_BUCKETS)))
+        )
+
+    edges = _stage(
+        warehouse, spark, run, "edges", build_edges, resume, partition_by=["bucket"]
+    )
+    _ = (nodes, edges)
+    return run
+
+
+def flagship_query(spark: SparkSession, warehouse: Warehouse, input_key: str | None = None) -> DataFrame:
+    """Top-10 canonical entities by edge degree with provenance doc counts
+    (SURVEY.md §7.1) — reads the committed graph, prunes to node buckets."""
+    nodes = warehouse.read(spark, "nodes", input_key)
+    edges = warehouse.read(spark, "edges", input_key)
+    deg = (
+        edges.select(F.col("src").alias("canonical_entity"))
+        .unionByName(edges.select(F.col("dst").alias("canonical_entity")))
+        .groupBy("canonical_entity")
+        .agg(F.count("*").alias("degree"))
+    )
+    return (
+        nodes.join(deg, "canonical_entity", "left")
+        .select(
+            "canonical_entity", "label", "n_mentions", "n_docs",
+            F.coalesce("degree", F.lit(0)).alias("degree"),
+        )
+        .orderBy(F.desc("n_mentions"), F.asc("canonical_entity"))
+        .limit(10)
+    )

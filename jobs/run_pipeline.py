@@ -1,0 +1,64 @@
+"""spark-submit entry point for the KG construction pipeline.
+
+    spark-submit --py-files dist/chatvector_ai_spark.zip jobs/run_pipeline.py \
+        --n-docs 100000 --warehouse /data/kg_warehouse
+
+Local dev:
+
+    python jobs/run_pipeline.py --n-docs 200 --warehouse /tmp/kg_wh
+
+Rerunning with the same arguments resumes from the last committed snapshot
+(pass --no-resume to force a full rebuild).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser(description="Run the KG construction pipeline")
+    ap.add_argument("--n-docs", type=int, default=1000)
+    ap.add_argument("--n-entities", type=int, default=5000)
+    ap.add_argument("--warehouse", default=os.environ.get("CVS_WAREHOUSE", "/tmp/cvs_warehouse"))
+    ap.add_argument("--strategy", default="fixed", choices=["fixed", "paragraph", "semantic"])
+    ap.add_argument("--master", default=None, help="e.g. local[8]; default = spark-submit's")
+    ap.add_argument("--no-resume", action="store_true")
+    ap.add_argument("--sf-dir", default=None, help="unused placeholder for driver parity")
+    args = ap.parse_args()
+
+    from chatvector_ai_spark.pipeline import flagship_query, run_pipeline
+    from chatvector_ai_spark.session import get_spark
+    from chatvector_ai_spark.warehouse import Warehouse
+
+    spark = get_spark(master=args.master)
+    wh = Warehouse(args.warehouse)
+    t0 = time.time()
+    run = run_pipeline(
+        spark, wh, args.n_docs,
+        n_entities=args.n_entities,
+        strategy=args.strategy,
+        resume=not args.no_resume,
+    )
+    elapsed = time.time() - t0
+    top = flagship_query(spark, wh, run.input_key)
+    top.show(10, truncate=False)
+    print(json.dumps({
+        "run_id": run.run_id,
+        "input_key": run.input_key,
+        "stages_run": run.stages_run,
+        "stages_skipped": run.stages_skipped,
+        "elapsed_sec": round(elapsed, 2),
+        "docs_per_sec": round(args.n_docs / elapsed, 2),
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
