@@ -31,7 +31,7 @@ MAX_CONTEXT_CHARS = int(os.getenv("CVS_MAX_CONTEXT_CHARS", "32000"))
 
 # --- spark tuning ----------------------------------------------------------
 SHUFFLE_PARTITIONS = int(os.getenv("CVS_SHUFFLE_PARTITIONS", "32"))
-ARROW_MAX_RECORDS_PER_BATCH = int(os.getenv("CVS_ARROW_BATCH", "2048"))
+ARROW_MAX_RECORDS_PER_BATCH = int(os.getenv("CVS_ARROW_BATCH", "8192"))
 
 # --- canonicalization -------------------------------------------------------
 CC_MAX_ITERATIONS = int(os.getenv("CVS_CC_MAX_ITERS", "20"))

@@ -9,16 +9,21 @@ one).
 
 Algorithm: iterative min-label propagation —
     label(v) ← min(label(v), min over neighbors u of label(u))
-until a fixpoint (no label changed). Each round is one shuffle-join plus one
-partial-aggregating groupBy; ``localCheckpoint`` truncates the growing plan
-lineage each round (the iterative-join discipline AQE cannot provide).
+until a fixpoint (no label changed). Each round is one shuffle-hash join plus
+one partially-aggregating groupBy; a single ``localCheckpoint`` per round
+truncates the growing plan lineage (the iterative-join discipline AQE cannot
+provide).
 
-Skew: hub surfaces ("S:acme" appearing in 30% of docs) are high-degree
-nodes. The groupBy(min) side is safe — partial map-side aggregation collapses
-hub traffic before the shuffle. The join side is salted explicitly: the
-label table is replicated SKEW_SALT_BUCKETS ways and each edge picks a salt
-bucket by hash, so one hot key fans across S reducers instead of one
-(SURVEY.md §4.3); AQE skew-join mops up any residue.
+Skew posture (SURVEY.md §4.3): hub entities ("S:acme" in 30% of docs) are
+collapsed to DISTINCT (src, dst) pairs before iterating, so a node's join
+fan-out is bounded by its count of *distinct* neighbor surface forms — the
+mention-multiplicity skew never reaches the loop. The groupBy(min) side is
+safe regardless: partial map-side aggregation collapses hot keys before the
+shuffle. Residual join skew (a node with millions of distinct neighbors) is
+handled two ways: AQE skew-join splitting (on by default, session.py), and
+an explicit salted-replication path (``salt_buckets > 1``) for clusters
+without AQE — the label table is replicated S ways and each edge picks a
+salt bucket by hash, fanning one hot key across S reducers.
 """
 
 from __future__ import annotations
@@ -26,7 +31,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from chatvector_ai_spark.config import CC_MAX_ITERATIONS, SKEW_SALT_BUCKETS
+from chatvector_ai_spark.config import CC_MAX_ITERATIONS
 
 
 def linking_edges(linked_mentions: DataFrame, alias_dict: DataFrame) -> DataFrame:
@@ -45,13 +50,56 @@ def linking_edges(linked_mentions: DataFrame, alias_dict: DataFrame) -> DataFram
 def connected_components(
     edges: DataFrame,
     max_iterations: int = CC_MAX_ITERATIONS,
-    salt_buckets: int = SKEW_SALT_BUCKETS,
+    salt_buckets: int = 0,
+    prune_pendants: bool = True,
 ) -> DataFrame:
-    """(node, component) for every node in *edges*; component = min node id."""
+    """(node, component) for every node in *edges*; component = min node id.
+
+    ``prune_pendants``: degree-1 nodes (the overwhelming majority in an
+    alias graph — most surfaces name exactly one entity) are peeled off
+    before iterating and assigned their neighbor's component with a single
+    join afterwards. The iterative loop then runs on the small multi-degree
+    core, cutting both per-round shuffle volume and (usually) the round
+    count — the standard pendant-contraction trick for CC at scale.
+
+    ``salt_buckets > 1`` selects the explicit salted-replication join for
+    environments without AQE; the default relies on AQE skew-join splitting
+    (enabled in session.py) which handles skew without replicating the
+    label table.
+    """
     spark = edges.sparkSession
-    sym = edges.select("src", "dst").unionByName(
-        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).distinct().localCheckpoint(eager=True)
+    sym = (
+        edges.select("src", "dst")
+        .unionByName(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    pendants = None
+    if prune_pendants:
+        deg = sym.groupBy("src").agg(
+            F.count("*").alias("_deg"), F.min("dst").alias("_nbr")
+        )
+        # A pendant's single neighbor must itself stay in the core graph;
+        # mutual pendants (isolated 2-cycles after symmetrization) keep one
+        # side in the core so every pendant has a surviving anchor.
+        pend_candidates = deg.where(F.col("_deg") == 1).select(
+            F.col("src").alias("node"), F.col("_nbr").alias("anchor")
+        )
+        mutual = (
+            pend_candidates.alias("a")
+            .join(
+                pend_candidates.alias("b"),
+                (F.col("a.anchor") == F.col("b.node")) & (F.col("a.node") == F.col("b.anchor")),
+            )
+            .where(F.col("a.node") > F.col("b.node"))
+            .select(F.col("a.node").alias("node"))
+        )
+        pendants = pend_candidates.join(mutual, "node", "left_anti").localCheckpoint(eager=True)
+        core = sym.join(
+            pendants.select(F.col("node").alias("src")), "src", "left_anti"
+        ).join(pendants.select(F.col("node").alias("dst")), "dst", "left_anti")
+        sym = core.select("src", "dst").localCheckpoint(eager=True)
 
     labels = (
         sym.select(F.col("src").alias("node"))
@@ -60,32 +108,61 @@ def connected_components(
         .localCheckpoint(eager=True)
     )
 
-    salted_edges = sym.withColumn("salt", F.pmod(F.xxhash64("dst"), F.lit(salt_buckets)))
-    salted_edges = salted_edges.localCheckpoint(eager=True)
-    salt_range = spark.range(salt_buckets).select(F.col("id").cast("int").alias("salt"))
+    if salt_buckets > 1:
+        salted_edges = sym.withColumn(
+            "salt", F.pmod(F.xxhash64("src"), F.lit(salt_buckets)).cast("int")
+        ).localCheckpoint(eager=True)
+        salt_range = spark.range(salt_buckets).select(F.col("id").cast("int").alias("salt"))
 
     for _ in range(max_iterations):
-        # replicate labels across salt buckets, then join edges on (node, salt)
-        labels_rep = labels.crossJoin(F.broadcast(salt_range)).select(
-            F.col("node").alias("src"), "label", "salt"
-        )
-        neighbor_min = (
-            salted_edges.join(labels_rep, ["src", "salt"])
-            .groupBy(F.col("dst").alias("node"))
-            .agg(F.min("label").alias("nbr_label"))
+        if salt_buckets > 1:
+            # replicate labels across salt buckets; edges pick their bucket
+            # by hash(src) so one hot src key fans across S reducers
+            labels_rep = labels.crossJoin(F.broadcast(salt_range)).select(
+                F.col("node").alias("src"), F.col("label").alias("src_label"), "salt"
+            )
+            joined = salted_edges.join(labels_rep, ["src", "salt"])
+        else:
+            joined = sym.join(
+                labels.select(F.col("node").alias("src"), F.col("label").alias("src_label")),
+                "src",
+            )
+        nbr_min = joined.groupBy(F.col("dst").alias("node")).agg(
+            F.min("src_label").alias("nbr_label")
         )
         updated = (
-            labels.join(neighbor_min, "node", "left")
+            labels.join(nbr_min, "node", "left")
             .select(
                 "node",
-                F.least(F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))).alias("new_label"),
-                F.col("label"),
+                F.least(F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))).alias(
+                    "new_label"
+                ),
+                F.col("label").alias("old_label"),
             )
-        ).localCheckpoint(eager=True)
-        changed = updated.where(F.col("new_label") != F.col("label")).limit(1).count()
-        labels = updated.select("node", F.col("new_label").alias("label")).localCheckpoint(eager=True)
-        if changed == 0:
+            .localCheckpoint(eager=True)  # one materialization per round
+        )
+        labels = updated.select("node", F.col("new_label").alias("label"))
+        if updated.where(F.col("new_label") != F.col("old_label")).isEmpty():
             break
+
+    if pendants is not None:
+        # anchors that became edge-less when their pendant edges were
+        # removed never entered the loop: they are their own component
+        anchor_ids = pendants.select(F.col("anchor").alias("node")).distinct()
+        missing = anchor_ids.join(labels, "node", "left_anti").withColumn(
+            "label", F.col("node")
+        )
+        labels_all = labels.unionByName(missing)
+        pend_labels = pendants.join(
+            labels_all.withColumnRenamed("node", "anchor"), "anchor"
+        ).select("node", "label")
+        labels_full = labels_all.unionByName(pend_labels)
+        # pendant ids can be the true component minimum, so restore the
+        # exact min-id representative with one groupBy + join
+        rep = labels_full.groupBy("label").agg(F.min("node").alias("rep"))
+        labels = labels_full.join(rep, "label").select(
+            "node", F.col("rep").alias("label")
+        )
 
     return labels.select("node", F.col("label").alias("component"))
 

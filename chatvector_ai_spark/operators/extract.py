@@ -23,15 +23,15 @@ from chatvector_ai_spark.oracle.docflow import TRIPLE_ROW_DDL, extract_doc
 
 QUARANTINE_DDL = "doc_id string, chunk_id string, stage string, error_code string, message string"
 
-_TRIPLE_WITH_EMB_DDL = TRIPLE_ROW_DDL + ", embedding array<float>, _error string"
-
-
 def extract_triples_df(chunks: DataFrame, keep_embedding: bool = True) -> DataFrame:
-    """chunks → raw triples (+ chunk embedding if present, + _error marker).
+    """chunks → raw triples (+ chunk embedding if kept, + _error marker).
 
     Filter ``_error IS NULL`` for good rows; ``quarantine_df`` projects the
     failures. The text-only filter is pushed before the Python stage so media
-    rows never cross into the worker.
+    rows never cross into the worker. ``keep_embedding=False`` omits the
+    embedding column entirely — at scale the vector column should not ride
+    through the triple tables (link.py fetches embeddings only for the
+    ambiguous sliver instead).
     """
     has_emb = keep_embedding and "embedding" in chunks.columns
     src_cols = ["doc_id", "chunk_id", "chunk_index", "span_idx", "span_offset", "kind", "chunk_text"]
@@ -39,7 +39,8 @@ def extract_triples_df(chunks: DataFrame, keep_embedding: bool = True) -> DataFr
         src_cols.append("embedding")
     narrowed = chunks.where((F.col("kind") == "text") & (F.col("chunk_text") != "")).select(*src_cols)
 
-    names = [c.split(" ")[0] for c in _TRIPLE_WITH_EMB_DDL.split(", ")]
+    out_ddl = TRIPLE_ROW_DDL + (", embedding array<float>" if has_emb else "") + ", _error string"
+    names = [c.split(" ")[0] for c in out_ddl.split(", ")]
 
     def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -48,7 +49,8 @@ def extract_triples_df(chunks: DataFrame, keep_embedding: bool = True) -> DataFr
             for rec in records:
                 try:
                     for trip in extract_doc([rec]):
-                        trip["embedding"] = rec.get("embedding") if has_emb else None
+                        if has_emb:
+                            trip["embedding"] = rec.get("embedding")
                         trip["_error"] = None
                         rows.append(trip)
                 except Exception as exc:  # quarantine, never fail the stage
@@ -67,13 +69,12 @@ def extract_triples_df(chunks: DataFrame, keep_embedding: bool = True) -> DataFr
                             "obj_start": None,
                             "obj_end": None,
                             "conf": None,
-                            "embedding": None,
                             "_error": f"{type(exc).__name__}: {exc}",
                         }
                     )
             yield pd.DataFrame(rows, columns=names)
 
-    return narrowed.mapInPandas(process, schema=_TRIPLE_WITH_EMB_DDL)
+    return narrowed.mapInPandas(process, schema=out_ddl)
 
 
 def good_triples(raw: DataFrame) -> DataFrame:

@@ -28,16 +28,33 @@ def ingest_chunks(
     strategy: str = "fixed",
     size: int = CHUNK_SIZE,
     overlap: int = CHUNK_OVERLAP,
+    embed_dim: int | None = None,
 ) -> DataFrame:
-    """documents(doc_id, spans[]) → chunks table (CHUNK_ROW_DDL schema)."""
+    """documents(doc_id, spans[]) → chunks table (CHUNK_ROW_DDL schema).
+
+    ``embed_dim`` fuses the embedding projection into the same Arrow batch
+    (one JVM↔Python crossing instead of two — the flatten→embed→reslice
+    batching idiom of the reference, chat_service.py:638-665); media rows
+    get a null embedding.
+    """
+    schema = CHUNK_ROW_DDL if embed_dim is None else CHUNK_ROW_DDL + ", embedding array<float>"
 
     def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        cols = CHUNK_ROW_DDL.split(", ")
-        names = [c.split(" ")[0] for c in cols]
+        names = [c.split(" ")[0] for c in schema.split(", ")]
         for pdf in batches:
             rows: list[dict] = []
             for doc_id, spans in zip(pdf["doc_id"], pdf["spans"]):
                 rows.extend(ingest_doc(doc_id, list(spans), strategy=strategy, size=size, overlap=overlap))
-            yield pd.DataFrame(rows, columns=names)
+            out = pd.DataFrame(rows, columns=names)
+            if embed_dim is not None and len(out):
+                from chatvector_ai_spark.oracle.hashembed import embed_batch
 
-    return docs.mapInPandas(process, schema=CHUNK_ROW_DDL)
+                is_text = (out["kind"] == "text") & (out["chunk_text"] != "")
+                emb = pd.Series([None] * len(out), dtype=object)
+                texts = out.loc[is_text, "chunk_text"].tolist()
+                if texts:
+                    emb.loc[is_text] = list(embed_batch(texts, dim=embed_dim))
+                out["embedding"] = emb
+            yield out
+
+    return docs.mapInPandas(process, schema=schema)

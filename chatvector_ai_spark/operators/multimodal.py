@@ -1,0 +1,160 @@
+"""Multimodal span processing: opaque binary payloads + typed metadata.
+
+The interleaved input table carries media spans as references
+(``media_ref``); at 100 TB the payload bytes live in object storage and the
+engine treats them as opaque ``binary`` columns with typed metadata structs.
+This module supplies the Spark-side plumbing — schemas, fetch/decode/
+feature-extract operators as Arrow-batched ``mapInPandas`` stages, bounded
+batch shapes — with the codec step stubbed: the sandbox has no image/audio
+libraries, so ``decode_media`` ships a deterministic fake decoder (payload →
+stable pseudo-features) behind the same signature a real libjpeg/ffmpeg
+backend would implement, and raises ``NotImplementedError`` when a real
+backend is requested.
+
+Reference parity: media handling extends the reference's MIME
+allowlist/validation gate (ingestion_pipeline.py:752-801) — rows failing
+validation split into a quarantine output, never fail the stage
+(queue_asyncio.py:207-278 DLQ semantics).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+MEDIA_KINDS = ("image", "table", "audio", "video")
+
+# typed metadata per media row; the binary payload column is nullable (refs
+# may be fetched lazily)
+MEDIA_ROW_DDL = (
+    "doc_id string, span_idx int, span_offset int, kind string, media_ref string, "
+    "payload binary, content_type string, n_bytes bigint"
+)
+
+FEATURE_ROW_DDL = (
+    "doc_id string, span_idx int, kind string, media_ref string, "
+    "feature array<float>, width int, height int, duration_ms int, decode_backend string"
+)
+
+_CONTENT_TYPES = {
+    "png": "image/png", "jpg": "image/jpeg", "csv": "text/csv",
+    "wav": "audio/wav", "mp4": "video/mp4",
+}
+
+FEATURE_DIM = 16
+
+
+def media_spans(docs: DataFrame) -> DataFrame:
+    """documents(doc_id, spans[]) → one row per media span, order preserved.
+
+    Narrow: posexplode keeps the span index; text spans are filtered
+    JVM-side so only media rows reach any Python stage downstream.
+    """
+    exploded = docs.select(
+        "doc_id", F.posexplode("spans").alias("span_idx", "span")
+    ).select(
+        "doc_id",
+        "span_idx",
+        F.col("span.offset").alias("span_offset"),
+        F.col("span.kind").alias("kind"),
+        F.col("span.media_ref").alias("media_ref"),
+    )
+    return exploded.where(F.col("kind") != "text")
+
+
+def fetch_payloads(media: DataFrame, max_bytes: int = 1 << 20) -> DataFrame:
+    """Attach (deterministic fake) payload bytes + typed metadata.
+
+    In production this stage is an object-store range read inside
+    mapInPandas (per-executor connection reuse, bounded by Arrow batch
+    size); here payloads are synthesized from the ref so the downstream
+    plumbing is real and testable.
+    """
+
+    def fetch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads, ctypes, sizes = [], [], []
+            for ref in pdf["media_ref"]:
+                seed = hashlib.sha256(ref.encode()).digest()
+                n = 64 + seed[0]  # deterministic small payload
+                payloads.append((seed * ((n // len(seed)) + 1))[:n])
+                ctypes.append(_CONTENT_TYPES.get(ref.rsplit(".", 1)[-1], "application/octet-stream"))
+                sizes.append(n)
+            out = pdf.copy()
+            out["payload"] = payloads
+            out["content_type"] = ctypes
+            out["n_bytes"] = sizes
+            yield out
+
+    return media.mapInPandas(fetch, schema=MEDIA_ROW_DDL)
+
+
+def decode_media(media: DataFrame, backend: str = "fake") -> DataFrame:
+    """Decode payloads → fixed-dim feature vectors + media dims.
+
+    ``backend='fake'``: deterministic pseudo-decode (sha-seeded features,
+    dims derived from payload) — exercises the full distributed path.
+    Any other backend raises NotImplementedError until the corresponding
+    codec library is wired in (intentional stub; the Spark plumbing —
+    schema, batching, partitioning — is the deliverable here).
+    """
+    if backend != "fake":
+        raise NotImplementedError(
+            f"media decode backend {backend!r} requires codec libraries not "
+            "present in this environment; only the deterministic 'fake' "
+            "backend is available"
+        )
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats, widths, heights, durs = [], [], [], []
+            for payload, kind in zip(pdf["payload"], pdf["kind"]):
+                h = hashlib.sha256(bytes(payload)).digest()
+                vec = np.frombuffer(
+                    (h * (FEATURE_DIM // len(h) + 1))[:FEATURE_DIM], dtype=np.uint8
+                ).astype(np.float32)
+                norm = float(np.linalg.norm(vec))
+                feats.append((vec / norm if norm else vec).tolist())
+                if kind == "image":
+                    widths.append(64 + h[0]); heights.append(64 + h[1]); durs.append(None)
+                elif kind in ("audio", "video"):
+                    widths.append(None); heights.append(None)
+                    durs.append(1000 + int.from_bytes(h[2:4], "big"))
+                else:
+                    widths.append(None); heights.append(None); durs.append(None)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"], "span_idx": pdf["span_idx"],
+                    "kind": pdf["kind"], "media_ref": pdf["media_ref"],
+                    "feature": feats, "width": pd.array(widths, dtype="Int32"),
+                    "height": pd.array(heights, dtype="Int32"),
+                    "duration_ms": pd.array(durs, dtype="Int32"),
+                    "decode_backend": "fake",
+                }
+            )
+
+    return media.mapInPandas(decode, schema=FEATURE_ROW_DDL)
+
+
+def validate_media(media: DataFrame, max_bytes: int = 1 << 20) -> tuple[DataFrame, DataFrame]:
+    """(valid, quarantine) split — MIME allowlist + size cap, the
+    reference's upload validation gate as a row-level filter."""
+    ok = (
+        F.col("kind").isin(*MEDIA_KINDS)
+        & F.col("media_ref").startswith("s3://")
+        & (F.col("n_bytes") <= max_bytes)
+    )
+    valid = media.where(ok)
+    quarantine = media.where(~ok).select(
+        "doc_id",
+        F.col("media_ref").alias("chunk_id"),
+        F.lit("media_validate").alias("stage"),
+        F.lit("MEDIA_INVALID").alias("error_code"),
+        F.concat(F.lit("kind="), F.col("kind"), F.lit(" bytes="), F.col("n_bytes")).alias("message"),
+    )
+    return valid, quarantine

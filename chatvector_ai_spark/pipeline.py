@@ -33,7 +33,6 @@ from pyspark.sql import functions as F
 
 from chatvector_ai_spark.config import CHUNK_OVERLAP, CHUNK_SIZE, EMBEDDING_DIM
 from chatvector_ai_spark.datagen import alias_df, documents_df
-from chatvector_ai_spark.functions.embeddings import with_embedding
 from chatvector_ai_spark.operators.canonicalize import canonical_map
 from chatvector_ai_spark.operators.extract import extract_triples_df, good_triples, quarantine_df
 from chatvector_ai_spark.operators.ingest import ingest_chunks
@@ -81,8 +80,9 @@ def _stage(
 def run_pipeline(
     spark: SparkSession,
     warehouse: Warehouse,
-    n_docs: int,
+    n_docs: int | None = None,
     *,
+    docs_path: str | None = None,
     n_entities: int = 5000,
     strategy: str = "fixed",
     chunk_size: int = CHUNK_SIZE,
@@ -90,49 +90,54 @@ def run_pipeline(
     resume: bool = True,
     run_id: str | None = None,
 ) -> PipelineRun:
-    """Run (or resume) the full KG build; returns stage bookkeeping."""
+    """Run (or resume) the full KG build; returns stage bookkeeping.
+
+    Input is either an existing interleaved-documents table (``docs_path``,
+    the production shape: read the committed table) or ``n_docs`` to
+    synthesize one on the fly (tests/small runs).
+    """
     import uuid
 
+    src = docs_path if docs_path is not None else f"synth:{n_docs}"
     run = PipelineRun(
         run_id=run_id or f"run-{uuid.uuid4().hex[:8]}",
-        input_key=f"docs={n_docs}/ents={n_entities}/{strategy}-{chunk_size}-{overlap}/dim={EMBEDDING_DIM}",
+        input_key=f"src={src}/ents={n_entities}/{strategy}-{chunk_size}-{overlap}/dim={EMBEDDING_DIM}",
     )
     aliases = alias_df(spark, n_entities)
+
+    def load_docs() -> DataFrame:
+        if docs_path is not None:
+            return spark.read.parquet(docs_path)
+        return documents_df(spark, n_docs, n_entities=n_entities)
 
     # stage 1+2: ingest (clean+chunk, media passthrough) + embed — one
     # narrow Arrow stage, committed together ("extracting…embedding").
     chunks = _stage(
         warehouse, spark, run, "chunks",
-        lambda: with_embedding(
-            ingest_chunks(
-                documents_df(spark, n_docs, n_entities=n_entities),
-                strategy=strategy, size=chunk_size, overlap=overlap,
-            )
+        lambda: ingest_chunks(
+            load_docs(),
+            strategy=strategy, size=chunk_size, overlap=overlap,
+            embed_dim=EMBEDDING_DIM,
         ),
         resume,
     )
 
-    # stage 3: triple extraction; good rows and quarantine (DLQ analog)
-    # from one pass.
-    raw_cache: list[DataFrame] = []
-
-    def build_triples() -> DataFrame:
-        raw = extract_triples_df(chunks)
-        raw_cache.append(raw)
-        return good_triples(raw)
-
-    triples = _stage(warehouse, spark, run, "triples", build_triples, resume)
-
-    def build_quarantine() -> DataFrame:
-        raw = raw_cache[0] if raw_cache else extract_triples_df(chunks)
-        return quarantine_df(raw)
-
-    _stage(warehouse, spark, run, "quarantine", build_quarantine, resume)
+    # stage 3: triple extraction runs the Python UDF ONCE into a raw
+    # snapshot; good triples and the quarantine (DLQ analog) are cheap
+    # columnar filters of it.
+    raw = _stage(
+        warehouse, spark, run, "triples_raw",
+        lambda: extract_triples_df(chunks, keep_embedding=False), resume,
+    )
+    triples = _stage(
+        warehouse, spark, run, "triples", lambda: good_triples(raw), resume
+    )
+    _stage(warehouse, spark, run, "quarantine", lambda: quarantine_df(raw), resume)
 
     # stage 4: entity linking (broadcast dictionary join + top-1 window)
     linked = _stage(
         warehouse, spark, run, "linked_mentions",
-        lambda: link_mentions(mentions_from_triples(triples), aliases),
+        lambda: link_mentions(mentions_from_triples(triples), aliases, chunks=chunks),
         resume,
     )
 

@@ -8,6 +8,8 @@ provider batch size, gemini.py:32), and explicit shuffle parallelism.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import SparkSession
 
 from chatvector_ai_spark.config import ARROW_MAX_RECORDS_PER_BATCH, SHUFFLE_PARTITIONS
@@ -24,6 +26,18 @@ def get_spark(
         builder = builder.master(master)
     conf = {
         "spark.sql.shuffle.partitions": str(shuffle_partitions),
+        # Shuffle/spill on tmpfs when available: the sandbox's single shared
+        # disk is a hard serial floor for shuffle-heavy stages (measured:
+        # link stage 20→14 s). On a real cluster leave SPARK_LOCAL_DIRS to
+        # the NVMe-backed default (CVS_TMPFS_SHUFFLE=0 disables).
+        **(
+            {"spark.local.dir": "/dev/shm/cvs-spark-local"}
+            if os.path.isdir("/dev/shm")
+            and os.access("/dev/shm", os.W_OK)
+            and os.environ.get("CVS_TMPFS_SHUFFLE", "1") != "0"
+            and "SPARK_LOCAL_DIRS" not in os.environ
+            else {}
+        ),
         "spark.sql.adaptive.enabled": "true",
         "spark.sql.adaptive.skewJoin.enabled": "true",
         "spark.sql.adaptive.coalescePartitions.enabled": "true",

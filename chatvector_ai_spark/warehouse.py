@@ -33,7 +33,25 @@ import uuid
 from typing import Any
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
+
+
+def _footer_partition_counts(data_dir: str) -> list[dict[str, Any]]:
+    """Row count per written file (= storage partition) from parquet
+    footers; relative path keeps hive-style partition dirs visible."""
+    import pyarrow.parquet as pq
+
+    out: list[dict[str, Any]] = []
+    for base, _, files in sorted(os.walk(data_dir)):
+        for name in sorted(files):
+            if name.endswith(".parquet"):
+                path = os.path.join(base, name)
+                out.append(
+                    {
+                        "partition": os.path.relpath(path, data_dir),
+                        "rows": pq.ParquetFile(path).metadata.num_rows,
+                    }
+                )
+    return out
 
 
 class Warehouse:
@@ -86,13 +104,9 @@ class Warehouse:
             writer = writer.partitionBy(*partition_by)
         writer.parquet(data_dir)
 
-        written = df.sparkSession.read.parquet(data_dir)
-        part_counts = [
-            {"partition": r["_pid"], "rows": r["rows"]}
-            for r in written.groupBy(F.spark_partition_id().alias("_pid"))
-            .agg(F.count("*").alias("rows"))
-            .collect()
-        ]
+        # Per-partition lineage rows from parquet footers — metadata only,
+        # no second Spark job over the data.
+        part_counts = _footer_partition_counts(data_dir)
         entry = {
             "snapshot": snap,
             "table": table,

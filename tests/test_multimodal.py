@@ -1,0 +1,71 @@
+"""Multimodal span plumbing: explode order, fetch metadata, decode shape,
+validation split (stubbed codec, real Spark path)."""
+
+import numpy as np
+import pytest
+
+from chatvector_ai_spark import datagen as dg
+from chatvector_ai_spark.operators.multimodal import (
+    FEATURE_DIM,
+    decode_media,
+    fetch_payloads,
+    media_spans,
+    validate_media,
+)
+
+N_DOCS = 60
+
+
+@pytest.fixture(scope="module")
+def media(spark):
+    docs = dg.documents_df(spark, N_DOCS)
+    return fetch_payloads(media_spans(docs)).cache()
+
+
+def test_media_spans_match_datagen_order(spark, media):
+    got = media.toPandas().sort_values(["doc_id", "span_idx"])
+    expected = []
+    for i in range(N_DOCS):
+        for idx, s in enumerate(dg.doc_spans(i)):
+            if s.kind != "text":
+                expected.append((dg.doc_id_of(i), idx, s.offset, s.kind, s.media_ref))
+    assert [tuple(r) for r in got[["doc_id", "span_idx", "span_offset", "kind", "media_ref"]].itertuples(index=False)] == expected
+
+
+def test_fetch_is_deterministic_with_typed_metadata(media):
+    pdf = media.toPandas()
+    assert (pdf["n_bytes"] == pdf["payload"].map(len)).all()
+    assert set(pdf["content_type"]) <= {"image/png", "text/csv", "audio/wav", "video/mp4"}
+    # deterministic: same ref → same payload
+    one = pdf.iloc[0]
+    again = pdf[pdf["media_ref"] == one["media_ref"]]["payload"].iloc[0]
+    assert bytes(again) == bytes(one["payload"])
+
+
+def test_decode_fake_backend_features(spark, media):
+    feats = decode_media(media).toPandas()
+    assert len(feats) == media.count()
+    assert feats["feature"].map(len).eq(FEATURE_DIM).all()
+    norms = feats["feature"].map(lambda v: float(np.linalg.norm(np.asarray(v))))
+    assert ((norms - 1.0).abs() < 1e-5).all()
+    img = feats[feats["kind"] == "image"]
+    if len(img):
+        assert img["width"].notna().all() and img["duration_ms"].isna().all()
+    au = feats[feats["kind"] == "audio"]
+    if len(au):
+        assert au["duration_ms"].notna().all() and au["width"].isna().all()
+
+
+def test_real_backend_is_explicit_stub(media):
+    with pytest.raises(NotImplementedError):
+        decode_media(media, backend="pillow")
+
+
+def test_validation_splits_oversize(spark, media):
+    valid, quarantine = validate_media(media, max_bytes=1 << 20)
+    assert valid.count() == media.count()
+    assert quarantine.count() == 0
+    valid2, quar2 = validate_media(media, max_bytes=100)
+    assert valid2.count() + quar2.count() == media.count()
+    assert quar2.count() > 0
+    assert set(quar2.toPandas()["error_code"]) == {"MEDIA_INVALID"}

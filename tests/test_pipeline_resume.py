@@ -16,7 +16,7 @@ from chatvector_ai_spark.warehouse import Warehouse
 N_DOCS = 40
 N_ENTITIES = 200
 
-ALL_TABLES = ["chunks", "triples", "quarantine", "linked_mentions", "canonical_map", "nodes", "edges"]
+ALL_TABLES = ["chunks", "triples_raw", "triples", "quarantine", "linked_mentions", "canonical_map", "nodes", "edges"]
 
 
 @pytest.fixture(scope="module")
@@ -74,11 +74,11 @@ def test_interrupted_run_resumes_to_identical_tables(spark, tmp_path, full_run):
         pl._stage = orig
 
     done_before = {e["table"] for e in wh_part.lineage()}
-    assert done_before == {"chunks", "triples", "quarantine"}
+    assert done_before == {"chunks", "triples_raw", "triples", "quarantine"}
 
     # resume completes only the remaining stages
     run2 = run_pipeline(spark, wh_part, N_DOCS, n_entities=N_ENTITIES)
-    assert run2.stages_skipped == ["chunks", "triples", "quarantine"]
+    assert run2.stages_skipped == ["chunks", "triples_raw", "triples", "quarantine"]
     assert run2.stages_run == ["linked_mentions", "canonical_map", "nodes", "edges"]
     assert len(wh_part.lineage()) == len(ALL_TABLES)
 

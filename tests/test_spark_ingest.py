@@ -97,3 +97,25 @@ def test_embedding_matches_oracle(spark, docs_df):
         assert [float(x) for x in row["embedding"]] == embed_text(row["chunk_text"])
     media = chunks.where("kind != 'text'").limit(5).toPandas()
     assert media["embedding"].isna().all()
+
+
+def test_fused_embedding_matches_separate_path(spark):
+    """ingest_chunks(embed_dim=...) ≡ with_embedding(ingest_chunks(...))."""
+    import numpy as np
+
+    from chatvector_ai_spark import datagen as dg
+    from chatvector_ai_spark.functions.embeddings import with_embedding
+    from chatvector_ai_spark.operators.ingest import ingest_chunks
+
+    docs = dg.documents_df(spark, 12)
+    fused = ingest_chunks(docs, embed_dim=16).toPandas()
+    separate = with_embedding(ingest_chunks(docs), dim=16).toPandas()
+    key = ["doc_id", "seq"]
+    fused = fused.sort_values(key).reset_index(drop=True)
+    separate = separate.sort_values(key).reset_index(drop=True)
+    assert len(fused) == len(separate) > 0
+    for a, b in zip(fused["embedding"], separate["embedding"]):
+        if a is None or b is None:
+            assert (a is None) == (b is None)
+        else:
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

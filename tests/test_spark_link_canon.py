@@ -110,3 +110,39 @@ def test_canonicalize_triples_end_to_end(spark, linked):
     # representatives are minimal: no mapped entity id sorts below its rep
     m = dict(zip(cmap["entity_id"], cmap["canonical_entity"]))
     assert all(rep <= e for e, rep in m.items())
+
+
+def test_salted_cc_matches_unsalted(spark, linked):
+    """The explicit salted-replication path (non-AQE clusters) must produce
+    the same components as the default AQE-skew-join path."""
+    _, alias, lm = linked
+    edges = linking_edges(lm, alias)
+    base = {(r["node"], r["component"]) for r in connected_components(edges).collect()}
+    salted = {
+        (r["node"], r["component"])
+        for r in connected_components(edges, salt_buckets=4).collect()
+    }
+    assert base == salted
+
+
+def test_cc_pendant_pruning_edge_cases(spark):
+    """Chains, mutual pendant pairs, stars: pruned CC must keep exact
+    min-id components (pendants can own the component minimum)."""
+    edges = spark.createDataFrame(
+        [("B", "A"), ("B", "C"),          # chain: min is pendant A
+         ("D", "E"),                        # isolated pair
+         ("F", "G"), ("F", "H"), ("F", "I"),  # star, hub F
+         ("Z", "Y")],                       # pair where min is dst
+        "src string, dst string",
+    )
+    for pruned in (True, False):
+        got = {
+            (r["node"], r["component"])
+            for r in connected_components(edges, prune_pendants=pruned).collect()
+        }
+        assert got == {
+            ("A", "A"), ("B", "A"), ("C", "A"),
+            ("D", "D"), ("E", "D"),
+            ("F", "F"), ("G", "F"), ("H", "F"), ("I", "F"),
+            ("Y", "Y"), ("Z", "Y"),
+        }, pruned
