@@ -631,6 +631,173 @@ _q(
 
 
 # ---------------------------------------------------------------------------
+# Batch 2: lifecycle / session / validation operators
+# ---------------------------------------------------------------------------
+
+# T6 — session history: latest-N by ts desc then chronological replay
+# (sqlalchemy_service.py:678-709). Latest 5 events per user, re-sorted
+# ascending, with replay position.
+_q(
+    "t6_session_history",
+    """
+    SELECT user_id, event_id, event_type,
+           row_number() OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS replay_pos
+    FROM (SELECT user_id, event_id, event_type, ts,
+                 row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rk
+          FROM events) t
+    WHERE rk <= 5
+    """,
+)
+
+# A2 — health-check counts (routes/status.py:77-99)
+_q(
+    "a2_health_counts",
+    """
+    SELECT (SELECT count(*) FROM documents) AS n_documents,
+           (SELECT count(*) FROM embeddings) AS n_embeddings,
+           (SELECT count(*) FROM events) AS n_events
+    """,
+)
+
+# S3 — upload validation gate as a row-level constraint filter + quarantine
+# counts (ingestion_pipeline.py:752-801): docs must be non-empty, under the
+# size cap, with a known source.
+_q(
+    "s3_validation_split",
+    """
+    SELECT CASE WHEN n_chars > 0 AND n_chars <= 500 AND lang IN ('en','de','fr','es','zh')
+                THEN 'valid' ELSE 'quarantined' END AS gate,
+           count(*) AS n,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
+    FROM documents
+    GROUP BY CASE WHEN n_chars > 0 AND n_chars <= 500 AND lang IN ('en','de','fr','es','zh')
+                  THEN 'valid' ELSE 'quarantined' END
+    """,
+)
+
+# U6/Q2 — expand-query fan-out: [original, alt1, alt2] variants exploded
+# with provenance rank (query_service.py:75-88)
+_q(
+    "u6_expand_fanout",
+    """
+    SELECT doc_id, variant_rank, variant
+    FROM (SELECT doc_id,
+                 stack(3, 1, concat('q:', lang),
+                          2, concat('alt1:', source),
+                          3, concat('alt2:', lang, ':', source)) AS (variant_rank, variant)
+          FROM documents WHERE doc_id < 50) t
+    """,
+    """
+    SELECT doc_id, variant_rank, variant
+    FROM (SELECT doc_id,
+                 unnest([struct_pack(variant_rank := 1, variant := 'q:' || lang),
+                         struct_pack(variant_rank := 2, variant := 'alt1:' || source),
+                         struct_pack(variant_rank := 3, variant := 'alt2:' || lang || ':' || source)],
+                        recursive := true)
+          FROM documents WHERE doc_id < 50) t
+    """,
+)
+
+# W2 — keyword rank scoring with term-frequency weighting (ts_rank analog):
+# per matched query token, tf = occurrences / total tokens; score = sum.
+_q(
+    "w2_tf_rank",
+    f"""
+    SELECT doc_id,
+           CAST(size(filter(tk, t -> t = 'table')) + size(filter(tk, t -> t = 'scan')) AS BIGINT) AS tf_hits,
+           round(CAST(size(filter(tk, t -> t = 'table')) + size(filter(tk, t -> t = 'scan')) AS DOUBLE)
+                 / CAST(size(tk) AS DOUBLE), 6) AS tf_score
+    FROM (SELECT doc_id, {_SPARK_TOK.format(c='text')} AS tk FROM documents) t
+    WHERE size(tk) > 0
+    ORDER BY tf_score DESC, doc_id
+    LIMIT 25
+    """,
+    f"""
+    SELECT doc_id,
+           CAST(len(list_filter(tk, t -> t = 'table')) + len(list_filter(tk, t -> t = 'scan')) AS BIGINT) AS tf_hits,
+           round(CAST(len(list_filter(tk, t -> t = 'table')) + len(list_filter(tk, t -> t = 'scan')) AS DOUBLE)
+                 / CAST(len(tk) AS DOUBLE), 6) AS tf_score
+    FROM (SELECT doc_id, {_DUCK_TOK.format(c='text')} AS tk FROM documents) t
+    WHERE len(tk) > 0
+    ORDER BY tf_score DESC, doc_id
+    LIMIT 25
+    """,
+)
+
+# K4-adjacent — event sessionization: 30-minute inactivity gap splits a
+# user's events into sessions; per-session aggregates. (The reference keys
+# chat history by explicit session ids; this is the stream-analog operator
+# a 100 TB event table needs.)
+_q(
+    "ev_sessionize",
+    """
+    WITH gaps AS (
+        SELECT user_id, event_id, ts, value,
+               CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                         OR unix_seconds(CAST(ts AS TIMESTAMP)) - unix_seconds(CAST(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS TIMESTAMP)) > 1800
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+    ),
+    sess AS (
+        SELECT user_id, event_id, ts, value,
+               sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no
+        FROM gaps
+    )
+    SELECT user_id, session_no,
+           count(*) AS n_events,
+           CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS value_cents,
+           CAST(max(unix_seconds(CAST(ts AS TIMESTAMP))) - min(unix_seconds(CAST(ts AS TIMESTAMP))) AS BIGINT) AS duration_sec
+    FROM sess
+    GROUP BY user_id, session_no
+    """,
+    """
+    WITH gaps AS (
+        SELECT user_id, event_id, ts, value,
+               CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                         OR CAST(floor(epoch(ts)) AS BIGINT) - CAST(floor(epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))) AS BIGINT) > 1800
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+    ),
+    sess AS (
+        SELECT user_id, event_id, ts, value,
+               sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no
+        FROM gaps
+    )
+    SELECT user_id, session_no,
+           count(*) AS n_events,
+           CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS value_cents,
+           CAST(floor(epoch(max(ts))) - floor(epoch(min(ts))) AS BIGINT) AS duration_sec
+    FROM sess
+    GROUP BY user_id, session_no
+    """,
+)
+
+# hourly event rollup — the windowed-aggregation operator shape (batch twin
+# of the streaming rollup) with integer-cent value sums
+_q(
+    "ev_hourly_rollup",
+    """
+    SELECT date_format(ts, 'yyyy-MM-dd HH') AS hour_bucket, event_type,
+           count(*) AS n,
+           CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS value_cents,
+           count(DISTINCT user_id) AS n_users
+    FROM events
+    GROUP BY date_format(ts, 'yyyy-MM-dd HH'), event_type
+    """,
+    """
+    SELECT strftime(ts, '%Y-%m-%d %H') AS hour_bucket, event_type,
+           count(*) AS n,
+           CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS value_cents,
+           count(DISTINCT user_id) AS n_users
+    FROM events
+    GROUP BY strftime(ts, '%Y-%m-%d %H'), event_type
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
 # KG pipeline queries (synthesized interleaved documents; rows-only checks —
 # semantics pinned by oracle parity tests instead of DuckDB)
 # ---------------------------------------------------------------------------
