@@ -119,3 +119,29 @@ def test_fused_embedding_matches_separate_path(spark):
             assert (a is None) == (b is None)
         else:
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_triple_precision_recall_gate(spark, docs_df):
+    """The BASELINE.json headline gate: distributed triples vs the
+    single-node oracle at P/R >= 0.95 (designed to be exactly 1.0 — any
+    difference could only come from batch/partition boundary effects,
+    which the per-span design eliminates)."""
+    chunks = ingest_chunks(docs_df)  # default fixed 1000/200
+    got = good_triples(extract_triples_df(chunks, keep_embedding=False)).toPandas()
+
+    oracle_rows = []
+    for d in range(N_DOCS):
+        spans = [vars(s) for s in dg.doc_spans(d, n_entities=500)]
+        oracle_rows.extend(ingest_doc(dg.doc_id_of(d), spans))
+    exp = pd.DataFrame(extract_doc(oracle_rows))
+
+    key_cols = ["doc_id", "chunk_id", "subj", "pred", "obj", "subj_start", "obj_start"]
+    got_set = set(map(tuple, got[key_cols].itertuples(index=False)))
+    exp_set = set(map(tuple, exp[key_cols].itertuples(index=False)))
+    tp = len(got_set & exp_set)
+    precision = tp / len(got_set) if got_set else 0.0
+    recall = tp / len(exp_set) if exp_set else 0.0
+    print(f"\ntriple precision={precision:.4f} recall={recall:.4f} "
+          f"(n_got={len(got_set)} n_expected={len(exp_set)})")
+    assert precision >= 0.95 and recall >= 0.95
+    assert precision == 1.0 and recall == 1.0  # the designed-for bar
