@@ -23,10 +23,21 @@ from chatvector_ai_spark.functions.vectors import cosine, dot, lexical_overlap, 
 
 
 def mentions_from_triples(triples: DataFrame) -> DataFrame:
-    """Explode each triple into its subject and object mention occurrences."""
-    base = ["doc_id", "chunk_id", "chunk_index"]
+    """Explode each triple into its subject and object mention occurrences.
+
+    Each mention row carries ``triple_id`` (hash of the triple's identity
+    within its chunk) plus the triple payload (pred, conf), so the edge
+    table can be rebuilt with ONE groupBy(triple_id) pivot instead of
+    joining triples↔mentions twice (SURVEY §2.4 J7: same-row computation
+    beats a join).
+    """
+    base = ["doc_id", "chunk_id", "chunk_index", "triple_id", "pred", "conf"]
     emb = ["embedding"] if "embedding" in triples.columns else []
-    subj = triples.select(
+    with_id = triples.withColumn(
+        "triple_id",
+        F.xxhash64("chunk_id", "subj_start", "obj_start", "pred"),
+    )
+    subj = with_id.select(
         *base,
         F.lit("subj").alias("role"),
         F.col("subj").alias("surface"),
@@ -34,7 +45,7 @@ def mentions_from_triples(triples: DataFrame) -> DataFrame:
         F.col("subj_end").alias("m_end"),
         *emb,
     )
-    obj = triples.select(
+    obj = with_id.select(
         *base,
         F.lit("obj").alias("role"),
         F.col("obj").alias("surface"),
@@ -92,7 +103,13 @@ def link_mentions(
         return dot(a, b) if assume_normalized else cosine(a, b)
 
     if has_emb:
-        score = F.lit(w_r) * emb_term("embedding", "alias_embedding") + F.lit(w_l) * F.col("_alias_lex")
+        # null-safe: rows with a (sparse) embedding get the full combined
+        # score; rows without one — where the term cannot change the
+        # decision — score lexically, matching the two-phase semantics
+        score = (
+            F.lit(w_r) * F.coalesce(emb_term("embedding", "alias_embedding"), F.lit(0.0))
+            + F.lit(w_l) * F.col("_alias_lex")
+        )
         cand = cand.withColumn(
             "link_score", F.when(F.col("entity_id").isNotNull(), score)
         ).drop("alias", "alias_embedding", "_alias_lex", "_n_cand", "embedding")

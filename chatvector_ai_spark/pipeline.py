@@ -124,10 +124,21 @@ def run_pipeline(
 
     # stage 3: triple extraction runs the Python UDF ONCE into a raw
     # snapshot; good triples and the quarantine (DLQ analog) are cheap
-    # columnar filters of it.
+    # columnar filters of it. The chunk embedding rides along SPARSELY:
+    # only on triples whose surface is an ambiguous dictionary alias (the
+    # only place the linker's embedding term can change a decision), so the
+    # vector column is ~99% nulls and the linker needs no second chunk scan.
+    amb_surfaces = {
+        r["alias"]
+        for r in aliases.groupBy("alias").count().where(F.col("count") > 1).collect()
+    }
+
     raw = _stage(
         warehouse, spark, run, "triples_raw",
-        lambda: extract_triples_df(chunks, keep_embedding=False), resume,
+        lambda: extract_triples_df(
+            chunks, keep_embedding=False, embed_if_surface_in=amb_surfaces
+        ),
+        resume,
     )
     triples = _stage(
         warehouse, spark, run, "triples", lambda: good_triples(raw), resume
@@ -137,7 +148,7 @@ def run_pipeline(
     # stage 4: entity linking (broadcast dictionary join + top-1 window)
     linked = _stage(
         warehouse, spark, run, "linked_mentions",
-        lambda: link_mentions(mentions_from_triples(triples), aliases, chunks=chunks),
+        lambda: link_mentions(mentions_from_triples(triples), aliases),
         resume,
     )
 
@@ -168,34 +179,29 @@ def run_pipeline(
     )
 
     def build_edges() -> DataFrame:
-        key = ["doc_id", "chunk_id", "chunk_index"]
-        canon = F.broadcast(cmap)
-        subj_m = (
-            linked.where(F.col("role") == "subj")
-            .join(canon, "entity_id", "left")
-            .select(
-                *key,
-                F.col("m_start").alias("subj_start"),
-                F.coalesce(F.col("canonical_entity"), F.col("entity_id")).alias("src"),
-            )
+        # one broadcast join (canonical map) + one groupBy pivot on the
+        # triple id — the subject and object rows of a triple meet in the
+        # same reduce group, no triples↔mentions re-join needed
+        resolved = linked.join(F.broadcast(cmap), "entity_id", "left").withColumn(
+            "entity", F.coalesce(F.col("canonical_entity"), F.col("entity_id"))
         )
-        obj_m = (
-            linked.where(F.col("role") == "obj")
-            .join(canon, "entity_id", "left")
-            .select(
-                *key,
-                F.col("m_start").alias("obj_start"),
-                F.coalesce(F.col("canonical_entity"), F.col("entity_id")).alias("dst"),
-            )
-        )
+
+        def side(role: str, col: str):
+            return F.max(F.when(F.col("role") == role, F.col(col)))
+
         return (
-            triples.join(subj_m, key + ["subj_start"])
-            .join(obj_m, key + ["obj_start"])
-            .select(
-                "src", F.col("pred").alias("rel"), "dst",
-                "doc_id", "chunk_id", "conf",
-                F.col("subj").alias("src_surface"), F.col("obj").alias("dst_surface"),
+            resolved.groupBy("triple_id")
+            .agg(
+                side("subj", "entity").alias("src"),
+                F.max("pred").alias("rel"),
+                side("obj", "entity").alias("dst"),
+                F.max("doc_id").alias("doc_id"),
+                F.max("chunk_id").alias("chunk_id"),
+                F.max("conf").alias("conf"),
+                side("subj", "surface").alias("src_surface"),
+                side("obj", "surface").alias("dst_surface"),
             )
+            .drop("triple_id")
             .withColumn("bucket", F.pmod(F.xxhash64("src"), F.lit(N_BUCKETS)))
         )
 

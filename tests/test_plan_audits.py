@@ -1,0 +1,90 @@
+"""Plan-shape regression tests: the designed plan IS the executed plan.
+
+Each assertion encodes a 100 TB-scale property: filter pushdown to the
+scan, column pruning, broadcast of dimensions, no Python eval in JVM-only
+paths, no shuffle in narrow stages.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from chatvector_ai_spark import datagen as dg
+from chatvector_ai_spark.operators.extract import extract_triples_df, good_triples
+from chatvector_ai_spark.operators.ingest import ingest_chunks
+from chatvector_ai_spark.operators.link import link_mentions, mentions_from_triples
+from chatvector_ai_spark.plans.audit import plan_facts
+
+
+@pytest.fixture(scope="module")
+def tpch(spark, tmp_path_factory):
+    # re-write a slice of testdata so scans go through fresh parquet
+    d = str(tmp_path_factory.mktemp("plans"))
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    li.write.parquet(f"{d}/lineitem")
+    orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    orders.write.parquet(f"{d}/orders")
+    return d
+
+
+def test_filter_pushdown_reaches_scan(spark, tpch):
+    df = (
+        spark.read.parquet(f"{tpch}/lineitem")
+        .where(F.col("l_quantity") > 30.0)
+        .select("l_orderkey", "l_quantity")
+    )
+    facts = plan_facts(df)
+    assert facts.has_pushed_filter("l_quantity"), facts.text[:2000]
+
+
+def test_column_pruning_reaches_scan(spark, tpch):
+    df = spark.read.parquet(f"{tpch}/lineitem").groupBy("l_returnflag").count()
+    facts = plan_facts(df)
+    assert facts.reads_only_columns("l_returnflag"), facts.read_schemas
+
+
+def test_small_dim_join_is_broadcast(spark, tpch):
+    li = spark.read.parquet(f"{tpch}/lineitem")
+    orders = spark.read.parquet(f"{tpch}/orders")
+    joined = li.join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey)
+    facts = plan_facts(joined)
+    assert facts.broadcast_joins >= 1
+    assert facts.sortmerge_joins == 0
+
+
+def test_link_stage_is_broadcast_no_python(spark, tmp_path_factory):
+    """Entity linking over committed snapshots (the pipeline shape):
+    dictionary broadcast, zero Python evals on the mention side, no
+    sort-merge join, and no window sort over mentions (SURVEY §4.3)."""
+    d = str(tmp_path_factory.mktemp("link_plan"))
+    docs = dg.documents_df(spark, 10)
+    ingest_chunks(docs, embed_dim=16).write.parquet(f"{d}/chunks")
+    chunks = spark.read.parquet(f"{d}/chunks")
+    good_triples(extract_triples_df(chunks, keep_embedding=False)).write.parquet(f"{d}/triples")
+    triples = spark.read.parquet(f"{d}/triples")
+    linked = link_mentions(mentions_from_triples(triples), dg.alias_df(spark, 100), chunks=chunks)
+    facts = plan_facts(linked)
+    assert facts.broadcast_joins >= 2  # dict join + ambiguous-embedding fetch
+    assert facts.sortmerge_joins == 0
+    # mention-side plan is Python-free; disambiguation is a hash aggregate
+    assert facts.python_evals == 0
+    assert facts.aggregates >= 1
+    # the only Window ops are the per-alias candidate count on the broadcast
+    # dictionary subtree (constant-size input), replicated per branch
+    assert facts.window_ops <= 4
+
+
+def test_ingest_stage_is_narrow(spark):
+    """Ingest+embed: a single Python crossing, no shuffle exchange."""
+    docs = dg.documents_df(spark, 10)
+    facts = plan_facts(ingest_chunks(docs, embed_dim=16))
+    assert facts.exchanges == 0
+    assert facts.python_evals == 2  # datagen mapInPandas + ingest mapInPandas
+
+
+def test_suite_topk_uses_window_group_limit(spark):
+    """T1 per-group top-k: Catalyst's WindowGroupLimit pushes rk<=2 down."""
+    from chatvector_ai_spark.suite import SPARK_SQL, register_views
+
+    register_views(spark, "/root/testdata/sf0.001")
+    facts = plan_facts(spark.sql(SPARK_SQL["t1_topk_per_group"]))
+    assert "WindowGroupLimit" in facts.text
