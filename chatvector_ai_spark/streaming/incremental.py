@@ -1,0 +1,89 @@
+"""Structured Streaming front-end: incremental ingest + windowed rollups.
+
+The reference's ingestion queue (queue_asyncio.py:44-205 / queue_redis.py)
+delivers documents continuously; the batch pipeline resumes from snapshots.
+This module is the streaming twin: a file-source ``readStream`` over the
+interleaved-documents directory feeds the SAME ingest transformation
+(mapInPandas is stateless, so the batch operator runs unchanged on a
+streaming DataFrame), and the checkpoint directory provides the
+exactly-once/resume contract the warehouse manifest provides in batch —
+new files are processed once, reprocessing after restart picks up where
+the checkpoint left off (the K1/K5 semantics of SURVEY §2.10).
+
+``stream_event_rollup`` is the streaming twin of the suite's
+``ev_hourly_rollup``: event-time windows + a watermark bounding state for
+late data.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from chatvector_ai_spark.config import CHUNK_OVERLAP, CHUNK_SIZE
+from chatvector_ai_spark.operators.ingest import ingest_chunks
+from chatvector_ai_spark.sources.tables import DOCUMENTS_SCHEMA
+
+
+def stream_ingest_chunks(
+    spark: SparkSession,
+    docs_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    strategy: str = "fixed",
+    size: int = CHUNK_SIZE,
+    overlap: int = CHUNK_OVERLAP,
+    embed_dim: int | None = None,
+    max_files_per_trigger: int | None = None,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Incrementally ingest document files appearing under *docs_dir*.
+
+    ``available_now=True`` drains everything currently present then stops
+    (test/batch-catchup mode); ``False`` keeps running on new files.
+    ``max_files_per_trigger`` bounds micro-batch size (backpressure — the
+    queue-capacity analog of the reference's bounded queue, K1).
+    """
+    reader = spark.readStream.schema(DOCUMENTS_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    docs = reader.parquet(docs_dir)
+    chunks = ingest_chunks(docs, strategy=strategy, size=size, overlap=overlap, embed_dim=embed_dim)
+    writer = (
+        chunks.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def stream_event_rollup(
+    events: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Windowed per-type event aggregates with late-data watermarking.
+
+    ``events`` is a streaming DataFrame with (ts timestamp, event_type
+    string, user_id long, value double). State is bounded by the
+    watermark: windows older than max(event time) − watermark finalize and
+    evict (the streaming analog of the batch hourly rollup).
+    """
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.floor(F.col("value") * 100.0 + F.lit(0.5)).cast("long")).alias("value_cents"),
+            F.approx_count_distinct("user_id").alias("approx_users"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type", "n", "value_cents", "approx_users",
+        )
+    )
