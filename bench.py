@@ -41,7 +41,7 @@ HEADLINE = [
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    n_docs = int(os.environ.get("CVS_BENCH_DOCS", "2000"))
+    n_docs = int(os.environ.get("CVS_BENCH_DOCS", "20000"))
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or "0.1"
 
     from chatvector_ai_spark.pipeline import flagship_query, run_pipeline
