@@ -30,6 +30,7 @@ def entry(spark: SparkSession) -> DataFrame:
     (sqlalchemy_service.py:545-623 + retrieval_service.py:119-152).
     """
     sf_dir = "/root/testdata/sf0.001"
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     register_views(spark, sf_dir)
     return spark.sql(
         """

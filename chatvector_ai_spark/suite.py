@@ -892,6 +892,9 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
 
 def _mk_sql_query(name: str) -> Callable[[SparkSession, str], DataFrame]:
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # timestamp casts / date_format must agree with the (naive-ts)
+        # DuckDB oracle regardless of the driver session's zone
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
         register_views(spark, sf_dir)
         return spark.sql(SPARK_SQL[name])
 
