@@ -158,7 +158,7 @@ _RRF_BODY = f"""
     SELECT u.user_id,
            round(CAST(1 AS DOUBLE) / CAST(60 + r1.rnk AS DOUBLE)
                  + CAST(1 AS DOUBLE) / CAST(60 + r2.rnk AS DOUBLE), 6) AS rrf_score,
-           r1.rnk AS vector_rank, r2.rnk AS keyword_rank
+           CAST(r1.rnk AS BIGINT) AS vector_rank, CAST(r2.rnk AS BIGINT) AS keyword_rank
     FROM per_user u JOIN r1 ON u.user_id = r1.user_id JOIN r2 ON u.user_id = r2.user_id
     ORDER BY CAST(1 AS DOUBLE) / CAST(60 + r1.rnk AS DOUBLE)
              + CAST(1 AS DOUBLE) / CAST(60 + r2.rnk AS DOUBLE) DESC, u.user_id
@@ -174,7 +174,7 @@ _q("a3_rrf_fusion", _RRF_BODY)
 _q(
     "t1_topk_per_group",
     """
-    SELECT p_brand, p_partkey, CAST(floor(p_retailprice * 100.0 + 0.5) AS BIGINT) AS price_cents, rk
+    SELECT p_brand, p_partkey, CAST(floor(p_retailprice * 100.0 + 0.5) AS BIGINT) AS price_cents, CAST(rk AS BIGINT) AS rk
     FROM (SELECT p_brand, p_partkey, p_retailprice,
                  row_number() OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC, p_partkey) AS rk
           FROM part) t
@@ -187,8 +187,8 @@ _q(
     "t2_keyword_topk",
     f"""
     SELECT doc_id,
-           size(array_intersect(array_distinct({_SPARK_TOK.format(c="text")}),
-                                array_distinct({_SPARK_TOK.format(c="'{_QUERY_TEXT}'")}))) AS overlap
+           CAST(size(array_intersect(array_distinct({_SPARK_TOK.format(c="text")}),
+                                array_distinct({_SPARK_TOK.format(c="'{_QUERY_TEXT}'")}))) AS BIGINT) AS overlap
     FROM documents
     ORDER BY overlap DESC, doc_id
     LIMIT 20
@@ -208,7 +208,7 @@ _q(
 _q(
     "t7_context_budget",
     """
-    SELECT doc_id, n_chars, cum_chars
+    SELECT doc_id, n_chars, CAST(cum_chars AS BIGINT) AS cum_chars
     FROM (SELECT doc_id, n_chars,
                  sum(n_chars) OVER (ORDER BY n_chars DESC, doc_id
                                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_chars
@@ -232,7 +232,7 @@ _q(
                        row_number() OVER (ORDER BY n_chars ASC, doc_id) AS rank_in_list
                 FROM documents ORDER BY n_chars ASC, doc_id LIMIT 100),
          uni AS (SELECT * FROM qa UNION ALL SELECT * FROM qb)
-    SELECT doc_id, query_rank, rank_in_list
+    SELECT doc_id, CAST(query_rank AS BIGINT) AS query_rank, CAST(rank_in_list AS BIGINT) AS rank_in_list
     FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
                                        ORDER BY query_rank, rank_in_list) AS wins
           FROM uni) t
@@ -306,7 +306,7 @@ _q(
     SELECT doc_id,
            round(0.7 * (CAST(ov AS DOUBLE) / CAST(nq AS DOUBLE))
                  + 0.3 * (CAST(ov AS DOUBLE) / CAST(nd AS DOUBLE)), 6) AS rerank_score,
-           ov AS overlap
+           CAST(ov AS BIGINT) AS overlap
     FROM (SELECT doc_id,
                  size(array_intersect({_W4_SPARK_TOKS}, {_W4_SPARK_Q})) AS ov,
                  size({_W4_SPARK_Q}) AS nq,
@@ -320,7 +320,7 @@ _q(
     SELECT doc_id,
            round(0.7 * (CAST(ov AS DOUBLE) / CAST(nq AS DOUBLE))
                  + 0.3 * (CAST(ov AS DOUBLE) / CAST(nd AS DOUBLE)), 6) AS rerank_score,
-           ov AS overlap
+           CAST(ov AS BIGINT) AS overlap
     FROM (SELECT doc_id,
                  len(list_intersect({_W4_DUCK_TOKS}, {_W4_DUCK_Q})) AS ov,
                  len({_W4_DUCK_Q}) AS nq,
@@ -336,8 +336,8 @@ _q(
 _q(
     "w5_rank_assignment",
     """
-    SELECT row_number() OVER (ORDER BY CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) DESC,
-                              o_orderkey) AS rnk,
+    SELECT CAST(row_number() OVER (ORDER BY CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) DESC,
+                              o_orderkey) AS BIGINT) AS rnk,
            o_orderkey,
            CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS total_cents
     FROM orders
@@ -544,12 +544,12 @@ def _langid_sql(tok: str, size_fn: str, filt: str) -> str:
         "en": _STOP_EN, "de": _STOP_DE, "fr": _STOP_FR, "es": _STOP_ES,
     }
     cols = ", ".join(
-        f"{size_fn}({filt}(tk, t -> t IN {lst})) AS {lg}_hits" for lg, lst in hits.items()
+        f"CAST({size_fn}({filt}(tk, t -> t IN {lst})) AS BIGINT) AS {lg}_hits" for lg, lst in hits.items()
     )
     return f"""
     WITH toks AS (SELECT doc_id, {tok} AS tk FROM documents),
     hits AS (SELECT doc_id, {cols} FROM toks)
-    SELECT doc_id, en_hits, de_hits, fr_hits, es_hits,
+    SELECT doc_id, CAST(en_hits AS BIGINT) AS en_hits, CAST(de_hits AS BIGINT) AS de_hits, CAST(fr_hits AS BIGINT) AS fr_hits, CAST(es_hits AS BIGINT) AS es_hits,
            CASE WHEN en_hits >= de_hits AND en_hits >= fr_hits AND en_hits >= es_hits AND en_hits > 0 THEN 'en'
                 WHEN de_hits >= fr_hits AND de_hits >= es_hits AND de_hits > 0 THEN 'de'
                 WHEN fr_hits >= es_hits AND fr_hits > 0 THEN 'fr'
@@ -574,7 +574,7 @@ def _quality_sql(tok: str, size_fn: str, filt: str, distinct_fn: str) -> str:
                  {size_fn}({distinct_fn}(tk)) AS n_distinct,
                  {size_fn}({filt}(tk, t -> t IN {_STOP_EN})) AS n_stop
           FROM t)
-    SELECT doc_id, n_tokens, n_distinct,
+    SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens, CAST(n_distinct AS BIGINT) AS n_distinct,
            round(0.4 * least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0)
                  + 0.3 * (CAST(n_distinct AS DOUBLE) / CAST(n_tokens AS DOUBLE))
                  + 0.3 * least(10.0 * CAST(n_stop AS DOUBLE) / CAST(n_tokens AS DOUBLE), 1.0), 6) AS quality
@@ -593,14 +593,14 @@ _q(
     "tx_token_count",
     """
     SELECT doc_id,
-           size(filter(split(text, ' '), x -> x != '')) AS ws_tokens,
-           size(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)) AS bpe_tokens
+           CAST(size(filter(split(text, ' '), x -> x != '')) AS BIGINT) AS ws_tokens,
+           CAST(size(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)) AS BIGINT) AS bpe_tokens
     FROM documents
     """,
     """
     SELECT doc_id,
-           len(list_filter(string_split(text, ' '), x -> x != '')) AS ws_tokens,
-           len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS bpe_tokens
+           CAST(len(list_filter(string_split(text, ' '), x -> x != '')) AS BIGINT) AS ws_tokens,
+           CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS bpe_tokens
     FROM documents
     """,
 )
@@ -641,7 +641,7 @@ _q(
     "t6_session_history",
     """
     SELECT user_id, event_id, event_type,
-           row_number() OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS replay_pos
+           CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS BIGINT) AS replay_pos
     FROM (SELECT user_id, event_id, event_type, ts,
                  row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rk
           FROM events) t
@@ -744,12 +744,12 @@ _q(
                                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no
         FROM gaps
     )
-    SELECT user_id, session_no,
+    SELECT user_id, CAST(session_no AS BIGINT) AS session_no,
            count(*) AS n_events,
            CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS value_cents,
            CAST(max(unix_seconds(CAST(ts AS TIMESTAMP))) - min(unix_seconds(CAST(ts AS TIMESTAMP))) AS BIGINT) AS duration_sec
     FROM sess
-    GROUP BY user_id, session_no
+    GROUP BY user_id, CAST(session_no AS BIGINT)
     """,
     """
     WITH gaps AS (
@@ -765,12 +765,12 @@ _q(
                                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no
         FROM gaps
     )
-    SELECT user_id, session_no,
+    SELECT user_id, CAST(session_no AS BIGINT) AS session_no,
            count(*) AS n_events,
            CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS value_cents,
            CAST(floor(epoch(max(ts))) - floor(epoch(min(ts))) AS BIGINT) AS duration_sec
     FROM sess
-    GROUP BY user_id, session_no
+    GROUP BY user_id, CAST(session_no AS BIGINT)
     """,
 )
 
