@@ -9,13 +9,14 @@ The sandbox host is a virtualized 32-vCPU box whose own parallel-CPU
 scaling is sub-linear at high core counts (co-tenancy/steal): a pure
 multiprocessing sha256 microbenchmark is run first as the HARDWARE
 CALIBRATION, so each measured pipeline efficiency is reported alongside
-the ceiling the hardware itself can express for that pair. The headline
-pair is local[2] vs local[8], which lies in the host's linear region;
-local[8] vs local[32] is reported too with its measured hardware ceiling.
+the ceiling the hardware itself can express for that pair. Low-core pairs
+(1->4, 2->8) lie in the host's linear region and are where the >=0.8
+criterion is meaningfully testable; 8->32 is reported with its ceiling.
 
 Writes BENCH/BASELINE.md. Usage:
 
-    python tools/bench_scaling.py [n_docs] [n_docs_big]
+    CVS_SCALE_PAIRS="1:4:800000,2:8:1200000,8:32:1000000" \
+        python tools/bench_scaling.py
 """
 
 from __future__ import annotations
@@ -119,67 +120,60 @@ def measure_pair(n_cpus: int, n4_cpus: int, n_docs: int, repeats: int) -> dict:
 
 
 def main() -> int:
-    n_small = int(sys.argv[1]) if len(sys.argv) > 1 else 300000
-    n_big = int(sys.argv[2]) if len(sys.argv) > 2 else 1000000
+    # pairs: "N:4N:n_docs" triples, comma-separated (env-overridable)
+    pairs_spec = os.environ.get("CVS_SCALE_PAIRS", "1:4:800000,2:8:1200000,8:32:1000000")
+    pairs = [tuple(int(x) for x in p.split(":")) for p in pairs_spec.split(",")]
     repeats = int(os.environ.get("CVS_SCALE_REPEATS", "2"))
 
-    calib = hardware_calibration()
-    hw28 = round((calib[8] / calib[2]) / 4, 3)
-    hw832 = round((calib[32] / calib[8]) / 4, 3)
-    print(f"hardware calibration (M sha256/s): {calib}; ceilings 2->8={hw28} 8->32={hw832}",
-          file=sys.stderr)
+    levels = sorted({c for a, b, _ in pairs for c in (a, b)})
+    calib = hardware_calibration(levels=tuple(levels))
+    ceilings = {f"{a}->{b}": round((calib[b] / calib[a]) / 4, 3) for a, b, _ in pairs}
+    print(f"hardware calibration (M sha256/s): {calib}; ceilings {ceilings}", file=sys.stderr)
 
-    pair28 = measure_pair(2, 8, n_small, repeats)
-    pair832 = measure_pair(8, 32, n_big, repeats)
+    results = [measure_pair(a, b, n, repeats) for a, b, n in pairs]
 
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    calib_rows = "\n".join(f"| {c} | {v} |" for c, v in sorted(calib.items()))
+    pair_sections = []
+    for (a, b, n), r in zip(pairs, results):
+        ceiling = ceilings[f"{a}->{b}"]
+        rel = round(r["efficiency"] / ceiling, 2) if ceiling else float("nan")
+        pair_sections.append(f"""## Pipeline scaling — local[{a}] → local[{b}] (N → 4N), {n} docs
+
+| parallelism | elapsed (s) | docs/sec |
+|---|---|---|
+| local[{a}]  (N)  | {r['N']['elapsed_sec']} | {r['N']['docs_per_sec']} |
+| local[{b}] (4N) | {r['N4']['elapsed_sec']} | {r['N4']['docs_per_sec']} |
+
+**Scaling efficiency = {r['efficiency']}** (target ≥ 0.8; hardware ceiling
+for this pair {ceiling} → the pipeline delivers {rel} of what the host can
+express).
+""")
     md = f"""# BENCH/BASELINE — measured results
 
 Job: full KG pipeline over a pre-materialized interleaved-documents table
 (ingest/clean/chunk/embed → triple extraction → entity linking →
 canonicalization → materialize nodes+edges + flagship query; every stage
 snapshot-committed). Identical job, identical input, two parallelism
-levels, separate JVMs, interleaved min-of-{repeats} repeats
+levels per pair, separate JVMs, interleaved min-of-{repeats} repeats
 (tools/bench_scaling.py) — the sandbox stand-in for the N vs 4N executor
 criterion of BASELINE.json.
 
 ## Hardware calibration (what this host can express)
 
-Pure-CPU multiprocessing sha256 (no Spark, no I/O), best of 3:
+Pure-CPU multiprocessing sha256 (no Spark, no I/O), best of 3, on this
+virtualized co-tenant 32-vCPU host:
 
 | procs | M hashes/s |
 |---|---|
-| 2 | {calib[2]} |
-| 8 | {calib[8]} |
-| 32 | {calib[32]} |
+{calib_rows}
 
-→ the virtualized host's own 4×-parallelism ceiling is **{hw28}** for
-2→8 cores and **{hw832}** for 8→32 cores (co-tenant/steal sublinearity).
-Pipeline efficiencies must be read against these ceilings: the 2→8 pair is
-the one where the host can actually express 4× parallelism.
+Per-pair 4×-parallelism ceilings from the same numbers: {ceilings}.
+Pipeline efficiencies must be read against these ceilings — at high core
+counts the host itself cannot express 4× (steal/co-tenancy), so the
+low-core pairs are where the ≥0.8 criterion is meaningfully testable.
 
-## Pipeline scaling — headline pair local[2] → local[8] (N → 4N), {pair28['n_docs']} docs
-
-| parallelism | elapsed (s) | docs/sec |
-|---|---|---|
-| local[2]  (N)  | {pair28['N']['elapsed_sec']} | {pair28['N']['docs_per_sec']} |
-| local[8] (4N) | {pair28['N4']['elapsed_sec']} | {pair28['N4']['docs_per_sec']} |
-
-**Scaling efficiency = {pair28['efficiency']}** (target ≥ 0.8; hardware
-ceiling for this pair {hw28}).
-
-## Pipeline scaling — local[8] → local[32], {pair832['n_docs']} docs
-
-| parallelism | elapsed (s) | docs/sec |
-|---|---|---|
-| local[8]  | {pair832['N']['elapsed_sec']} | {pair832['N']['docs_per_sec']} |
-| local[32] | {pair832['N4']['elapsed_sec']} | {pair832['N4']['docs_per_sec']} |
-
-**Scaling efficiency = {pair832['efficiency']}** (hardware ceiling for this
-pair is {hw832} — the pipeline reaches
-{round(pair832['efficiency']/hw832, 2) if hw832 else 'n/a'} of what the
-host itself can deliver at 8→32).
-
+{chr(10).join(pair_sections)}
 Spark confs: AQE on (skew-join + partition coalescing), Arrow batch
 {os.environ.get('CVS_ARROW_BATCH', '8192')}, shuffle partitions =
 max(cpus, 8), broadcast threshold 64 MB, shuffle dirs on tmpfs.
@@ -187,9 +181,8 @@ Measured {time.strftime('%Y-%m-%d %H:%M:%S')}.
 """
     with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
         f.write(md)
-    print(json.dumps({"calibration_M_hashes_per_s": calib,
-                      "hw_ceiling_2_8": hw28, "hw_ceiling_8_32": hw832,
-                      "pair_2_8": pair28, "pair_8_32": pair832}))
+    print(json.dumps({"calibration_M_hashes_per_s": calib, "ceilings": ceilings,
+                      "pairs": results}))
     return 0
 
 
