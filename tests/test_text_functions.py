@@ -1,0 +1,80 @@
+"""Library text functions vs the SQL suite twins: same semantics, Column API."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from chatvector_ai_spark.functions.text import (
+    doc_fingerprint,
+    lang_id,
+    lsh_bands,
+    minhash_signature,
+    quality_score,
+    simhash16,
+    token_counts,
+    token_jaccard,
+)
+from chatvector_ai_spark.suite import SPARK_SQL, register_views
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    register_views(spark, SF)
+    return spark.read.parquet(f"{SF}/documents.parquet").cache()
+
+
+def test_simhash_matches_suite_sql(spark, docs):
+    lib = {r["doc_id"]: r["sh"] for r in docs.select("doc_id", simhash16("text").alias("sh")).collect()}
+    sql = {r["doc_id"]: r["simhash"] for r in spark.sql(SPARK_SQL["dd_simhash"]).collect()}
+    assert lib == sql
+
+
+def test_lang_id_matches_suite_sql(spark, docs):
+    lib = {r["doc_id"]: r["lg"] for r in docs.select("doc_id", lang_id("text").alias("lg")).collect()}
+    sql = {r["doc_id"]: r["pred_lang"] for r in spark.sql(SPARK_SQL["tx_lang_id"]).collect()}
+    assert lib == sql
+
+
+def test_quality_matches_suite_sql(spark, docs):
+    lib = {r["doc_id"]: r["q"] for r in docs.select("doc_id", quality_score("text").alias("q")).collect()}
+    sql = {r["doc_id"]: r["quality"] for r in spark.sql(SPARK_SQL["tx_quality_score"]).collect()}
+    assert lib == sql
+
+
+def test_token_counts_match_suite_sql(spark, docs):
+    lib = {
+        r["doc_id"]: (r["tc"]["ws_tokens"], r["tc"]["bpe_tokens"])
+        for r in docs.select("doc_id", token_counts("text").alias("tc")).collect()
+    }
+    sql = {
+        r["doc_id"]: (r["ws_tokens"], r["bpe_tokens"])
+        for r in spark.sql(SPARK_SQL["tx_token_count"]).collect()
+    }
+    assert lib == sql
+
+
+def test_fingerprint_matches_suite_sql(spark, docs):
+    lib = {r["doc_id"]: r["fp"] for r in docs.select("doc_id", doc_fingerprint("text").alias("fp")).collect()}
+    sql = {r["doc_id"]: r["fingerprint"] for r in spark.sql(SPARK_SQL["tx_fingerprint"]).collect()}
+    for k, v in sql.items():
+        assert lib[k] == v
+
+
+def test_minhash_bands_and_jaccard(spark, docs):
+    import hashlib
+    import re
+
+    sig = docs.select("doc_id", "text", minhash_signature("text").alias("sig"))
+    rows = sig.withColumn("bands", lsh_bands("sig")).collect()
+    assert all(len(r["sig"]) == 8 and len(r["bands"]) == 2 for r in rows)
+    # value check vs a direct python recomputation
+    for r in rows[:5]:
+        toks = list(dict.fromkeys(re.findall(r"[a-z0-9]+", r["text"].lower())))
+        for i in range(8):
+            expect = min(hashlib.md5(f"{t}:{i}".encode()).hexdigest() for t in toks)
+            assert r["sig"][i] == expect, (r["doc_id"], i)
+    # identical docs share all bands; jaccard of a doc with itself is 1.0
+    pair = docs.alias("a").join(docs.alias("b"), F.col("a.doc_id") == F.col("b.doc_id"))
+    jac = pair.select(token_jaccard(F.col("a.text"), F.col("b.text")).alias("j")).collect()
+    assert all(abs(r["j"] - 1.0) < 1e-9 for r in jac)
