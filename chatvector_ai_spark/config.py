@@ -37,5 +37,8 @@ ARROW_MAX_RECORDS_PER_BATCH = int(os.getenv("CVS_ARROW_BATCH", "8192"))
 CC_MAX_ITERATIONS = int(os.getenv("CVS_CC_MAX_ITERS", "20"))
 SKEW_SALT_BUCKETS = int(os.getenv("CVS_SKEW_SALT", "8"))
 
+# --- graph materialization ---------------------------------------------------
+N_BUCKETS = int(os.getenv("CVS_N_BUCKETS", "16"))
+
 # --- warehouse (snapshot/lineage store) -------------------------------------
 WAREHOUSE_DIR = os.getenv("CVS_WAREHOUSE", "/tmp/cvs_warehouse")

@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from chatvector_ai_spark.pipeline import N_BUCKETS
+from chatvector_ai_spark.config import N_BUCKETS
 
 
 def _bucket_of(entity: str) -> F.Column:

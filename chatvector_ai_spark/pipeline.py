@@ -31,7 +31,7 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from chatvector_ai_spark.config import CHUNK_OVERLAP, CHUNK_SIZE, EMBEDDING_DIM
+from chatvector_ai_spark.config import CHUNK_OVERLAP, CHUNK_SIZE, EMBEDDING_DIM, N_BUCKETS
 from chatvector_ai_spark.datagen import alias_df, documents_df
 from chatvector_ai_spark.operators.canonicalize import canonical_map
 from chatvector_ai_spark.operators.extract import extract_triples_df, good_triples, quarantine_df
@@ -39,7 +39,6 @@ from chatvector_ai_spark.operators.ingest import ingest_chunks
 from chatvector_ai_spark.operators.link import link_mentions, mentions_from_triples
 from chatvector_ai_spark.warehouse import Warehouse
 
-N_BUCKETS = 16
 
 
 @dataclass
