@@ -410,23 +410,23 @@ def _duck_minhash(i: int) -> str:
 _SPARK_MH = ", ".join(f"{_spark_minhash(i)} AS h{i}" for i in range(8))
 _DUCK_MH = ", ".join(f"{_duck_minhash(i)} AS h{i}" for i in range(8))
 _MH_TAIL = """
-    , sigs AS (SELECT doc_id, tk,
+    , sigs AS (SELECT doc_id, source, tk,
                       md5(concat(h0, h1, h2, h3)) AS band1,
                       md5(concat(h4, h5, h6, h7)) AS band2
                FROM hashes),
     cand AS (
         SELECT a.doc_id AS a_id, b.doc_id AS b_id FROM sigs a JOIN sigs b
-            ON a.band1 = b.band1 AND a.doc_id < b.doc_id
+            ON a.band1 = b.band1 AND a.source = b.source AND a.doc_id < b.doc_id
         UNION
         SELECT a.doc_id AS a_id, b.doc_id AS b_id FROM sigs a JOIN sigs b
-            ON a.band2 = b.band2 AND a.doc_id < b.doc_id
+            ON a.band2 = b.band2 AND a.source = b.source AND a.doc_id < b.doc_id
     )
 """
 _q(
     "dd_minhash_lsh",
     f"""
-    WITH toks AS (SELECT doc_id, array_distinct({_SPARK_TOK.format(c='text')}) AS tk FROM documents),
-    hashes AS (SELECT doc_id, tk, {_SPARK_MH} FROM toks)
+    WITH toks AS (SELECT doc_id, source, array_distinct({_SPARK_TOK.format(c='text')}) AS tk FROM documents),
+    hashes AS (SELECT doc_id, source, tk, {_SPARK_MH} FROM toks)
     {_MH_TAIL.replace("concat(h0, h1, h2, h3)", "concat(h0, h1, h2, h3)")}
     SELECT c.a_id, c.b_id,
            round(CAST(size(array_intersect(ta.tk, tb.tk)) AS DOUBLE)
@@ -434,8 +434,8 @@ _q(
     FROM cand c JOIN toks ta ON c.a_id = ta.doc_id JOIN toks tb ON c.b_id = tb.doc_id
     """,
     f"""
-    WITH toks AS (SELECT doc_id, list_distinct({_DUCK_TOK.format(c='text')}) AS tk FROM documents),
-    hashes AS (SELECT doc_id, tk, {_DUCK_MH} FROM toks)
+    WITH toks AS (SELECT doc_id, source, list_distinct({_DUCK_TOK.format(c='text')}) AS tk FROM documents),
+    hashes AS (SELECT doc_id, source, tk, {_DUCK_MH} FROM toks)
     {_MH_TAIL.replace("concat(h0, h1, h2, h3)", "h0 || h1 || h2 || h3").replace("concat(h4, h5, h6, h7)", "h4 || h5 || h6 || h7")}
     SELECT c.a_id, c.b_id,
            round(CAST(len(list_intersect(ta.tk, tb.tk)) AS DOUBLE)
