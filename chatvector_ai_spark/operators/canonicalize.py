@@ -23,7 +23,10 @@ shuffle. Residual join skew (a node with millions of distinct neighbors) is
 handled two ways: AQE skew-join splitting (on by default, session.py), and
 an explicit salted-replication path (``salt_buckets > 1``) for clusters
 without AQE — the label table is replicated S ways and each edge picks a
-salt bucket by hash, fanning one hot key across S reducers.
+salt bucket by hash of its *other* endpoint (dst), so the edges of one hot
+src key — which have distinct dst values — fan across S reducers. (Salting
+by a function of the join key itself would give every edge of a hot src the
+same bucket, a no-op that still pays the S-times replication.)
 """
 
 from __future__ import annotations
@@ -68,9 +71,20 @@ def connected_components(
     label table.
     """
     spark = edges.sparkSession
+    # Self-edges carry no connectivity and (with prune_pendants) would make a
+    # node its own pendant AND anchor, duplicating its output row; drop them
+    # here and re-attach loop-only isolated nodes at the end.
+    self_nodes = (
+        edges.where(F.col("src") == F.col("dst")).select(F.col("src").alias("node")).distinct()
+    )
     sym = (
         edges.select("src", "dst")
-        .unionByName(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .where(F.col("src") != F.col("dst"))
+        .unionByName(
+            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")).where(
+                F.col("src") != F.col("dst")
+            )
+        )
         .distinct()
         .localCheckpoint(eager=True)
     )
@@ -110,14 +124,15 @@ def connected_components(
 
     if salt_buckets > 1:
         salted_edges = sym.withColumn(
-            "salt", F.pmod(F.xxhash64("src"), F.lit(salt_buckets)).cast("int")
+            "salt", F.pmod(F.xxhash64("dst"), F.lit(salt_buckets)).cast("int")
         ).localCheckpoint(eager=True)
         salt_range = spark.range(salt_buckets).select(F.col("id").cast("int").alias("salt"))
 
     for _ in range(max_iterations):
         if salt_buckets > 1:
             # replicate labels across salt buckets; edges pick their bucket
-            # by hash(src) so one hot src key fans across S reducers
+            # by hash(dst) — NOT the join key src — so a hot src's edges
+            # (distinct dsts) fan across S reducers
             labels_rep = labels.crossJoin(F.broadcast(salt_range)).select(
                 F.col("node").alias("src"), F.col("label").alias("src_label"), "salt"
             )
@@ -164,7 +179,12 @@ def connected_components(
             "node", F.col("rep").alias("label")
         )
 
-    return labels.select("node", F.col("label").alias("component"))
+    out = labels.select("node", F.col("label").alias("component"))
+    # nodes whose only edges were self-loops: their own singleton component
+    loop_only = self_nodes.join(out, "node", "left_anti").withColumn(
+        "component", F.col("node")
+    )
+    return out.unionByName(loop_only)
 
 
 def canonical_map(linked_mentions: DataFrame, alias_dict: DataFrame) -> DataFrame:

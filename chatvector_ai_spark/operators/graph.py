@@ -16,14 +16,26 @@ from pyspark.sql import functions as F
 from chatvector_ai_spark.config import N_BUCKETS
 
 
-def _bucket_of(entity: str) -> F.Column:
-    return F.pmod(F.xxhash64(F.lit(entity)), F.lit(N_BUCKETS))
+def _bucket_of(entity: str, n_buckets: int) -> F.Column:
+    return F.pmod(F.xxhash64(F.lit(entity)), F.lit(n_buckets))
 
 
-def ego_edges(edges: DataFrame, entity: str) -> DataFrame:
+def ego_edges(edges: DataFrame, entity: str, n_buckets: int | None = N_BUCKETS) -> DataFrame:
     """All edges touching *entity*; the src-side predicate includes the
-    bucket so the scan prunes to one bucket partition for outgoing edges."""
-    out = edges.where((F.col("bucket") == _bucket_of(entity)) & (F.col("src") == entity))
+    bucket so the scan prunes to one bucket partition for outgoing edges.
+
+    ``n_buckets`` must be the bucket count in effect when *edges* was
+    written (the warehouse manifest records it as ``n_buckets``; pass
+    ``Warehouse.table_n_buckets("edges")``). A mismatched value would make
+    the bucket predicate silently drop all outgoing edges, so pass ``None``
+    to skip bucket pruning and filter on ``src`` alone.
+    """
+    if n_buckets and "bucket" in edges.columns:
+        out = edges.where(
+            (F.col("bucket") == _bucket_of(entity, n_buckets)) & (F.col("src") == entity)
+        )
+    else:
+        out = edges.where(F.col("src") == entity)
     inc = edges.where(F.col("dst") == entity)
     return out.unionByName(inc).dropDuplicates()
 
@@ -58,7 +70,9 @@ def khop(edges: DataFrame, seeds: list[str], k: int = 2, max_frontier: int | Non
             .join(visited.select("entity"), "entity", "left_anti")
         )
         if max_frontier is not None:
-            nxt = nxt.limit(max_frontier)
+            # deterministic cap: keep the lexicographically-smallest entities
+            # (an unordered .limit() would keep an arbitrary, run-varying set)
+            nxt = nxt.orderBy("entity").limit(max_frontier)
         nxt = nxt.withColumn("hop", F.lit(hop)).localCheckpoint(eager=True)
         if nxt.isEmpty():
             break

@@ -11,7 +11,12 @@ fixed-dimension float32 vector, L2-normalized.
 embed(text):
   tokens  = lowercase [a-z0-9]+ matches
   for t in tokens: h = sha1(t); idx = h[:4] % dim; sign = +1 if h[4]&1 else -1
-  v[idx] += sign; v = v / ||v||2   (zero vector stays zero)
+  if tokens and v == 0 (signed hashes fully cancelled): v[fallback(tokens)] = 1
+  v = v / ||v||2   (empty/no-token text stays the zero vector)
+
+The fallback slot is sha1(" ".join(tokens)) % dim, so non-empty token streams
+always embed to a unit vector — two tokens sharing a slot with opposite signs
+can otherwise cancel to zero (a real Hypothesis-found case at dim=16).
 """
 
 from __future__ import annotations
@@ -40,14 +45,22 @@ def tokenize(text: str) -> list[str]:
     return _TOKEN_RE.findall((text or "").lower())
 
 
+def _fallback_slot(tokens: list[str], dim: int) -> int:
+    digest = hashlib.sha1(" ".join(tokens).encode("utf-8")).digest()
+    return int.from_bytes(digest[:4], "big") % dim
+
+
 def embed_text(text: str, dim: int = EMBEDDING_DIM) -> list[float]:
     vec = np.zeros(dim, dtype=np.float64)
-    for tok in tokenize(text):
+    tokens = tokenize(text)
+    for tok in tokens:
         idx, sign = _token_slot(tok)
         vec[idx % dim] += sign
     norm = float(np.linalg.norm(vec))
     if norm > 0.0:
         vec /= norm
+    elif tokens:
+        vec[_fallback_slot(tokens, dim)] = 1.0
     return [float(x) for x in vec.astype(np.float32)]
 
 
@@ -55,9 +68,12 @@ def embed_batch(texts: list[str], dim: int = EMBEDDING_DIM) -> np.ndarray:
     """Vectorized batch form used by the pandas UDF (float32, shape [n, dim])."""
     out = np.zeros((len(texts), dim), dtype=np.float64)
     for i, text in enumerate(texts):
-        for tok in tokenize(text):
+        tokens = tokenize(text)
+        for tok in tokens:
             idx, sign = _token_slot(tok)
             out[i, idx % dim] += sign
+        if tokens and not out[i].any():
+            out[i, _fallback_slot(tokens, dim)] = 1.0
     norms = np.linalg.norm(out, axis=1, keepdims=True)
     np.divide(out, norms, out=out, where=norms > 0)
     return out.astype(np.float32)

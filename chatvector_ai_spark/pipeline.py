@@ -174,7 +174,8 @@ def run_pipeline(
         )
 
     nodes = _stage(
-        warehouse, spark, run, "nodes", build_nodes, resume, partition_by=["bucket"]
+        warehouse, spark, run, "nodes", build_nodes, resume,
+        metrics={"n_buckets": N_BUCKETS}, partition_by=["bucket"],
     )
 
     def build_edges() -> DataFrame:
@@ -205,7 +206,8 @@ def run_pipeline(
         )
 
     edges = _stage(
-        warehouse, spark, run, "edges", build_edges, resume, partition_by=["bucket"]
+        warehouse, spark, run, "edges", build_edges, resume,
+        metrics={"n_buckets": N_BUCKETS}, partition_by=["bucket"],
     )
     _ = (nodes, edges)
     return run

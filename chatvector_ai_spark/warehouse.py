@@ -34,24 +34,52 @@ from typing import Any
 
 from pyspark.sql import DataFrame, SparkSession
 
+# Above this many files the footer scan runs as a parallel Spark job on the
+# executors instead of sequentially on the driver (a driver walk is fine at
+# thousands of files but becomes the commit bottleneck at millions).
+_DRIVER_FOOTER_SCAN_MAX_FILES = 256
 
-def _footer_partition_counts(data_dir: str) -> list[dict[str, Any]]:
-    """Row count per written file (= storage partition) from parquet
-    footers; relative path keeps hive-style partition dirs visible."""
+
+def _list_parquet_files(data_dir: str) -> list[str]:
+    return [
+        os.path.join(base, name)
+        for base, _, files in sorted(os.walk(data_dir))
+        for name in sorted(files)
+        if name.endswith(".parquet")
+    ]
+
+
+def _footer_rows(path: str) -> int:
     import pyarrow.parquet as pq
 
-    out: list[dict[str, Any]] = []
-    for base, _, files in sorted(os.walk(data_dir)):
-        for name in sorted(files):
-            if name.endswith(".parquet"):
-                path = os.path.join(base, name)
-                out.append(
-                    {
-                        "partition": os.path.relpath(path, data_dir),
-                        "rows": pq.ParquetFile(path).metadata.num_rows,
-                    }
-                )
-    return out
+    return pq.ParquetFile(path).metadata.num_rows
+
+
+def _footer_partition_counts(
+    data_dir: str, spark: SparkSession | None = None
+) -> list[dict[str, Any]]:
+    """Row count per written file (= storage partition) from parquet
+    footers; relative path keeps hive-style partition dirs visible.
+
+    Metadata-only either way; with *spark* and many files the footer reads
+    fan out across executors (one footer per task slot) so commit overhead
+    stays flat in file count instead of serializing on the driver.
+    """
+    paths = _list_parquet_files(data_dir)
+    if spark is not None and len(paths) > _DRIVER_FOOTER_SCAN_MAX_FILES:
+        n_slices = min(len(paths), spark.sparkContext.defaultParallelism * 4)
+        counted = (
+            spark.sparkContext.parallelize(paths, n_slices)
+            .map(lambda p: (p, _footer_rows(p)))
+            .collect()
+        )
+        rows_by_path = dict(counted)
+    else:
+        rows_by_path = {p: _footer_rows(p) for p in paths}
+    return [
+        {"partition": os.path.relpath(p, data_dir), "rows": rows_by_path[p]}
+        for p in paths
+    ]
 
 
 class Warehouse:
@@ -105,8 +133,9 @@ class Warehouse:
         writer.parquet(data_dir)
 
         # Per-partition lineage rows from parquet footers — metadata only,
-        # no second Spark job over the data.
-        part_counts = _footer_partition_counts(data_dir)
+        # no second pass over the data (footers fan out to executors when
+        # the snapshot has many files).
+        part_counts = _footer_partition_counts(data_dir, df.sparkSession)
         entry = {
             "snapshot": snap,
             "table": table,
@@ -134,6 +163,15 @@ class Warehouse:
 
     def is_done(self, table: str, input_key: str) -> bool:
         return self.latest_entry(table, input_key) is not None
+
+    def table_n_buckets(self, table: str, input_key: str | None = None) -> int | None:
+        """Bucket count in effect when *table* was written (manifest metric);
+        pass this to bucket-pruning queries (graph.ego_edges) so a changed
+        CVS_N_BUCKETS config can never silently mis-prune an older snapshot."""
+        entry = self.latest_entry(table, input_key)
+        if entry is None:
+            return None
+        return entry.get("metrics", {}).get("n_buckets")
 
     def read(self, spark: SparkSession, table: str, input_key: str | None = None) -> DataFrame:
         entry = self.latest_entry(table, input_key)

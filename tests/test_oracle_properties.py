@@ -8,6 +8,8 @@ partition the text, extraction offsets point at the surfaces they claim.
 
 import re
 
+import pytest
+
 from hypothesis import given, settings
 from hypothesis import strategies as st
 
@@ -104,3 +106,17 @@ def test_embedding_unit_norm_or_zero(text, dim):
         assert abs(norm2 - 1.0) < 1e-3
     else:
         assert norm2 == 0.0
+
+
+def test_embedding_full_cancellation_falls_back_to_unit_vector():
+    """Signed hashes of distinct tokens can cancel to zero (Hypothesis-found
+    at dim=16: 'W:x' -> 'w' and 'x' share a slot with opposite signs); the
+    deterministic fallback slot must keep non-empty token streams at unit
+    norm, identically in scalar and batch forms."""
+    from chatvector_ai_spark.oracle.hashembed import embed_batch
+
+    v = embed_text("W:x", dim=16)
+    assert sum(x * x for x in v) == pytest.approx(1.0, abs=1e-3)
+    batch = embed_batch(["W:x", "w x"], dim=16)
+    assert [float(x) for x in batch[0]] == v
+    assert embed_text("W:x", dim=16) == v  # deterministic

@@ -146,3 +146,21 @@ def test_cc_pendant_pruning_edge_cases(spark):
             ("F", "F"), ("G", "F"), ("H", "F"), ("I", "F"),
             ("Y", "Y"), ("Z", "Y"),
         }, pruned
+
+
+def test_cc_self_loops_single_row_per_node(spark):
+    """Self-edges must not duplicate output rows (a self-loop-only node was
+    both its own pendant and anchor before the fix) and a node whose only
+    edge is a self-loop is its own singleton component."""
+    edges = spark.createDataFrame(
+        [("X", "X"),                 # self-loop-only node
+         ("A", "A"), ("A", "B"),     # self-loop on a connected node
+         ("C", "D")],
+        "src string, dst string",
+    )
+    for pruned in (True, False):
+        rows = connected_components(edges, prune_pendants=pruned).collect()
+        got = [(r["node"], r["component"]) for r in rows]
+        assert sorted(got) == [
+            ("A", "A"), ("B", "A"), ("C", "C"), ("D", "C"), ("X", "X"),
+        ], pruned
