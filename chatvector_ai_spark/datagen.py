@@ -190,7 +190,14 @@ def doc_text_spans(doc_idx: int, n_entities: int = N_ENTITIES) -> list[str]:
     texts: list[str] = []
     n_sections = 1 + _h(SEED, "ns", doc_idx) % 3
     for s in range(n_sections):
-        parts = [f"# Section {s + 1} of Document {doc_idx}\n"]
+        # ~1/3 of sections have no markdown heading, so the paragraph and
+        # semantic strategies see real body-led blocks (a heading-led span
+        # flattens to a single heading-only line that chunks to nothing —
+        # the reference-parity quirk documented in the verify recipe).
+        if _h(SEED, "hd", doc_idx, s) % 3 == 2:
+            parts = []
+        else:
+            parts = [f"# Section {s + 1} of Document {doc_idx}\n"]
         n_facts = 1 + _h(SEED, "nf", doc_idx, s) % 4
         for f_i in range(n_facts):
             sentence, _ = fact_sentence(doc_idx, s * 10 + f_i, n_entities)

@@ -24,9 +24,12 @@ Design rules that make the two engines hash-identical:
   flag Spark applies implicitly.
 
 KG-pipeline queries (prefix ``kg_``) run over the deterministic synthesized
-interleaved-document table (datagen.py) and have no DuckDB twin — the driver
-records rows-only checks; their semantics are pinned by the single-node
-oracle parity tests instead (tests/test_spark_ingest.py etc.).
+interleaved-document table (datagen.py); their DuckDB twins select from
+committed parquet produced by the single-node oracle without Spark
+(tools/make_kg_oracle_fixture.py), so the driver value-hash-checks the
+flagship KG path like every other query. Parity between that oracle and the
+Spark operators is additionally pinned by pytest (tests/test_spark_ingest.py,
+tests/test_kg_oracle_fixture.py).
 """
 
 from __future__ import annotations
@@ -798,11 +801,33 @@ _q(
 
 
 # ---------------------------------------------------------------------------
-# KG pipeline queries (synthesized interleaved documents; rows-only checks —
-# semantics pinned by oracle parity tests instead of DuckDB)
+# KG pipeline queries (synthesized interleaved documents). The DuckDB twins
+# select from committed parquet produced WITHOUT Spark by the single-node
+# oracle (tools/make_kg_oracle_fixture.py: pure-Python datagen → oracle
+# ingest/extract → oracle link + union-find canonicalization), so the driver
+# gets a real value-hash comparison for the flagship KG path too.
 # ---------------------------------------------------------------------------
 
+import os as _os
+
 KG_N_DOCS = 96
+_KG_FIXTURE_DIR = _os.path.join(
+    _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))), "fixtures", "kg_oracle"
+)
+
+_KG_CHUNK_COLS = (
+    "doc_id, seq, span_idx, span_offset, kind, media_ref, "
+    "chunk_index, chunk_id, char_start, char_end, heading"
+)
+
+KG_DUCK_SQL: dict[str, str] = {
+    "kg_ingest_chunks": f"SELECT {_KG_CHUNK_COLS} FROM '{_KG_FIXTURE_DIR}/chunks_fixed.parquet'",
+    "kg_ingest_chunks_paragraph": f"SELECT {_KG_CHUNK_COLS} FROM '{_KG_FIXTURE_DIR}/chunks_paragraph.parquet'",
+    "kg_ingest_chunks_semantic": f"SELECT {_KG_CHUNK_COLS} FROM '{_KG_FIXTURE_DIR}/chunks_semantic.parquet'",
+    "kg_triples": f"SELECT * FROM '{_KG_FIXTURE_DIR}/triples.parquet'",
+    "kg_linked_mentions": f"SELECT * FROM '{_KG_FIXTURE_DIR}/linked_mentions.parquet'",
+    "kg_canonical_entities": f"SELECT * FROM '{_KG_FIXTURE_DIR}/canonical_entities.parquet'",
+}
 
 
 def _kg_docs(spark: SparkSession):
@@ -811,13 +836,20 @@ def _kg_docs(spark: SparkSession):
     return documents_df(spark, KG_N_DOCS)
 
 
-def kg_ingest_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from chatvector_ai_spark.operators.ingest import ingest_chunks
+def _kg_chunks_query(strategy: str) -> Callable[[SparkSession, str], DataFrame]:
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from chatvector_ai_spark.operators.ingest import ingest_chunks
 
-    return ingest_chunks(_kg_docs(spark)).select(
-        "doc_id", "seq", "span_idx", "span_offset", "kind", "media_ref",
-        "chunk_index", "chunk_id", "char_start", "char_end", "heading",
-    )
+        return ingest_chunks(_kg_docs(spark), strategy=strategy).select(
+            "doc_id", "seq", "span_idx", "span_offset", "kind", "media_ref",
+            "chunk_index", "chunk_id", "char_start", "char_end", "heading",
+        )
+
+    run.__name__ = f"kg_ingest_chunks_{strategy}"
+    return run
+
+
+kg_ingest_chunks = _kg_chunks_query("fixed")
 
 
 def kg_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -874,6 +906,8 @@ def kg_canonical_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 KG_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_ingest_chunks": kg_ingest_chunks,
+    "kg_ingest_chunks_paragraph": _kg_chunks_query("paragraph"),
+    "kg_ingest_chunks_semantic": _kg_chunks_query("semantic"),
     "kg_triples": kg_triples,
     "kg_linked_mentions": kg_linked_mentions,
     "kg_canonical_entities": kg_canonical_entities,
@@ -911,4 +945,4 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def all_oracles() -> dict[str, str]:
-    return dict(DUCK_SQL)
+    return {**DUCK_SQL, **KG_DUCK_SQL}

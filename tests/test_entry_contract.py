@@ -12,8 +12,8 @@ def test_oracle_keys_subset_of_queries():
     qs, oracles = entrymod.queries(), entrymod.oracle_sql()
     assert set(oracles) <= set(qs)
     assert len(qs) >= 30
-    # kg_* are the only rows-only queries
-    assert {k for k in qs if k not in oracles} == {k for k in qs if k.startswith("kg_")}
+    # every query — including kg_* via the committed oracle fixture — has an oracle
+    assert set(oracles) == set(qs)
 
 
 def test_all_spark_sql_parses(spark):

@@ -24,13 +24,17 @@ def canon(rows: list[tuple], cols: list[str]) -> list[tuple]:
     order = sorted(range(len(cols)), key=lambda i: cols[i])
 
     def norm(v):
+        if v is None:
+            return (1, "")  # sortable against any (0, x) non-null
         if isinstance(v, bool):
-            return v
+            return (0, v)
         if isinstance(v, float):
             if math.isnan(v):
-                return "NaN"
-            return round(v, 6)
-        return v
+                return (0, "NaN")
+            return (0, round(v, 6))
+        if isinstance(v, list):
+            return (0, tuple(norm(x) for x in v))
+        return (0, v)
 
     return sorted(tuple(norm(r[i]) for i in order) for r in rows)
 
