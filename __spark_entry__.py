@@ -5,10 +5,9 @@
                rerank → top-10; chat_service.py:269-345 equivalents).
 ``queries``  — one entry per implemented operator (SURVEY.md §2) from
                chatvector_ai_spark.suite.
-``oracle_sql`` — DuckDB twins for every SQL-expressible query; kg_* pipeline
-               queries run on the synthesized interleaved-document table and
-               are rows-only (their semantics are pinned by the single-node
-               oracle parity tests under tests/).
+``oracle_sql`` — DuckDB twins for every query; the kg_* pipeline queries'
+               twins select from committed parquet written by the
+               single-node oracle (tools/make_kg_oracle_fixture.py).
 """
 
 from __future__ import annotations
@@ -25,9 +24,12 @@ def entry(spark: SparkSession) -> DataFrame:
 
     Vector ranking (cosine of each embedding vs the vec_id=0 query vector)
     fused with keyword ranking (token overlap vs a fixed query string) via
-    reciprocal-rank fusion (k=60), reranked 0.7·retrieval + 0.3·lexical —
-    the Spark-native shape of the reference's hybrid search
-    (sqlalchemy_service.py:545-623 + retrieval_service.py:119-152).
+    reciprocal-rank fusion (k=60) — the Spark-native shape of the
+    reference's hybrid search (sqlalchemy_service.py:545-623 +
+    retrieval_service.py:119-152). Each list is pre-narrowed to a bounded
+    top-100 candidate set with ORDER BY … LIMIT (TakeOrderedAndProject —
+    distributed) and ranked by join-count over that bounded set, so no
+    unpartitioned window ever drags the corpus to one partition.
     """
     sf_dir = "/root/testdata/sf0.001"
     spark.conf.set("spark.sql.session.timeZone", "UTC")
@@ -48,7 +50,11 @@ def entry(spark: SparkSession) -> DataFrame:
                                        CAST(0.0 AS DOUBLE), (acc, v) -> acc + v))) AS cosine
             FROM embeddings e CROSS JOIN q WHERE e.vec_id <> 0
         ),
-        vrank AS (SELECT doc_id, row_number() OVER (ORDER BY cosine DESC, doc_id) AS rnk FROM vec),
+        vcand AS (SELECT doc_id, cosine FROM vec ORDER BY cosine DESC, doc_id LIMIT 100),
+        vrank AS (SELECT a.doc_id, 1 + count(b.doc_id) AS rnk
+                  FROM vcand a LEFT JOIN vcand b
+                    ON b.cosine > a.cosine OR (b.cosine = a.cosine AND b.doc_id < a.doc_id)
+                  GROUP BY a.doc_id),
         kw AS (
             SELECT doc_id,
                    size(array_intersect(
@@ -56,13 +62,17 @@ def entry(spark: SparkSession) -> DataFrame:
                         array('table','scan','fast','query','join'))) AS overlap
             FROM documents
         ),
-        krank AS (SELECT doc_id, row_number() OVER (ORDER BY overlap DESC, doc_id) AS rnk FROM kw)
+        kcand AS (SELECT doc_id, overlap FROM kw ORDER BY overlap DESC, doc_id LIMIT 100),
+        krank AS (SELECT a.doc_id, 1 + count(b.doc_id) AS rnk
+                  FROM kcand a LEFT JOIN kcand b
+                    ON b.overlap > a.overlap OR (b.overlap = a.overlap AND b.doc_id < a.doc_id)
+                  GROUP BY a.doc_id)
         SELECT COALESCE(v.doc_id, k.doc_id) AS doc_id,
                round(COALESCE(CAST(1 AS DOUBLE) / CAST(60 + v.rnk AS DOUBLE), 0.0)
                      + COALESCE(CAST(1 AS DOUBLE) / CAST(60 + k.rnk AS DOUBLE), 0.0), 6) AS rrf_score,
                v.rnk AS vector_rank, k.rnk AS keyword_rank
         FROM vrank v FULL OUTER JOIN krank k ON v.doc_id = k.doc_id
-        ORDER BY rrf_score DESC, doc_id
+        ORDER BY rrf_score DESC, COALESCE(v.doc_id, k.doc_id)
         LIMIT 10
         """
     )

@@ -78,9 +78,39 @@ def keyword_topk(
     )
 
 
-def with_rank(df: DataFrame, order: list[Column]) -> DataFrame:
-    """rank = enumerate from 1 (retrieval_service.py:146)."""
-    return df.withColumn("rank", F.row_number().over(Window.orderBy(*order)))
+OrderSpec = list[tuple[str, str]]  # [(column, "asc"|"desc"), ...] — must be a total order
+
+
+def _strictly_before(b: str, a: str, spec: OrderSpec) -> Column:
+    """b sorts strictly before a under the lexicographic *spec*."""
+    cond = F.lit(False)
+    eq = F.lit(True)
+    for name, direction in spec:
+        bc, ac = F.col(f"{b}.{name}"), F.col(f"{a}.{name}")
+        cmp = (bc > ac) if direction == "desc" else (bc < ac)
+        cond = cond | (eq & cmp)
+        eq = eq & (bc == ac)
+    return cond
+
+
+def with_rank(df: DataFrame, spec: OrderSpec) -> DataFrame:
+    """rank = enumerate from 1 under *spec* (retrieval_service.py:146).
+
+    For BOUNDED candidate lists (the k-limited outputs of the top-k
+    operators): rank is 1 + count of rows sorting strictly before, from a
+    broadcast self-join — never a ``row_number()`` over an unpartitioned
+    window, which would move the whole input to one partition and is the
+    scale-killer the reference's bounded lists never hit.
+    """
+    keys = [name for name, _ in spec]
+    a, b = df.select(*keys).alias("a"), df.select(*keys).alias("b")
+    ranks = (
+        a.join(F.broadcast(b), _strictly_before("b", "a", spec), "left")
+        .groupBy(*[F.col(f"a.{k}").alias(k) for k in keys])
+        # count a non-null b key: left-join null-extension must not count
+        .agg((F.count(F.col(f"b.{keys[-1]}")) + 1).alias("rank"))
+    )
+    return df.join(F.broadcast(ranks), keys)
 
 
 def rrf_fuse(
@@ -139,20 +169,33 @@ def rerank(
 
 def context_prefix(
     matches: DataFrame,
-    order: list[Column],
+    spec: OrderSpec,
     text_col: str = "chunk_text",
     budget: int = MAX_CONTEXT_CHARS,
     sep_len: int = 2,
 ) -> DataFrame:
-    """Greedy whole-chunk prefix under a char budget via a running-sum
-    window; a single oversized first chunk is kept
-    (context_service.py:48-80)."""
-    w = Window.orderBy(*order).rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    sized = matches.withColumn(
-        "_cum",
-        F.sum(F.length(F.col(text_col)) + F.lit(sep_len)).over(w) - F.lit(sep_len),
-    ).withColumn("_pos", F.row_number().over(Window.orderBy(*order)))
-    return sized.where((F.col("_cum") <= budget) | (F.col("_pos") == 1)).drop("_cum", "_pos")
+    """Greedy whole-chunk prefix under a char budget; a single oversized
+    first chunk is kept (context_service.py:48-80).
+
+    Like ``with_rank`` this operates on a BOUNDED candidate list: the
+    running sum is a broadcast join-aggregate over rows sorting before each
+    row, not an unpartitioned running-sum window.
+    """
+    keys = [name for name, _ in spec]
+    sized = matches.withColumn("_len", F.length(F.col(text_col)) + F.lit(sep_len))
+    a = sized.select(*keys, "_len").alias("a")
+    b = sized.select(*keys, "_len").alias("b")
+    agg = (
+        a.join(F.broadcast(b), _strictly_before("b", "a", spec), "left")
+        .groupBy(*[F.col(f"a.{k}").alias(k) for k in keys], F.col("a._len").alias("_len"))
+        .agg(
+            F.sum(F.col("b._len")).alias("_prior"),
+            F.count(F.col(f"b.{keys[-1]}")).alias("_nbefore"),
+        )
+        .withColumn("_cum", F.coalesce(F.col("_prior"), F.lit(0)) + F.col("_len") - F.lit(sep_len))
+    )
+    kept = agg.where((F.col("_cum") <= budget) | (F.col("_nbefore") == 0)).select(*keys)
+    return matches.join(F.broadcast(kept), keys, "left_semi")
 
 
 def hybrid_search(
@@ -168,11 +211,11 @@ def hybrid_search(
     widened = match_count * CANDIDATE_WIDENING
     vec = with_rank(
         vector_topk(chunks, query_vec, widened, id_cols=id_cols),
-        [F.desc("similarity"), *[F.asc(c) for c in id_cols]],
+        [("similarity", "desc"), *[(c, "asc") for c in id_cols]],
     )
     kw = with_rank(
         keyword_topk(chunks, query_text, widened, text_col=text_col, id_cols=id_cols),
-        [F.desc("kw_score"), *[F.asc(c) for c in id_cols]],
+        [("kw_score", "desc"), *[(c, "asc") for c in id_cols]],
     )
     fused = rrf_fuse([vec, kw], id_cols=id_cols, limit=match_count)
     enriched = fused.join(chunks.select(*id_cols, text_col), id_cols, "left")

@@ -145,9 +145,16 @@ _q(
     "SELECT o_orderstatus, count(*) AS n FROM orders GROUP BY o_orderstatus",
 )
 
-# A3/W3/U3 — reciprocal-rank fusion of two ranked lists, k=60
+# A3/W3/U3 — reciprocal-rank fusion of two ranked candidate lists, k=60
 # (retrieval_service.py:119-152). List 1: users by purchase cents; list 2:
 # users by event count. rrf from integer ranks is bit-identical both engines.
+#
+# Scale shape: the reference fuses bounded RETRIEVAL lists, so each list is
+# pre-narrowed to the top-100 (2× the final 50, the reference's candidate
+# widening) with ORDER BY … LIMIT — Spark's TakeOrderedAndProject, fully
+# distributed. Ranks within a bounded list come from a join-count (1 + how
+# many candidates sort strictly above me), never from an unpartitioned
+# row_number() window that would drag the whole table to one partition.
 _RRF_BODY = f"""
     WITH per_user AS (
         SELECT user_id,
@@ -156,15 +163,30 @@ _RRF_BODY = f"""
                count(*) AS n_events
         FROM events GROUP BY user_id
     ),
-    r1 AS (SELECT user_id, row_number() OVER (ORDER BY purchase_cents DESC, user_id) AS rnk FROM per_user),
-    r2 AS (SELECT user_id, row_number() OVER (ORDER BY n_events DESC, user_id) AS rnk FROM per_user)
-    SELECT u.user_id,
-           round(CAST(1 AS DOUBLE) / CAST(60 + r1.rnk AS DOUBLE)
-                 + CAST(1 AS DOUBLE) / CAST(60 + r2.rnk AS DOUBLE), 6) AS rrf_score,
-           CAST(r1.rnk AS BIGINT) AS vector_rank, CAST(r2.rnk AS BIGINT) AS keyword_rank
-    FROM per_user u JOIN r1 ON u.user_id = r1.user_id JOIN r2 ON u.user_id = r2.user_id
-    ORDER BY CAST(1 AS DOUBLE) / CAST(60 + r1.rnk AS DOUBLE)
-             + CAST(1 AS DOUBLE) / CAST(60 + r2.rnk AS DOUBLE) DESC, u.user_id
+    cand1 AS (SELECT user_id, purchase_cents FROM per_user
+              ORDER BY purchase_cents DESC, user_id LIMIT 100),
+    cand2 AS (SELECT user_id, n_events FROM per_user
+              ORDER BY n_events DESC, user_id LIMIT 100),
+    r1 AS (SELECT a.user_id, 1 + count(b.user_id) AS rnk
+           FROM cand1 a LEFT JOIN cand1 b
+             ON b.purchase_cents > a.purchase_cents
+             OR (b.purchase_cents = a.purchase_cents AND b.user_id < a.user_id)
+           GROUP BY a.user_id),
+    r2 AS (SELECT a.user_id, 1 + count(b.user_id) AS rnk
+           FROM cand2 a LEFT JOIN cand2 b
+             ON b.n_events > a.n_events
+             OR (b.n_events = a.n_events AND b.user_id < a.user_id)
+           GROUP BY a.user_id),
+    fused AS (SELECT COALESCE(r1.user_id, r2.user_id) AS user_id,
+                     r1.rnk AS rnk1, r2.rnk AS rnk2
+              FROM r1 FULL OUTER JOIN r2 ON r1.user_id = r2.user_id)
+    SELECT user_id,
+           round(COALESCE(CAST(1 AS DOUBLE) / CAST(60 + rnk1 AS DOUBLE), 0.0)
+                 + COALESCE(CAST(1 AS DOUBLE) / CAST(60 + rnk2 AS DOUBLE), 0.0), 6) AS rrf_score,
+           CAST(rnk1 AS BIGINT) AS vector_rank, CAST(rnk2 AS BIGINT) AS keyword_rank
+    FROM fused
+    ORDER BY COALESCE(CAST(1 AS DOUBLE) / CAST(60 + rnk1 AS DOUBLE), 0.0)
+             + COALESCE(CAST(1 AS DOUBLE) / CAST(60 + rnk2 AS DOUBLE), 0.0) DESC, user_id
     LIMIT 50
 """
 _q("a3_rrf_fusion", _RRF_BODY)
@@ -207,16 +229,24 @@ _q(
 )
 
 # T7 — greedy context budget via running sum (context_service.py:48-80,
-# MAX_CONTEXT_CHARS=32000)
+# MAX_CONTEXT_CHARS=32000). The reference budgets a bounded retrieval
+# candidate list, so pre-narrow to the top-200 candidates (TakeOrdered,
+# distributed) and compute the prefix sum with a join-aggregate over that
+# bounded set — no unpartitioned running-sum window. 200 is ≥ 3× the
+# observed prefix length; a larger corpus only makes the largest docs
+# larger, shrinking the prefix.
 _q(
     "t7_context_budget",
     """
+    WITH cand AS (SELECT doc_id, n_chars FROM documents
+                  ORDER BY n_chars DESC, doc_id LIMIT 200),
+    cum AS (SELECT a.doc_id, a.n_chars, sum(b.n_chars) AS cum_chars
+            FROM cand a JOIN cand b
+              ON b.n_chars > a.n_chars
+              OR (b.n_chars = a.n_chars AND b.doc_id <= a.doc_id)
+            GROUP BY a.doc_id, a.n_chars)
     SELECT doc_id, n_chars, CAST(cum_chars AS BIGINT) AS cum_chars
-    FROM (SELECT doc_id, n_chars,
-                 sum(n_chars) OVER (ORDER BY n_chars DESC, doc_id
-                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_chars
-          FROM documents) t
-    WHERE cum_chars <= 32000
+    FROM cum WHERE cum_chars <= 32000
     """,
 )
 
@@ -224,16 +254,24 @@ _q(
 # Set ops / dedup (SURVEY §2.7)
 # ---------------------------------------------------------------------------
 
-# U1 — multi-query union + first-wins dedup (chat_service.py:329-344)
+# U1 — multi-query union + first-wins dedup (chat_service.py:329-344).
+# Each per-query list is a bounded top-100 (TakeOrdered) ranked by
+# join-count; the only window left is PARTITION BY doc_id (tiny groups).
 _q(
     "u1_union_first_wins",
     """
-    WITH qa AS (SELECT doc_id, 1 AS query_rank,
-                       row_number() OVER (ORDER BY n_chars DESC, doc_id) AS rank_in_list
-                FROM documents ORDER BY n_chars DESC, doc_id LIMIT 100),
-         qb AS (SELECT doc_id, 2 AS query_rank,
-                       row_number() OVER (ORDER BY n_chars ASC, doc_id) AS rank_in_list
-                FROM documents ORDER BY n_chars ASC, doc_id LIMIT 100),
+    WITH qa_cand AS (SELECT doc_id, n_chars FROM documents
+                     ORDER BY n_chars DESC, doc_id LIMIT 100),
+         qb_cand AS (SELECT doc_id, n_chars FROM documents
+                     ORDER BY n_chars ASC, doc_id LIMIT 100),
+         qa AS (SELECT a.doc_id, 1 AS query_rank, 1 + count(b.doc_id) AS rank_in_list
+                FROM qa_cand a LEFT JOIN qa_cand b
+                  ON b.n_chars > a.n_chars OR (b.n_chars = a.n_chars AND b.doc_id < a.doc_id)
+                GROUP BY a.doc_id),
+         qb AS (SELECT a.doc_id, 2 AS query_rank, 1 + count(b.doc_id) AS rank_in_list
+                FROM qb_cand a LEFT JOIN qb_cand b
+                  ON b.n_chars < a.n_chars OR (b.n_chars = a.n_chars AND b.doc_id < a.doc_id)
+                GROUP BY a.doc_id),
          uni AS (SELECT * FROM qa UNION ALL SELECT * FROM qb)
     SELECT doc_id, CAST(query_rank AS BIGINT) AS query_rank, CAST(rank_in_list AS BIGINT) AS rank_in_list
     FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
@@ -335,17 +373,22 @@ _q(
     """,
 )
 
-# W5 — rank assignment (enumerate from 1, retrieval_service.py:146)
+# W5 — rank assignment (enumerate from 1, retrieval_service.py:146).
+# Top-100 via TakeOrdered, then exact ranks by join-count on the bounded
+# set — identical output to a global row_number, no single-partition window.
 _q(
     "w5_rank_assignment",
     """
-    SELECT CAST(row_number() OVER (ORDER BY CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) DESC,
-                              o_orderkey) AS BIGINT) AS rnk,
-           o_orderkey,
-           CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS total_cents
-    FROM orders
-    ORDER BY rnk
-    LIMIT 100
+    WITH top_orders AS (
+        SELECT o_orderkey, CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS total_cents
+        FROM orders
+        ORDER BY CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) DESC, o_orderkey
+        LIMIT 100)
+    SELECT CAST(1 + count(b.o_orderkey) AS BIGINT) AS rnk, a.o_orderkey, a.total_cents
+    FROM top_orders a LEFT JOIN top_orders b
+      ON b.total_cents > a.total_cents
+      OR (b.total_cents = a.total_cents AND b.o_orderkey < a.o_orderkey)
+    GROUP BY a.o_orderkey, a.total_cents
     """,
 )
 
@@ -370,32 +413,8 @@ _q(
     """,
 )
 
-# blocked n-gram/token Jaccard near-dup pairs (block = source)
-_q(
-    "dd_jaccard_pairs",
-    f"""
-    WITH toks AS (SELECT doc_id, source,
-                         array_distinct({_SPARK_TOK.format(c='text')}) AS tk
-                  FROM documents)
-    SELECT a.doc_id AS a_id, b.doc_id AS b_id,
-           round(CAST(size(array_intersect(a.tk, b.tk)) AS DOUBLE)
-                 / CAST(size(a.tk) + size(b.tk) - size(array_intersect(a.tk, b.tk)) AS DOUBLE), 6) AS jaccard
-    FROM toks a JOIN toks b ON a.source = b.source AND a.doc_id < b.doc_id
-    WHERE CAST(size(array_intersect(a.tk, b.tk)) AS DOUBLE)
-          / CAST(size(a.tk) + size(b.tk) - size(array_intersect(a.tk, b.tk)) AS DOUBLE) >= 0.8
-    """,
-    f"""
-    WITH toks AS (SELECT doc_id, source,
-                         list_distinct({_DUCK_TOK.format(c='text')}) AS tk
-                  FROM documents)
-    SELECT a.doc_id AS a_id, b.doc_id AS b_id,
-           round(CAST(len(list_intersect(a.tk, b.tk)) AS DOUBLE)
-                 / CAST(len(a.tk) + len(b.tk) - len(list_intersect(a.tk, b.tk)) AS DOUBLE), 6) AS jaccard
-    FROM toks a JOIN toks b ON a.source = b.source AND a.doc_id < b.doc_id
-    WHERE CAST(len(list_intersect(a.tk, b.tk)) AS DOUBLE)
-          / CAST(len(a.tk) + len(b.tk) - len(list_intersect(a.tk, b.tk)) AS DOUBLE) >= 0.8
-    """,
-)
+# (dd_jaccard_pairs is defined below dd_minhash_lsh — its candidate pairs
+# come from LSH banding, never from an all-pairs blocked self-join.)
 
 
 def _spark_minhash(i: int) -> str:
@@ -447,6 +466,61 @@ _q(
     """,
 )
 
+# Verified Jaccard near-dup pairs at threshold 0.8, with candidates from
+# MinHash-LSH banding: 12 hashes → 6 bands of 2 rows (band-collision
+# probability for J=0.8 is 1-(1-0.8²)⁶ ≈ 0.998 — near-exhaustive recall),
+# banded within the source block, then verify-then-score exact Jaccard on
+# candidates only. No all-pairs self-join anywhere: candidate volume is
+# bucket-bounded, the 100 TB-safe shape (the round-1 version enumerated
+# O(n²/B) pairs per source block).
+_JP_N_HASH = 12
+_JP_SPARK_MH = ", ".join(f"{_spark_minhash(i)} AS h{i}" for i in range(_JP_N_HASH))
+_JP_DUCK_MH = ", ".join(f"{_duck_minhash(i)} AS h{i}" for i in range(_JP_N_HASH))
+
+
+def _jp_tail(concat2) -> str:
+    bands = ", ".join(
+        f"md5({concat2(f'h{2 * i}', f'h{2 * i + 1}')}) AS bd{i}" for i in range(_JP_N_HASH // 2)
+    )
+    cand_union = "\n        UNION\n".join(
+        f"        SELECT a.doc_id AS a_id, b.doc_id AS b_id FROM sigs a JOIN sigs b\n"
+        f"            ON a.bd{i} = b.bd{i} AND a.source = b.source AND a.doc_id < b.doc_id"
+        for i in range(_JP_N_HASH // 2)
+    )
+    return f"""
+    , sigs AS (SELECT doc_id, source, {bands} FROM hashes),
+    cand AS (
+{cand_union}
+    )
+"""
+
+
+_q(
+    "dd_jaccard_pairs",
+    f"""
+    WITH toks AS (SELECT doc_id, source, array_distinct({_SPARK_TOK.format(c='text')}) AS tk FROM documents),
+    hashes AS (SELECT doc_id, source, {_JP_SPARK_MH} FROM toks)
+    {_jp_tail(lambda a, b: f"concat({a}, {b})")}
+    SELECT c.a_id, c.b_id,
+           round(CAST(size(array_intersect(ta.tk, tb.tk)) AS DOUBLE)
+                 / CAST(size(ta.tk) + size(tb.tk) - size(array_intersect(ta.tk, tb.tk)) AS DOUBLE), 6) AS jaccard
+    FROM cand c JOIN toks ta ON c.a_id = ta.doc_id JOIN toks tb ON c.b_id = tb.doc_id
+    WHERE CAST(size(array_intersect(ta.tk, tb.tk)) AS DOUBLE)
+          / CAST(size(ta.tk) + size(tb.tk) - size(array_intersect(ta.tk, tb.tk)) AS DOUBLE) >= 0.8
+    """,
+    f"""
+    WITH toks AS (SELECT doc_id, source, list_distinct({_DUCK_TOK.format(c='text')}) AS tk FROM documents),
+    hashes AS (SELECT doc_id, source, {_JP_DUCK_MH} FROM toks)
+    {_jp_tail(lambda a, b: f"{a} || {b}")}
+    SELECT c.a_id, c.b_id,
+           round(CAST(len(list_intersect(ta.tk, tb.tk)) AS DOUBLE)
+                 / CAST(len(ta.tk) + len(tb.tk) - len(list_intersect(ta.tk, tb.tk)) AS DOUBLE), 6) AS jaccard
+    FROM cand c JOIN toks ta ON c.a_id = ta.doc_id JOIN toks tb ON c.b_id = tb.doc_id
+    WHERE CAST(len(list_intersect(ta.tk, tb.tk)) AS DOUBLE)
+          / CAST(len(ta.tk) + len(tb.tk) - len(list_intersect(ta.tk, tb.tk)) AS DOUBLE) >= 0.8
+    """,
+)
+
 # SimHash (16-bit, distinct-token majority vote per bit)
 _SPARK_BITS = ", ".join(
     f"sum(CASE WHEN shiftright(CAST(conv(substring(md5(tok), 1, 4), 16, 10) AS BIGINT), {b}) % 2 = 1 THEN 1 ELSE -1 END) AS s{b}"
@@ -471,28 +545,44 @@ _q(
     """,
 )
 
-# embedding-cosine near-dup: top-20 most-similar same-label pairs
-_q(
-    "dd_embed_neardup",
-    f"""
-    SELECT a.vec_id AS a_id, b.vec_id AS b_id, a.label,
-           round({_SPARK_DOT.format(a="a.embedding", b="b.embedding")}
-                 / (sqrt({_SPARK_DOT.format(a="a.embedding", b="a.embedding")})
-                    * sqrt({_SPARK_DOT.format(a="b.embedding", b="b.embedding")})), 6) AS cosine
-    FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+# embedding-cosine near-dup: top-20 most-similar pairs among candidates
+# blocked by (label, IVF cell). Each vector is coarse-quantized to its
+# nearest of 10 centroids (the ann_ivf_topk assignment), and pairs form
+# only within a cell — candidate volume is (n/cells)² per label instead of
+# n² per label, the standard ANN-blocked near-dup shape. Near-identical
+# vectors always share a nearest centroid, so threshold-level recall holds.
+
+
+def _neardup_sql(dot: str) -> str:
+    cos_ec = (
+        f"round({dot.format(a='e.embedding', b='c.embedding')}"
+        f" / (sqrt({dot.format(a='e.embedding', b='e.embedding')})"
+        f" * sqrt({dot.format(a='c.embedding', b='c.embedding')})), 9)"
+    )
+    cos_ab = (
+        f"round({dot.format(a='a.embedding', b='b.embedding')}"
+        f" / (sqrt({dot.format(a='a.embedding', b='a.embedding')})"
+        f" * sqrt({dot.format(a='b.embedding', b='b.embedding')})), 6)"
+    )
+    return f"""
+    WITH cent AS (SELECT vec_id AS cid, embedding FROM embeddings WHERE vec_id < 10),
+    assign AS (
+        SELECT vec_id, cid FROM (
+            SELECT e.vec_id, c.cid,
+                   row_number() OVER (PARTITION BY e.vec_id ORDER BY {cos_ec} DESC, c.cid) AS rk
+            FROM embeddings e CROSS JOIN cent c
+        ) t WHERE rk = 1
+    )
+    SELECT a.vec_id AS a_id, b.vec_id AS b_id, a.label, {cos_ab} AS cosine
+    FROM embeddings a JOIN assign aa ON a.vec_id = aa.vec_id
+         JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+         JOIN assign bb ON b.vec_id = bb.vec_id AND aa.cid = bb.cid
     ORDER BY cosine DESC, a.vec_id, b.vec_id
     LIMIT 20
-    """,
-    f"""
-    SELECT a.vec_id AS a_id, b.vec_id AS b_id, a.label,
-           round({_DUCK_DOT.format(a="a.embedding", b="b.embedding")}
-                 / (sqrt({_DUCK_DOT.format(a="a.embedding", b="a.embedding")})
-                    * sqrt({_DUCK_DOT.format(a="b.embedding", b="b.embedding")})), 6) AS cosine
-    FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
-    ORDER BY cosine DESC, a.vec_id, b.vec_id
-    LIMIT 20
-    """,
-)
+    """
+
+
+_q("dd_embed_neardup", _neardup_sql(_SPARK_DOT), _neardup_sql(_DUCK_DOT))
 
 # ---------------------------------------------------------------------------
 # Similarity search: IVF-style ANN (coarse quantize to nearest centroid,

@@ -88,3 +88,45 @@ def test_suite_topk_uses_window_group_limit(spark):
     register_views(spark, "/root/testdata/sf0.001")
     facts = plan_facts(spark.sql(SPARK_SQL["t1_topk_per_group"]))
     assert "WindowGroupLimit" in facts.text
+
+
+def test_no_unpartitioned_windows_in_rank_queries(spark):
+    """a3/w5/t7 + entry(): ranks and running sums come from TakeOrdered +
+    bounded join-counts — zero Window operators, so nothing can ever move
+    the whole table to one partition (the round-1 WindowExec warnings)."""
+    from chatvector_ai_spark.suite import SPARK_SQL, register_views
+
+    register_views(spark, "/root/testdata/sf0.001")
+    for name in ("a3_rrf_fusion", "w5_rank_assignment", "t7_context_budget"):
+        facts = plan_facts(spark.sql(SPARK_SQL[name]))
+        assert facts.window_ops == 0, (name, facts.text[:1500])
+        assert "TakeOrderedAndProject" in facts.text, name
+
+    import __spark_entry__ as entrymod
+
+    facts = plan_facts(entrymod.entry(spark))
+    assert facts.window_ops == 0, facts.text[:1500]
+
+
+def test_u1_only_window_is_partitioned_dedup(spark):
+    from chatvector_ai_spark.suite import SPARK_SQL, register_views
+
+    register_views(spark, "/root/testdata/sf0.001")
+    facts = plan_facts(spark.sql(SPARK_SQL["u1_union_first_wins"]))
+    # PARTITION BY doc_id first-wins dedup only (+ its WindowGroupLimit
+    # pushdown); the per-list rankings are join-counts, not windows
+    assert facts.window_ops <= 2, facts.text[:1500]
+    assert "TakeOrderedAndProject" in facts.text
+
+
+def test_pair_dedup_candidates_are_bucketed(spark):
+    """dd_jaccard_pairs candidates come from LSH band-equality joins and
+    dd_embed_neardup pairs from IVF-cell equality — no all-pairs blocked
+    self-join survives in either plan."""
+    from chatvector_ai_spark.suite import SPARK_SQL, register_views
+
+    register_views(spark, "/root/testdata/sf0.001")
+    jp = plan_facts(spark.sql(SPARK_SQL["dd_jaccard_pairs"]))
+    assert "bd0" in jp.text  # band hash participates in the candidate join
+    nd = plan_facts(spark.sql(SPARK_SQL["dd_embed_neardup"]))
+    assert "cid" in nd.text  # cell id participates in the pair join

@@ -87,7 +87,7 @@ def test_context_prefix_matches_oracle(spark):
     rows = [(i, "x" * n) for i, n in enumerate(lengths)]
     df = spark.createDataFrame(rows, "rank int, chunk_text string")
     for budget in (120, 360, 10_000, 40):
-        kept = context_prefix(df, [F.asc("rank")], budget=budget).count()
+        kept = context_prefix(df, [("rank", "asc")], budget=budget).count()
         assert kept == oracle.greedy_context_prefix(lengths, budget=budget), budget
 
 
