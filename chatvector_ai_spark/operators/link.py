@@ -85,81 +85,90 @@ def link_mentions(
     # and tokens() lowercases, so tokens(surface) ≡ tokens(alias). Computing
     # it once per dictionary row (thousands) instead of once per mention
     # (billions at scale) removes every per-mention regex/array operation.
-    from pyspark.sql import Window
-
+    #
+    # Disambiguation is MAP-SIDE: the dictionary is pre-aggregated per alias
+    # into a candidate array, so the mention join is 1:1 (no fan-out) and
+    # argmax(link_score, tie → max entity_id) is an `array_max` over a
+    # `transform`-scored array — the whole stage is a narrow projection
+    # after one broadcast join. The previous shape (explode candidates →
+    # groupBy(chunk_id, role, m_start) struct-max) shuffled every mention
+    # on a near-unique key and anti-scaled with executor threads; it also
+    # collapsed any two triples sharing a mention offset, which would have
+    # starved the edge pivot of one role row. Mention occurrences are kept
+    # 1:1 here (the extractor emits at most one triple per sentence
+    # predicate occurrence, so occurrence keys are unique in practice).
     dict_prepped = alias_dict.withColumn(
         "_alias_lex", lexical_overlap(tokens("alias"), tokens("canonical"))
-    ).withColumn("_n_cand", F.count("*").over(Window.partitionBy("alias")))
+    )
+    dict_agg = dict_prepped.groupBy("alias").agg(
+        F.collect_list(
+            F.struct("entity_id", "canonical", "alias_embedding", "_alias_lex")
+        ).alias("_cands")
+    )
     cand = mentions.withColumn("surface_lc", F.lower(F.col("surface"))).join(
-        F.broadcast(dict_prepped),
+        F.broadcast(dict_agg),
         F.col("surface_lc") == F.col("alias"),
         "left",
-    )
+    ).drop("alias")
 
     w_r = RERANK_RETRIEVAL_WEIGHT / (RERANK_RETRIEVAL_WEIGHT + RERANK_LEXICAL_WEIGHT)
     w_l = RERANK_LEXICAL_WEIGHT / (RERANK_RETRIEVAL_WEIGHT + RERANK_LEXICAL_WEIGHT)
 
-    def emb_term(a: str, b: str):
+    def emb_term(a, b):
         return dot(a, b) if assume_normalized else cosine(a, b)
+
+    def argmax_cand(emb_col=None, coalesce_emb=True):
+        """array_max over candidates scored in-place; comparison key is
+        (coalesce(score, -1), entity_id) — identical ordering to the old
+        groupBy struct-max."""
+
+        def scored(c):
+            s = F.lit(w_l) * c["_alias_lex"]
+            if emb_col is not None:
+                term = emb_term(emb_col, c["alias_embedding"])
+                if coalesce_emb:
+                    term = F.coalesce(term, F.lit(0.0))
+                s = F.lit(w_r) * term + s
+            return F.struct(
+                F.coalesce(s, F.lit(-1.0)).alias("_s0"),
+                c["entity_id"].alias("_e"),
+                s.alias("_s"),
+                c["canonical"].alias("_c"),
+            )
+
+        return F.array_max(F.transform(F.col("_cands"), scored))
 
     if has_emb:
         # null-safe: rows with a (sparse) embedding get the full combined
         # score; rows without one — where the term cannot change the
         # decision — score lexically, matching the two-phase semantics
-        score = (
-            F.lit(w_r) * F.coalesce(emb_term("embedding", "alias_embedding"), F.lit(0.0))
-            + F.lit(w_l) * F.col("_alias_lex")
-        )
-        cand = cand.withColumn(
-            "link_score", F.when(F.col("entity_id").isNotNull(), score)
-        ).drop("alias", "alias_embedding", "_alias_lex", "_n_cand", "embedding")
+        cand = cand.withColumn("_b", argmax_cand(F.col("embedding"))).drop("embedding")
     elif chunks is not None and "embedding" in chunks.columns:
-        plain = cand.where(F.coalesce(F.col("_n_cand"), F.lit(0)) <= 1).withColumn(
-            "link_score",
-            F.when(F.col("entity_id").isNotNull(), F.lit(w_l) * F.col("_alias_lex")),
+        # two-phase: unambiguous mentions (≤1 candidate) never touch an
+        # embedding; only the ambiguous sliver fetches chunk vectors via a
+        # broadcast semi-join.
+        plain = cand.where(F.coalesce(F.size("_cands"), F.lit(0)) <= 1).withColumn(
+            "_b", argmax_cand()
         )
-        amb = cand.where(F.col("_n_cand") > 1)
+        amb = cand.where(F.size("_cands") > 1)
         amb_keys = amb.select("chunk_id").distinct()
         emb_map = chunks.join(F.broadcast(amb_keys), "chunk_id", "left_semi").select(
             "chunk_id", F.col("embedding").alias("_chunk_emb")
         )
         amb = amb.join(F.broadcast(emb_map), "chunk_id", "left").withColumn(
-            "link_score",
-            F.lit(w_r) * emb_term("_chunk_emb", "alias_embedding")
-            + F.lit(w_l) * F.col("_alias_lex"),
+            "_b", argmax_cand(F.col("_chunk_emb"), coalesce_emb=False)
         ).drop("_chunk_emb")
-        cand = plain.unionByName(amb).drop(
-            "alias", "alias_embedding", "_alias_lex", "_n_cand"
-        )
+        cand = plain.unionByName(amb)
     else:
-        cand = cand.withColumn(
-            "link_score",
-            F.when(F.col("entity_id").isNotNull(), F.lit(w_l) * F.col("_alias_lex")),
-        ).drop("alias", "alias_embedding", "_alias_lex", "_n_cand")
+        cand = cand.withColumn("_b", argmax_cand())
 
-    # Disambiguation = argmax(link_score, tie → max entity_id) per mention.
-    # Deliberately groupBy + struct-max rather than a window row_number:
-    # candidate groups are tiny (≈1 row; >1 only for ambiguous aliases), so
-    # partial map-side aggregation collapses them before the shuffle and no
-    # global sort is ever built — the window variant sorts every shuffle
-    # partition of near-unique keys and anti-scales with executor threads.
-    payload_cols = [c for c in cand.columns if c not in ("chunk_id", "role", "m_start")]
-    pick = F.struct(
-        F.coalesce(F.col("link_score"), F.lit(-1.0)).alias("_s"),
-        F.coalesce(F.col("entity_id"), F.lit("")).alias("_e"),
-        F.struct(*payload_cols).alias("p"),
-    )
-    best = (
-        cand.groupBy("chunk_id", "role", "m_start")
-        .agg(F.max(pick).alias("_b"))
-        .select("chunk_id", "role", "m_start", "_b.p.*")
-    )
     return (
-        best.withColumn("linked", F.col("entity_id").isNotNull())
+        cand.withColumn("link_score", F.col("_b._s"))
+        .withColumn("linked", F.col("_b._e").isNotNull())
         .withColumn(
             "entity_id",
-            F.coalesce(F.col("entity_id"), F.concat(F.lit("S:"), F.col("surface_lc"))),
+            F.coalesce(F.col("_b._e"), F.concat(F.lit("S:"), F.col("surface_lc"))),
         )
-        .withColumn("canonical", F.coalesce(F.col("canonical"), F.col("surface")))
-        .drop("surface_lc")
+        .withColumn("canonical", F.coalesce(F.col("_b._c"), F.col("surface")))
+        .drop("_cands", "_b", "surface_lc")
     )

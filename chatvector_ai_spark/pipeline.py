@@ -47,6 +47,7 @@ class PipelineRun:
     input_key: str
     stages_run: list[str] = field(default_factory=list)
     stages_skipped: list[str] = field(default_factory=list)
+    stage_secs: dict[str, float] = field(default_factory=dict)
 
 
 def _stage(
@@ -59,9 +60,12 @@ def _stage(
     metrics: dict | None = None,
     partition_by: list[str] | None = None,
 ) -> DataFrame:
+    import time
+
     if resume and wh.is_done(table, run.input_key):
         run.stages_skipped.append(table)
         return wh.read(spark, table, run.input_key)
+    t0 = time.time()
     df = build()
     wh.commit(
         df,
@@ -72,8 +76,19 @@ def _stage(
         metrics=metrics,
         partition_by=partition_by,
     )
+    run.stage_secs[table] = round(time.time() - t0, 2)
     run.stages_run.append(table)
     return wh.read(spark, table, run.input_key)
+
+
+def _parallel_stages(*jobs):
+    """Run independent stage closures as concurrent Spark jobs (the Spark
+    scheduler interleaves their tasks); returns results in *jobs* order."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=len(jobs)) as ex:
+        futures = [ex.submit(j) for j in jobs]
+        return [f.result() for f in futures]
 
 
 def run_pipeline(
@@ -102,7 +117,17 @@ def run_pipeline(
         run_id=run_id or f"run-{uuid.uuid4().hex[:8]}",
         input_key=f"src={src}/ents={n_entities}/{strategy}-{chunk_size}-{overlap}/dim={EMBEDDING_DIM}",
     )
-    aliases = alias_df(spark, n_entities)
+
+    # stage 0: the alias dictionary is committed once as a dimension
+    # snapshot and every later use reads the parquet back. A driver-local
+    # createDataFrame would re-ship its LocalRelation into the plan of
+    # every stage that touches it (~seconds per stage at 10k rows × 64-d
+    # embeddings — measured; a pure serial floor), whereas a parquet scan
+    # is a fast JVM-side read and the natural lineage story for a dimension.
+    aliases = _stage(
+        warehouse, spark, run, "alias_dict",
+        lambda: alias_df(spark, n_entities), resume,
+    )
 
     def load_docs() -> DataFrame:
         if docs_path is not None:
@@ -139,10 +164,14 @@ def run_pipeline(
         ),
         resume,
     )
-    triples = _stage(
-        warehouse, spark, run, "triples", lambda: good_triples(raw), resume
+    # triples + quarantine are independent filters of the same committed
+    # raw snapshot — submit both Spark jobs concurrently (thread-per-stage;
+    # the Spark scheduler interleaves them) instead of serializing two
+    # cheap-but-constant-cost stage rounds.
+    triples, _ = _parallel_stages(
+        lambda: _stage(warehouse, spark, run, "triples", lambda: good_triples(raw), resume),
+        lambda: _stage(warehouse, spark, run, "quarantine", lambda: quarantine_df(raw), resume),
     )
-    _stage(warehouse, spark, run, "quarantine", lambda: quarantine_df(raw), resume)
 
     # stage 4: entity linking (broadcast dictionary join + top-1 window)
     linked = _stage(
@@ -173,10 +202,11 @@ def run_pipeline(
             .withColumn("bucket", F.pmod(F.xxhash64("canonical_entity"), F.lit(N_BUCKETS)))
         )
 
-    nodes = _stage(
-        warehouse, spark, run, "nodes", build_nodes, resume,
-        metrics={"n_buckets": N_BUCKETS}, partition_by=["bucket"],
-    )
+    def _commit_nodes() -> DataFrame:
+        return _stage(
+            warehouse, spark, run, "nodes", build_nodes, resume,
+            metrics={"n_buckets": N_BUCKETS}, partition_by=["bucket"],
+        )
 
     def build_edges() -> DataFrame:
         # one broadcast join (canonical map) + one groupBy pivot on the
@@ -205,10 +235,15 @@ def run_pipeline(
             .withColumn("bucket", F.pmod(F.xxhash64("src"), F.lit(N_BUCKETS)))
         )
 
-    edges = _stage(
-        warehouse, spark, run, "edges", build_edges, resume,
-        metrics={"n_buckets": N_BUCKETS}, partition_by=["bucket"],
-    )
+    def _commit_edges() -> DataFrame:
+        return _stage(
+            warehouse, spark, run, "edges", build_edges, resume,
+            metrics={"n_buckets": N_BUCKETS}, partition_by=["bucket"],
+        )
+
+    # nodes + edges both derive from (linked, cmap) — independent, run
+    # concurrently like triples/quarantine above
+    nodes, edges = _parallel_stages(_commit_nodes, _commit_edges)
     _ = (nodes, edges)
     return run
 
