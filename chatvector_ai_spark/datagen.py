@@ -35,6 +35,7 @@ SEED = 42
 N_ENTITIES = 5000
 N_HUB_ENTITIES = 50
 MEDIA_RATIO = 0.2
+N_TENANTS = 8
 
 _ADJECTIVES = (
     "Quantum Stellar Crimson Golden Silver Arctic Solar Lunar Emerald Cobalt "
@@ -241,6 +242,14 @@ def doc_id_of(doc_idx: int) -> str:
     return "doc-%08d" % doc_idx
 
 
+def tenant_of(doc_idx: int) -> str:
+    """Deterministic tenant assignment — the reference tenant-scopes every
+    document (/root/reference/backend/db/init/005_api_keys.sql:27,
+    tenant_scope.py:1-10); the synthetic corpus mirrors that with a
+    hash-uniform tenant per document."""
+    return "T%02d" % (_h(SEED, "tenant", doc_idx) % N_TENANTS)
+
+
 def doc_row(doc_idx: int, n_entities: int = N_ENTITIES, media_ratio: float = MEDIA_RATIO) -> dict:
     return {
         "doc_id": doc_id_of(doc_idx),
@@ -248,6 +257,7 @@ def doc_row(doc_idx: int, n_entities: int = N_ENTITIES, media_ratio: float = MED
             {"kind": s.kind, "text": s.text, "media_ref": s.media_ref, "offset": s.offset}
             for s in doc_spans(doc_idx, n_entities, media_ratio)
         ],
+        "tenant_id": tenant_of(doc_idx),
     }
 
 
@@ -272,6 +282,11 @@ SPANS_SCHEMA_DDL = (
     "spans array<struct<kind:string,text:string,media_ref:string,offset:int>>"
 )
 
+# BASELINE.json input_hint pins (doc_id, spans); tenant_id is additional
+# document metadata mirroring the reference's tenant column on documents
+# (005_api_keys.sql:27) and is optional everywhere downstream.
+DOCS_SCHEMA_DDL = SPANS_SCHEMA_DDL + ", tenant_id string"
+
 ALIAS_SCHEMA_DDL = (
     "alias string, entity_id string, canonical string, alias_embedding array<float>"
 )
@@ -292,7 +307,7 @@ def documents_df(spark, n_docs: int, n_entities: int = N_ENTITIES, media_ratio: 
             rows = [doc_row(int(i), n_entities, media_ratio) for i in pdf["id"]]
             yield pd.DataFrame(rows)
 
-    return spark.range(0, n_docs, numPartitions=n_parts).mapInPandas(gen, schema=SPANS_SCHEMA_DDL)
+    return spark.range(0, n_docs, numPartitions=n_parts).mapInPandas(gen, schema=DOCS_SCHEMA_DDL)
 
 
 def alias_df(spark, n_entities: int = N_ENTITIES):

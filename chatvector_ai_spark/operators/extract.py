@@ -33,6 +33,7 @@ from chatvector_ai_spark.oracle.svo import extract_triples
 QUARANTINE_DDL = "doc_id string, chunk_id string, stage string, error_code string, message string"
 
 _SRC_COLS = ["doc_id", "chunk_id", "chunk_index", "span_idx", "span_offset", "kind", "chunk_text"]
+_TENANT_COL = "tenant_id"
 
 
 def extract_triples_df(
@@ -55,11 +56,18 @@ def extract_triples_df(
     """
     sparse = embed_if_surface_in is not None
     dense = keep_embedding and not sparse and "embedding" in chunks.columns
-    src_cols = _SRC_COLS + (["embedding"] if dense else [])
+    if _TENANT_COL not in chunks.columns:
+        chunks = chunks.withColumn(_TENANT_COL, F.lit(None).cast("string"))
+    src_cols = _SRC_COLS + [_TENANT_COL] + (["embedding"] if dense else [])
     narrowed = chunks.where((F.col("kind") == "text") & (F.col("chunk_text") != "")).select(*src_cols)
 
     has_emb_out = sparse or dense
-    out_ddl = TRIPLE_ROW_DDL + (", embedding array<float>" if has_emb_out else "") + ", _error string"
+    out_ddl = (
+        TRIPLE_ROW_DDL
+        + ", tenant_id string"
+        + (", embedding array<float>" if has_emb_out else "")
+        + ", _error string"
+    )
     names = [c.split(" ")[0] for c in out_ddl.split(", ")]
 
     def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -70,6 +78,7 @@ def extract_triples_df(
             emb_texts: list[str] = []
             emb_slots: list[int] = []
             dense_embs = pdf["embedding"].tolist() if dense else None
+            tenants = pdf[_TENANT_COL].tolist()
             cols = [pdf[c].tolist() for c in _SRC_COLS]
             for i, (doc_id, chunk_id, chunk_index, span_idx, span_offset, _kind, chunk_text) in enumerate(
                 zip(*cols)
@@ -82,6 +91,7 @@ def extract_triples_df(
                             "chunk_index": chunk_index,
                             "span_idx": span_idx,
                             "span_offset": span_offset,
+                            "tenant_id": tenants[i],
                             "subj": t.subj,
                             "pred": t.pred,
                             "obj": t.obj,
@@ -111,6 +121,7 @@ def extract_triples_df(
                             "chunk_index": None,
                             "span_idx": None,
                             "span_offset": None,
+                            "tenant_id": tenants[i],
                             "subj": None,
                             "pred": None,
                             "obj": None,

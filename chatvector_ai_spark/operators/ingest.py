@@ -36,15 +36,27 @@ def ingest_chunks(
     (one JVM↔Python crossing instead of two — the flatten→embed→reslice
     batching idiom of the reference, chat_service.py:638-665); media rows
     get a null embedding.
+
+    ``tenant_id`` (doc-level metadata, reference 005_api_keys.sql:27) rides
+    along when the input carries it — attached here, in the only narrow
+    stage where doc metadata is adjacent to its chunks, so no later
+    doc-sized join is ever needed to tenant-scope a KG table.
     """
-    schema = CHUNK_ROW_DDL if embed_dim is None else CHUNK_ROW_DDL + ", embedding array<float>"
+    has_tenant = "tenant_id" in docs.columns
+    schema = CHUNK_ROW_DDL + ", tenant_id string"
+    if embed_dim is not None:
+        schema += ", embedding array<float>"
 
     def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         names = [c.split(" ")[0] for c in schema.split(", ")]
         for pdf in batches:
             rows: list[dict] = []
-            for doc_id, spans in zip(pdf["doc_id"], pdf["spans"]):
-                rows.extend(ingest_doc(doc_id, list(spans), strategy=strategy, size=size, overlap=overlap))
+            tenants = pdf["tenant_id"] if has_tenant else [None] * len(pdf)
+            for doc_id, spans, tenant in zip(pdf["doc_id"], pdf["spans"], tenants):
+                doc_rows = ingest_doc(doc_id, list(spans), strategy=strategy, size=size, overlap=overlap)
+                for r in doc_rows:
+                    r["tenant_id"] = tenant
+                rows.extend(doc_rows)
             out = pd.DataFrame(rows, columns=names)
             if embed_dim is not None and len(out):
                 from chatvector_ai_spark.oracle.hashembed import embed_batch

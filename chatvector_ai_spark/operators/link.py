@@ -32,6 +32,8 @@ def mentions_from_triples(triples: DataFrame) -> DataFrame:
     beats a join).
     """
     base = ["doc_id", "chunk_id", "chunk_index", "triple_id", "pred", "conf"]
+    if "tenant_id" in triples.columns:
+        base.append("tenant_id")
     emb = ["embedding"] if "embedding" in triples.columns else []
     with_id = triples.withColumn(
         "triple_id",

@@ -83,6 +83,7 @@ def link_mentions_oracle(
             "entity_id": entity_id,
             "canonical": canonical,
             "linked": linked,
+            "tenant_id": m.get("tenant_id"),
         }
     return list(best.values())
 

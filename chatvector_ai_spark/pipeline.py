@@ -226,6 +226,7 @@ def run_pipeline(
                 F.max("pred").alias("rel"),
                 side("obj", "entity").alias("dst"),
                 F.max("doc_id").alias("doc_id"),
+                F.max("tenant_id").alias("tenant_id"),
                 F.max("chunk_id").alias("chunk_id"),
                 F.max("conf").alias("conf"),
                 side("subj", "surface").alias("src_surface"),

@@ -907,8 +907,15 @@ _KG_FIXTURE_DIR = _os.path.join(
 
 _KG_CHUNK_COLS = (
     "doc_id, seq, span_idx, span_offset, kind, media_ref, "
-    "chunk_index, chunk_id, char_start, char_end, heading"
+    "chunk_index, chunk_id, char_start, char_end, heading, tenant_id"
 )
+
+# J2/J3 tenant-scope twin over the KG tables (reference scopes every data op
+# by tenant: /root/reference/backend/db/tenant_scope.py:1-10,
+# retrieval_service.py:91-116). The Spark side scopes with a left_semi join
+# against the tenant's doc set; the oracle scopes the fixture by the same
+# deterministic tenant assignment.
+KG_SCOPE_TENANT = "T03"
 
 KG_DUCK_SQL: dict[str, str] = {
     "kg_ingest_chunks": f"SELECT {_KG_CHUNK_COLS} FROM '{_KG_FIXTURE_DIR}/chunks_fixed.parquet'",
@@ -917,6 +924,16 @@ KG_DUCK_SQL: dict[str, str] = {
     "kg_triples": f"SELECT * FROM '{_KG_FIXTURE_DIR}/triples.parquet'",
     "kg_linked_mentions": f"SELECT * FROM '{_KG_FIXTURE_DIR}/linked_mentions.parquet'",
     "kg_canonical_entities": f"SELECT * FROM '{_KG_FIXTURE_DIR}/canonical_entities.parquet'",
+    "kg_tenant_scoped_mentions": (
+        f"SELECT * FROM '{_KG_FIXTURE_DIR}/linked_mentions.parquet' "
+        f"WHERE tenant_id = '{KG_SCOPE_TENANT}'"
+    ),
+    "kg_tenant_counts": (
+        f"SELECT tenant_id, count(*) AS n_mentions, "
+        f"count(DISTINCT doc_id) AS n_docs, "
+        f"count(DISTINCT CASE WHEN linked THEN entity_id END) AS n_entities "
+        f"FROM '{_KG_FIXTURE_DIR}/linked_mentions.parquet' GROUP BY tenant_id"
+    ),
 }
 
 
@@ -933,6 +950,7 @@ def _kg_chunks_query(strategy: str) -> Callable[[SparkSession, str], DataFrame]:
         return ingest_chunks(_kg_docs(spark), strategy=strategy).select(
             "doc_id", "seq", "span_idx", "span_offset", "kind", "media_ref",
             "chunk_index", "chunk_id", "char_start", "char_end", "heading",
+            "tenant_id",
         )
 
     run.__name__ = f"kg_ingest_chunks_{strategy}"
@@ -950,7 +968,7 @@ def kg_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     return good_triples(extract_triples_df(chunks, keep_embedding=False)).drop("embedding")
 
 
-def kg_linked_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _kg_linked(spark: SparkSession) -> DataFrame:
     from chatvector_ai_spark.datagen import alias_df
     from chatvector_ai_spark.operators.extract import extract_triples_df, good_triples
     from chatvector_ai_spark.operators.ingest import ingest_chunks
@@ -961,7 +979,44 @@ def kg_linked_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
     linked = link_mentions(mentions_from_triples(triples), alias_df(spark))
     return linked.select(
         "doc_id", "chunk_id", "role", "surface", "m_start", "m_end",
-        "entity_id", "canonical", "linked",
+        "entity_id", "canonical", "linked", "tenant_id",
+    )
+
+
+def kg_linked_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _kg_linked(spark)
+
+
+def kg_tenant_scoped_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2 semi-join tenant scope over the KG mention table: the scope set is
+    the tenant's documents; scoping is a left_semi join on doc_id (NOT a
+    column filter) so the same plan works when the scope set comes from an
+    entitlements table rather than a column (reference tenant_scope.py)."""
+    from pyspark.sql import functions as F
+
+    scope = (
+        _kg_docs(spark)
+        .where(F.col("tenant_id") == KG_SCOPE_TENANT)
+        .select("doc_id")
+    )
+    return _kg_linked(spark).join(F.broadcast(scope), "doc_id", "left_semi")
+
+
+def kg_tenant_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-tenant mention / doc / entity accounting (isolation audit: row
+    counts partition cleanly by tenant with no cross-tenant leakage)."""
+    from pyspark.sql import functions as F
+
+    return (
+        _kg_linked(spark)
+        .groupBy("tenant_id")
+        .agg(
+            F.count("*").alias("n_mentions"),
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.countDistinct(
+                F.when(F.col("linked"), F.col("entity_id"))
+            ).alias("n_entities"),
+        )
     )
 
 
@@ -1001,6 +1056,8 @@ KG_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_triples": kg_triples,
     "kg_linked_mentions": kg_linked_mentions,
     "kg_canonical_entities": kg_canonical_entities,
+    "kg_tenant_scoped_mentions": kg_tenant_scoped_mentions,
+    "kg_tenant_counts": kg_tenant_counts,
 }
 
 

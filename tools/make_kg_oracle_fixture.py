@@ -36,6 +36,7 @@ FIXTURE_DIR = os.path.join(
 CHUNK_COLS = [
     "doc_id", "seq", "span_idx", "span_offset", "kind", "media_ref",
     "chunk_index", "chunk_id", "char_start", "char_end", "heading",
+    "tenant_id",
 ]
 CHUNK_SCHEMA = pa.schema(
     [
@@ -43,6 +44,7 @@ CHUNK_SCHEMA = pa.schema(
         ("span_offset", pa.int32()), ("kind", pa.string()), ("media_ref", pa.string()),
         ("chunk_index", pa.int32()), ("chunk_id", pa.string()),
         ("char_start", pa.int32()), ("char_end", pa.int32()), ("heading", pa.string()),
+        ("tenant_id", pa.string()),
     ]
 )
 TRIPLE_SCHEMA = pa.schema(
@@ -52,6 +54,7 @@ TRIPLE_SCHEMA = pa.schema(
         ("subj", pa.string()), ("pred", pa.string()), ("obj", pa.string()),
         ("subj_start", pa.int32()), ("subj_end", pa.int32()),
         ("obj_start", pa.int32()), ("obj_end", pa.int32()), ("conf", pa.float32()),
+        ("tenant_id", pa.string()),
     ]
 )
 LINKED_SCHEMA = pa.schema(
@@ -59,6 +62,7 @@ LINKED_SCHEMA = pa.schema(
         ("doc_id", pa.string()), ("chunk_id", pa.string()), ("role", pa.string()),
         ("surface", pa.string()), ("m_start", pa.int32()), ("m_end", pa.int32()),
         ("entity_id", pa.string()), ("canonical", pa.string()), ("linked", pa.bool_()),
+        ("tenant_id", pa.string()),
     ]
 )
 CANON_SCHEMA = pa.schema(
@@ -74,12 +78,19 @@ def oracle_chunk_rows(n_docs: int, strategy: str) -> list[dict]:
     rows: list[dict] = []
     for i in range(n_docs):
         doc = dg.doc_row(i)
-        rows.extend(ingest_doc(doc["doc_id"], doc["spans"], strategy=strategy))
+        doc_rows = ingest_doc(doc["doc_id"], doc["spans"], strategy=strategy)
+        for r in doc_rows:
+            r["tenant_id"] = doc["tenant_id"]
+        rows.extend(doc_rows)
     return rows
 
 
 def oracle_triple_rows(chunk_rows: list[dict]) -> list[dict]:
-    return extract_doc(chunk_rows)
+    tenant_by_chunk = {r["chunk_id"]: r["tenant_id"] for r in chunk_rows}
+    triples = extract_doc(chunk_rows)
+    for t in triples:
+        t["tenant_id"] = tenant_by_chunk[t["chunk_id"]]
+    return triples
 
 
 def mention_rows_from_triples(triples: list[dict]) -> list[dict]:
@@ -99,6 +110,7 @@ def mention_rows_from_triples(triples: list[dict]) -> list[dict]:
                     "surface": s,
                     "m_start": e0,
                     "m_end": e1,
+                    "tenant_id": t["tenant_id"],
                 }
             )
     return out
