@@ -18,6 +18,7 @@ from chatvector_ai_spark.operators.graph import (  # noqa: F401
     khop,
     relation_counts,
 )
+from chatvector_ai_spark.operators.delete import delete_documents  # noqa: F401
 from chatvector_ai_spark.operators.ingest import ingest_chunks  # noqa: F401
 from chatvector_ai_spark.operators.link import (  # noqa: F401
     link_mentions,

@@ -40,6 +40,24 @@ from chatvector_ai_spark.operators.link import link_mentions, mentions_from_trip
 from chatvector_ai_spark.warehouse import Warehouse
 
 
+def nodes_from_linked(linked: DataFrame, cmap: DataFrame) -> DataFrame:
+    """Canonical node aggregate (label = min surface, provenance counts),
+    bucketed by entity hash — shared by the pipeline's nodes stage and the
+    cascading-delete rebuild (operators/delete.py)."""
+    resolved = linked.join(F.broadcast(cmap), "entity_id", "left").withColumn(
+        "canonical_entity", F.coalesce(F.col("canonical_entity"), F.col("entity_id"))
+    )
+    return (
+        resolved.groupBy("canonical_entity")
+        .agg(
+            F.count("*").alias("n_mentions"),
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.min("canonical").alias("label"),
+        )
+        .withColumn("bucket", F.pmod(F.xxhash64("canonical_entity"), F.lit(N_BUCKETS)))
+    )
+
+
 
 @dataclass
 class PipelineRun:
@@ -189,18 +207,7 @@ def run_pipeline(
 
     # stage 6: materialize nodes/edges bucketed by entity hash
     def build_nodes() -> DataFrame:
-        resolved = linked.join(F.broadcast(cmap), "entity_id", "left").withColumn(
-            "canonical_entity", F.coalesce(F.col("canonical_entity"), F.col("entity_id"))
-        )
-        return (
-            resolved.groupBy("canonical_entity")
-            .agg(
-                F.count("*").alias("n_mentions"),
-                F.countDistinct("doc_id").alias("n_docs"),
-                F.min("canonical").alias("label"),
-            )
-            .withColumn("bucket", F.pmod(F.xxhash64("canonical_entity"), F.lit(N_BUCKETS)))
-        )
+        return nodes_from_linked(linked, cmap)
 
     def _commit_nodes() -> DataFrame:
         return _stage(
