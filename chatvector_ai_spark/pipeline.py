@@ -136,32 +136,37 @@ def run_pipeline(
         input_key=f"src={src}/ents={n_entities}/{strategy}-{chunk_size}-{overlap}/dim={EMBEDDING_DIM}",
     )
 
+    def load_docs() -> DataFrame:
+        if docs_path is not None:
+            return spark.read.parquet(docs_path)
+        return documents_df(spark, n_docs, n_entities=n_entities)
+
     # stage 0: the alias dictionary is committed once as a dimension
     # snapshot and every later use reads the parquet back. A driver-local
     # createDataFrame would re-ship its LocalRelation into the plan of
     # every stage that touches it (~seconds per stage at 10k rows × 64-d
     # embeddings — measured; a pure serial floor), whereas a parquet scan
     # is a fast JVM-side read and the natural lineage story for a dimension.
-    aliases = _stage(
-        warehouse, spark, run, "alias_dict",
-        lambda: alias_df(spark, n_entities), resume,
-    )
-
-    def load_docs() -> DataFrame:
-        if docs_path is not None:
-            return spark.read.parquet(docs_path)
-        return documents_df(spark, n_docs, n_entities=n_entities)
-
+    #
     # stage 1+2: ingest (clean+chunk, media passthrough) + embed — one
     # narrow Arrow stage, committed together ("extracting…embedding").
-    chunks = _stage(
-        warehouse, spark, run, "chunks",
-        lambda: ingest_chunks(
-            load_docs(),
-            strategy=strategy, size=chunk_size, overlap=overlap,
-            embed_dim=EMBEDDING_DIM,
+    #
+    # The two are independent (the dictionary derives from n_entities, the
+    # chunks from the documents), so their commits run as concurrent jobs.
+    aliases, chunks = _parallel_stages(
+        lambda: _stage(
+            warehouse, spark, run, "alias_dict",
+            lambda: alias_df(spark, n_entities), resume,
         ),
-        resume,
+        lambda: _stage(
+            warehouse, spark, run, "chunks",
+            lambda: ingest_chunks(
+                load_docs(),
+                strategy=strategy, size=chunk_size, overlap=overlap,
+                embed_dim=EMBEDDING_DIM,
+            ),
+            resume,
+        ),
     )
 
     # stage 3: triple extraction runs the Python UDF ONCE into a raw
