@@ -38,6 +38,12 @@ def get_spark(
             and "SPARK_LOCAL_DIRS" not in os.environ
             else {}
         ),
+        # Arrow UDF transfers allocate netty DIRECT memory per concurrent
+        # stream; the JVM default cap (1 GiB) OOMs with 32 task slots ×
+        # 16 MiB arrow buffers. Scale the cap with local core count; on a
+        # real cluster this is per-executor and set by the submit conf.
+        "spark.driver.extraJavaOptions": "-XX:MaxDirectMemorySize=8g",
+        "spark.executor.extraJavaOptions": "-XX:MaxDirectMemorySize=8g",
         "spark.sql.adaptive.enabled": "true",
         "spark.sql.adaptive.skewJoin.enabled": "true",
         "spark.sql.adaptive.coalescePartitions.enabled": "true",
