@@ -34,7 +34,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from chatvector_ai_spark.config import CC_MAX_ITERATIONS
+from chatvector_ai_spark.config import CC_MAX_ITERATIONS, CC_SMALL_CORE_EDGES
 
 
 def linking_edges(linked_mentions: DataFrame, alias_dict: DataFrame) -> DataFrame:
@@ -50,11 +50,40 @@ def linking_edges(linked_mentions: DataFrame, alias_dict: DataFrame) -> DataFram
     return from_mentions.unionByName(from_dict).where(F.col("src") != F.col("dst")).distinct()
 
 
+def _driver_union_find(spark, sym: DataFrame) -> DataFrame:
+    """Exact CC labels for a small (collected) edge set: path-compressing
+    union-find with the component minimum as representative — O(E α(E)),
+    one collect, zero shuffle rounds. Only ever called on an edge set the
+    caller has already counted at broadcast scale."""
+    parent: dict[str, str] = {}
+
+    def find(x: str) -> str:
+        root = x
+        while parent.setdefault(root, root) != root:
+            root = parent[root]
+        while parent[x] != root:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for row in sym.collect():
+        ra, rb = find(row[0]), find(row[1])
+        if ra != rb:
+            parent[ra] = rb
+    comp_min: dict[str, str] = {}
+    for node in parent:
+        root = find(node)
+        if root not in comp_min or node < comp_min[root]:
+            comp_min[root] = node
+    rows = [(node, comp_min[find(node)]) for node in parent]
+    return spark.createDataFrame(rows, "node string, label string")
+
+
 def connected_components(
     edges: DataFrame,
     max_iterations: int = CC_MAX_ITERATIONS,
     salt_buckets: int = 0,
     prune_pendants: bool = True,
+    small_core_edges: int = CC_SMALL_CORE_EDGES,
 ) -> DataFrame:
     """(node, component) for every node in *edges*; component = min node id.
 
@@ -88,6 +117,20 @@ def connected_components(
         .distinct()
         .localCheckpoint(eager=True)
     )
+
+    # Small-core shortcut: after symmetrize+distinct the edge count is known
+    # (sym is checkpointed — the count is a metadata-cheap scan). A core at
+    # broadcast scale is resolved on the driver in one pass; the iterative
+    # shuffle loop below is the path for cores that don't fit. salt_buckets
+    # > 1 explicitly requests the salted distributed join, so it never
+    # takes the shortcut.
+    if salt_buckets <= 1 and small_core_edges > 0 and sym.count() <= small_core_edges:
+        labels = _driver_union_find(spark, sym)
+        out = labels.select("node", F.col("label").alias("component"))
+        loop_only = self_nodes.join(out, "node", "left_anti").withColumn(
+            "component", F.col("node")
+        )
+        return out.unionByName(loop_only)
 
     pendants = None
     if prune_pendants:

@@ -132,6 +132,37 @@ def canonical_map_oracle(
     return {n: rep for n, rep in reps.items() if not n.startswith("S:")}
 
 
+def edges_oracle(
+    triple_rows: list[dict[str, Any]],
+    linked_rows: list[dict[str, Any]],
+    alias_rows: list[dict[str, Any]],
+) -> list[dict[str, Any]]:
+    """Canonical edge rows — the single-node twin of
+    pipeline.edges_from_linked: per triple, its subject/object mentions are
+    resolved to canonical component representatives; one edge row per
+    triple with predicate, provenance, and surface forms."""
+    cmap = canonical_map_oracle(linked_rows, alias_rows)
+    by_occurrence = {(r["chunk_id"], r["role"], r["m_start"]): r for r in linked_rows}
+    edges: list[dict[str, Any]] = []
+    for t in triple_rows:
+        subj = by_occurrence[(t["chunk_id"], "subj", t["subj_start"])]
+        obj = by_occurrence[(t["chunk_id"], "obj", t["obj_start"])]
+        edges.append(
+            {
+                "src": cmap.get(subj["entity_id"], subj["entity_id"]),
+                "rel": t["pred"],
+                "dst": cmap.get(obj["entity_id"], obj["entity_id"]),
+                "doc_id": t["doc_id"],
+                "tenant_id": t["tenant_id"],
+                "chunk_id": t["chunk_id"],
+                "conf": t["conf"],
+                "src_surface": subj["surface"],
+                "dst_surface": obj["surface"],
+            }
+        )
+    return edges
+
+
 def canonical_entities_oracle(
     linked_rows: list[dict[str, Any]],
     alias_rows: list[dict[str, Any]],

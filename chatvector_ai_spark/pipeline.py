@@ -34,7 +34,7 @@ from pyspark.sql import functions as F
 from chatvector_ai_spark.config import CHUNK_OVERLAP, CHUNK_SIZE, EMBEDDING_DIM, N_BUCKETS
 from chatvector_ai_spark.datagen import alias_df, documents_df
 from chatvector_ai_spark.operators.canonicalize import canonical_map
-from chatvector_ai_spark.operators.extract import extract_triples_df, good_triples, quarantine_df
+from chatvector_ai_spark.operators.extract import extract_triples_df
 from chatvector_ai_spark.operators.ingest import ingest_chunks
 from chatvector_ai_spark.operators.link import link_mentions, mentions_from_triples
 from chatvector_ai_spark.warehouse import Warehouse
@@ -57,6 +57,36 @@ def nodes_from_linked(linked: DataFrame, cmap: DataFrame) -> DataFrame:
         .withColumn("bucket", F.pmod(F.xxhash64("canonical_entity"), F.lit(N_BUCKETS)))
     )
 
+
+
+def edges_from_linked(linked: DataFrame, cmap: DataFrame) -> DataFrame:
+    """Canonical edge table from linked mentions: one broadcast join
+    (canonical map) + one groupBy pivot on the triple id — the subject and
+    object rows of a triple meet in the same reduce group, no
+    triples↔mentions re-join needed. Bucketed by src entity hash."""
+    resolved = linked.join(F.broadcast(cmap), "entity_id", "left").withColumn(
+        "entity", F.coalesce(F.col("canonical_entity"), F.col("entity_id"))
+    )
+
+    def side(role: str, col: str):
+        return F.max(F.when(F.col("role") == role, F.col(col)))
+
+    return (
+        resolved.groupBy("triple_id")
+        .agg(
+            side("subj", "entity").alias("src"),
+            F.max("pred").alias("rel"),
+            side("obj", "entity").alias("dst"),
+            F.max("doc_id").alias("doc_id"),
+            F.max("tenant_id").alias("tenant_id"),
+            F.max("chunk_id").alias("chunk_id"),
+            F.max("conf").alias("conf"),
+            side("subj", "surface").alias("src_surface"),
+            side("obj", "surface").alias("dst_surface"),
+        )
+        .drop("triple_id")
+        .withColumn("bucket", F.pmod(F.xxhash64("src"), F.lit(N_BUCKETS)))
+    )
 
 
 @dataclass
@@ -93,6 +123,41 @@ def _stage(
         input_key=run.input_key,
         metrics=metrics,
         partition_by=partition_by,
+    )
+    run.stage_secs[table] = round(time.time() - t0, 2)
+    run.stages_run.append(table)
+    return wh.read(spark, table, run.input_key)
+
+
+def _view_stage(
+    wh: Warehouse,
+    spark: SparkSession,
+    run: PipelineRun,
+    table: str,
+    *,
+    parent_table: str,
+    partition_filter: dict,
+    select: list[str] | None,
+    resume: bool,
+) -> DataFrame:
+    """Commit *table* as a metadata-only view of *parent_table* (no Spark
+    job, no data movement) and return it as a DataFrame — the stage shape
+    for derived status tables that are pure filters of an already-committed
+    snapshot."""
+    import time
+
+    if resume and wh.is_done(table, run.input_key):
+        run.stages_skipped.append(table)
+        return wh.read(spark, table, run.input_key)
+    t0 = time.time()
+    wh.commit_view(
+        table,
+        parent_table=parent_table,
+        run_id=run.run_id,
+        stage=table,
+        input_key=run.input_key,
+        partition_filter=partition_filter,
+        select=select,
     )
     run.stage_secs[table] = round(time.time() - t0, 2)
     run.stages_run.append(table)
@@ -180,20 +245,39 @@ def run_pipeline(
         for r in aliases.groupBy("alias").count().where(F.col("count") > 1).collect()
     }
 
+    # The raw snapshot is hive-partitioned by the ok flag so that the two
+    # derived tables below — good triples and the quarantine — are committed
+    # as METADATA-ONLY views over its ok=1 / ok=0 directories. The extract
+    # UDF runs once, the data is written once; splitting it by status costs
+    # zero Spark jobs (at 1M docs the old filter-and-rewrite `triples`
+    # commit alone was ~27 s of pure duplicate write).
     raw = _stage(
         warehouse, spark, run, "triples_raw",
         lambda: extract_triples_df(
             chunks, keep_embedding=False, embed_if_surface_in=amb_surfaces
-        ),
+        ).withColumn("ok", F.col("_error").isNull().cast("int")),
         resume,
+        partition_by=["ok"],
     )
-    # triples + quarantine are independent filters of the same committed
-    # raw snapshot — submit both Spark jobs concurrently (thread-per-stage;
-    # the Spark scheduler interleaves them) instead of serializing two
-    # cheap-but-constant-cost stage rounds.
-    triples, _ = _parallel_stages(
-        lambda: _stage(warehouse, spark, run, "triples", lambda: good_triples(raw), resume),
-        lambda: _stage(warehouse, spark, run, "quarantine", lambda: quarantine_df(raw), resume),
+    triple_cols = [
+        "doc_id", "chunk_id", "chunk_index", "span_idx", "span_offset",
+        "subj", "pred", "obj", "subj_start", "subj_end", "obj_start",
+        "obj_end", "conf", "tenant_id", "embedding",
+    ]
+    triples = _view_stage(
+        warehouse, spark, run, "triples",
+        parent_table="triples_raw", partition_filter={"ok": 1},
+        select=triple_cols, resume=resume,
+    )
+    _view_stage(
+        warehouse, spark, run, "quarantine",
+        parent_table="triples_raw", partition_filter={"ok": 0},
+        select=[
+            "doc_id", "chunk_id", "'extract' AS stage",
+            "_error_code AS error_code", "_retryable AS retryable",
+            "_attempts AS attempts", "_error AS message",
+        ],
+        resume=resume,
     )
 
     # stage 4: entity linking (broadcast dictionary join + top-1 window)
@@ -220,37 +304,9 @@ def run_pipeline(
             metrics={"n_buckets": N_BUCKETS}, partition_by=["bucket"],
         )
 
-    def build_edges() -> DataFrame:
-        # one broadcast join (canonical map) + one groupBy pivot on the
-        # triple id — the subject and object rows of a triple meet in the
-        # same reduce group, no triples↔mentions re-join needed
-        resolved = linked.join(F.broadcast(cmap), "entity_id", "left").withColumn(
-            "entity", F.coalesce(F.col("canonical_entity"), F.col("entity_id"))
-        )
-
-        def side(role: str, col: str):
-            return F.max(F.when(F.col("role") == role, F.col(col)))
-
-        return (
-            resolved.groupBy("triple_id")
-            .agg(
-                side("subj", "entity").alias("src"),
-                F.max("pred").alias("rel"),
-                side("obj", "entity").alias("dst"),
-                F.max("doc_id").alias("doc_id"),
-                F.max("tenant_id").alias("tenant_id"),
-                F.max("chunk_id").alias("chunk_id"),
-                F.max("conf").alias("conf"),
-                side("subj", "surface").alias("src_surface"),
-                side("obj", "surface").alias("dst_surface"),
-            )
-            .drop("triple_id")
-            .withColumn("bucket", F.pmod(F.xxhash64("src"), F.lit(N_BUCKETS)))
-        )
-
     def _commit_edges() -> DataFrame:
         return _stage(
-            warehouse, spark, run, "edges", build_edges, resume,
+            warehouse, spark, run, "edges", lambda: edges_from_linked(linked, cmap), resume,
             metrics={"n_buckets": N_BUCKETS}, partition_by=["bucket"],
         )
 

@@ -126,6 +126,44 @@ _q(
     """,
 )
 
+# J5 — session↔document lookup (chat context fetch,
+# /root/reference/backend/services/chat_service.py: per-session latest
+# message resolves the documents it references): latest event per user
+# (bounded per-user window) → point equi-join into the documents dim.
+_q(
+    "j5_session_doc_lookup",
+    """
+    WITH last_ev AS (
+        SELECT user_id, event_id FROM (
+            SELECT user_id, event_id,
+                   row_number() OVER (PARTITION BY user_id
+                                      ORDER BY ts DESC, event_id DESC) AS rn
+            FROM events WHERE user_id % 20 = 0) t
+        WHERE rn = 1
+    )
+    SELECT le.user_id, le.event_id, d.doc_id, d.lang, d.source
+    FROM last_ev le
+    JOIN documents d ON d.doc_id = le.event_id % 211
+    """,
+)
+
+# J6 — ownership-existence gate (the reference checks the session's tenant
+# owns a document before serving it, sqlalchemy_service.py:489-492 +
+# tenant_scope.py): per-customer boolean computed from a grouped existence
+# probe, not a fan-out join.
+_q(
+    "j6_ownership_exists",
+    """
+    SELECT c.c_custkey,
+           CASE WHEN o.n IS NULL THEN false ELSE true END AS owns_large
+    FROM customer c
+    LEFT JOIN (SELECT o_custkey, count(*) AS n FROM orders
+               WHERE o_totalprice > 300000.0 GROUP BY o_custkey) o
+      ON o.o_custkey = c.c_custkey
+    WHERE c.c_custkey <= 500
+    """,
+)
+
 # ---------------------------------------------------------------------------
 # Aggregations (SURVEY §2.5)
 # ---------------------------------------------------------------------------
@@ -295,6 +333,60 @@ _q(
     WHERE rk = 1
     """,
 )
+
+# U2 — id normalization + dedup (the reference normalizes external ids
+# before registry merge, sqlalchemy_service.py:581-583): messy variants of
+# the same source id (case / padding / prefix synonyms, synthesized
+# deterministically from doc_id) collapse to one normalized id.
+_U2_MESSY = """CASE CAST(doc_id % 3 AS INT)
+                 WHEN 0 THEN upper(source)
+                 WHEN 1 THEN concat(' ', source, ' ')
+                 ELSE concat('SOURCE', substr(source, 4)) END"""
+
+
+def _u2_sql(messy: str) -> str:
+    return f"""
+    WITH raw_ids AS (SELECT doc_id, {messy} AS id_raw FROM documents),
+    normed AS (
+        SELECT doc_id,
+               concat('src', regexp_replace(lower(trim(id_raw)), '^source|^src', '')) AS id_norm
+        FROM raw_ids
+    )
+    SELECT id_norm, count(*) AS n_docs, count(DISTINCT doc_id) AS n_distinct
+    FROM normed GROUP BY id_norm
+    """
+
+
+_q("u2_id_normalization", _u2_sql(_U2_MESSY))
+
+# P2 — filename sanitization (ingestion_pipeline.py:644-651): basename after
+# the last '/', strip chars outside [A-Za-z0-9_ .-], trim, cap at 255, map
+# degenerate results to 'upload'. Messy inputs synthesized per doc. Spark's
+# regexp_replace is replace-all by default; DuckDB needs the 'g' flag.
+def _p2_sql(g_flag: str) -> str:
+    return f"""
+    WITH raw_names AS (
+        SELECT doc_id,
+               concat('/up loads/', source, '/doc<', CAST(doc_id AS STRING),
+                      CASE CAST(doc_id % 4 AS INT)
+                        WHEN 0 THEN '>*.pdf' WHEN 1 THEN '|.txt'
+                        WHEN 2 THEN '?.md' ELSE ':v2.html' END) AS filename
+        FROM documents WHERE doc_id < 300
+    ),
+    sanitized AS (
+        SELECT doc_id,
+               trim(regexp_replace(regexp_replace(filename, '^.*/', ''),
+                                   '[^A-Za-z0-9_ .-]', ''{g_flag})) AS base
+        FROM raw_names
+    )
+    SELECT doc_id,
+           CASE WHEN substr(base, 1, 255) IN ('', '.', '..') THEN 'upload'
+                ELSE substr(base, 1, 255) END AS safe_name
+    FROM sanitized
+    """
+
+
+_q("p2_filename_sanitize", _p2_sql(""), _p2_sql(", 'g'"))
 
 # ---------------------------------------------------------------------------
 # Scoring (SURVEY §2.8)
@@ -934,6 +1026,31 @@ KG_DUCK_SQL: dict[str, str] = {
         f"count(DISTINCT CASE WHEN linked THEN entity_id END) AS n_entities "
         f"FROM '{_KG_FIXTURE_DIR}/linked_mentions.parquet' GROUP BY tenant_id"
     ),
+    "kg_edges": f"SELECT * FROM '{_KG_FIXTURE_DIR}/edges.parquet'",
+    "kg_entity_degrees": f"""
+        SELECT entity, count(*) AS degree FROM (
+            SELECT src AS entity FROM '{_KG_FIXTURE_DIR}/edges.parquet'
+            UNION ALL
+            SELECT dst AS entity FROM '{_KG_FIXTURE_DIR}/edges.parquet') u
+        GROUP BY entity
+        ORDER BY degree DESC, entity
+        LIMIT 25
+    """,
+    "kg_cooccurrence": f"""
+        WITH resolved AS (
+            SELECT DISTINCT m.doc_id,
+                   coalesce(c.canonical_entity, m.entity_id) AS entity
+            FROM '{_KG_FIXTURE_DIR}/linked_mentions.parquet' m
+            LEFT JOIN '{_KG_FIXTURE_DIR}/canonical_map.parquet' c
+              ON m.entity_id = c.entity_id
+        )
+        SELECT a.entity AS entity_a, b.entity AS entity_b,
+               count(*) AS n_docs
+        FROM resolved a
+        JOIN resolved b ON a.doc_id = b.doc_id AND a.entity < b.entity
+        GROUP BY a.entity, b.entity
+        HAVING count(*) >= 2
+    """,
 }
 
 
@@ -968,15 +1085,22 @@ def kg_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     return good_triples(extract_triples_df(chunks, keep_embedding=False)).drop("embedding")
 
 
-def _kg_linked(spark: SparkSession) -> DataFrame:
+def _kg_linked_full(spark: SparkSession) -> tuple[DataFrame, DataFrame]:
+    """(linked mentions with triple payload columns, alias dict) — the
+    shared front half of the linked/graph kg_* queries."""
     from chatvector_ai_spark.datagen import alias_df
     from chatvector_ai_spark.operators.extract import extract_triples_df, good_triples
     from chatvector_ai_spark.operators.ingest import ingest_chunks
     from chatvector_ai_spark.operators.link import link_mentions, mentions_from_triples
 
+    aliases = alias_df(spark)
     chunks = ingest_chunks(_kg_docs(spark))
     triples = good_triples(extract_triples_df(chunks, keep_embedding=False))
-    linked = link_mentions(mentions_from_triples(triples), alias_df(spark))
+    return link_mentions(mentions_from_triples(triples), aliases), aliases
+
+
+def _kg_linked(spark: SparkSession) -> DataFrame:
+    linked, _ = _kg_linked_full(spark)
     return linked.select(
         "doc_id", "chunk_id", "role", "surface", "m_start", "m_end",
         "entity_id", "canonical", "linked", "tenant_id",
@@ -1049,6 +1173,65 @@ def kg_canonical_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def kg_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph materialization — the canonical edge table (one row per triple
+    with both endpoints resolved to component representatives), checked
+    value-for-value against the single-node oracle's union-find build."""
+    from chatvector_ai_spark.operators.canonicalize import canonical_map
+    from chatvector_ai_spark.pipeline import edges_from_linked
+
+    linked, aliases = _kg_linked_full(spark)
+    cmap = canonical_map(linked, aliases)
+    return edges_from_linked(linked, cmap).drop("bucket")
+
+
+def kg_entity_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-25 canonical entities by edge degree (graph.degrees shape)."""
+    from pyspark.sql import functions as F
+
+    edges = kg_edges(spark, sf_dir)
+    return (
+        edges.select(F.col("src").alias("entity"))
+        .unionByName(edges.select(F.col("dst").alias("entity")))
+        .groupBy("entity")
+        .agg(F.count("*").alias("degree"))
+        .orderBy(F.desc("degree"), F.asc("entity"))
+        .limit(25)
+    )
+
+
+def kg_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity co-occurrence: canonical-entity pairs sharing ≥2 documents
+    (graph.cooccurrence shape; pair fan-out bounded by entities-per-doc)."""
+    from pyspark.sql import functions as F
+
+    from chatvector_ai_spark.operators.canonicalize import canonical_map
+
+    linked, aliases = _kg_linked_full(spark)
+    cmap = canonical_map(linked, aliases)
+    resolved = (
+        linked.join(F.broadcast(cmap), "entity_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("canonical_entity"), F.col("entity_id")).alias("entity"),
+        )
+        .distinct()
+    )
+    a, b = resolved.alias("a"), resolved.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.doc_id") == F.col("b.doc_id"))
+            & (F.col("a.entity") < F.col("b.entity")),
+        )
+        .groupBy(
+            F.col("a.entity").alias("entity_a"), F.col("b.entity").alias("entity_b")
+        )
+        .agg(F.count("*").alias("n_docs"))
+        .where(F.col("n_docs") >= 2)
+    )
+
+
 KG_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_ingest_chunks": kg_ingest_chunks,
     "kg_ingest_chunks_paragraph": _kg_chunks_query("paragraph"),
@@ -1058,6 +1241,9 @@ KG_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_canonical_entities": kg_canonical_entities,
     "kg_tenant_scoped_mentions": kg_tenant_scoped_mentions,
     "kg_tenant_counts": kg_tenant_counts,
+    "kg_edges": kg_edges,
+    "kg_entity_degrees": kg_entity_degrees,
+    "kg_cooccurrence": kg_cooccurrence,
 }
 
 

@@ -49,6 +49,13 @@ def _list_parquet_files(data_dir: str) -> list[str]:
     ]
 
 
+def _hive_value(v: Any) -> str:
+    """Render a partition value the way Spark writes the directory name."""
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    return str(v)
+
+
 def _footer_rows(path: str) -> int:
     import pyarrow.parquet as pq
 
@@ -152,12 +159,81 @@ class Warehouse:
         self._store(table, entries)
         return snap
 
+    def commit_view(
+        self,
+        table: str,
+        *,
+        parent_table: str,
+        run_id: str,
+        stage: str,
+        input_key: str,
+        partition_filter: dict[str, Any],
+        select: list[str] | None = None,
+        metrics: dict[str, Any] | None = None,
+    ) -> str:
+        """Commit *table* as a METADATA-ONLY filtered view of the newest
+        committed snapshot of *parent_table* (same input_key) — the Iceberg
+        metadata-commit shape: no data is rewritten or even scanned.
+
+        ``partition_filter`` maps hive partition columns of the parent
+        snapshot (it must have been written ``partition_by`` those columns)
+        to the single value this view keeps; reads prune to exactly those
+        directories. ``select`` optionally projects/renames with SQL
+        expressions (applied via ``selectExpr``).
+
+        The lineage row's row_count and per-partition counts come from the
+        PARENT entry's footer counts, filtered by partition-path prefix —
+        an O(#files) driver list operation, no Spark job. At 100 TB this is
+        how a derived status table (good triples / quarantine) should
+        commit: splitting one written snapshot into N views is free, while
+        re-materializing each split re-pays the full write.
+        """
+        parent = self.latest_entry(parent_table, input_key)
+        if parent is None:
+            raise FileNotFoundError(
+                f"commit_view({table!r}): no committed parent snapshot "
+                f"for {parent_table!r} ({input_key=})"
+            )
+        frags = [f"{k}={_hive_value(v)}" for k, v in partition_filter.items()]
+        part_counts = [
+            p
+            for p in parent["partitions"]
+            if all(f"{frag}/" in p["partition"] or p["partition"].startswith(f"{frag}/") for frag in frags)
+        ]
+        entry = {
+            "snapshot": f"view-{uuid.uuid4().hex[:12]}",
+            "table": table,
+            "run_id": run_id,
+            "stage": stage,
+            "input_key": input_key,
+            "row_count": sum(p["rows"] for p in part_counts),
+            "partitions": part_counts,
+            "metrics": metrics or {},
+            "committed_at": time.time(),
+            "view": {
+                "parent_table": parent_table,
+                "parent_snapshot": parent["snapshot"],
+                "partition_filter": partition_filter,
+                "select": select,
+            },
+        }
+        entries = self._load(table)
+        entries.append(entry)
+        self._store(table, entries)
+        return entry["snapshot"]
+
+    def _entry_data_dir(self, entry: dict[str, Any]) -> str:
+        view = entry.get("view")
+        if view is not None:
+            return os.path.join(self.root, view["parent_table"], view["parent_snapshot"])
+        return os.path.join(self.root, entry["table"], entry["snapshot"])
+
     def latest_entry(self, table: str, input_key: str | None = None) -> dict[str, Any] | None:
-        """Newest committed entry whose snapshot dir is live."""
+        """Newest committed entry whose (own or parent) snapshot dir is live."""
         for entry in reversed(self._load(table)):
             if input_key is not None and entry["input_key"] != input_key:
                 continue
-            if os.path.isdir(os.path.join(self.root, table, entry["snapshot"])):
+            if os.path.isdir(self._entry_data_dir(entry)):
                 return entry
         return None
 
@@ -177,7 +253,16 @@ class Warehouse:
         entry = self.latest_entry(table, input_key)
         if entry is None:
             raise FileNotFoundError(f"no committed snapshot for {table!r} ({input_key=})")
-        return spark.read.parquet(os.path.join(self.root, table, entry["snapshot"]))
+        df = spark.read.parquet(self._entry_data_dir(entry))
+        view = entry.get("view")
+        if view is not None:
+            from pyspark.sql import functions as F
+
+            for col, val in view["partition_filter"].items():
+                df = df.where(F.col(col) == F.lit(val))  # pruned at planning time
+            if view["select"]:
+                df = df.selectExpr(*view["select"])
+        return df
 
     # -- lineage / maintenance --------------------------------------------
 

@@ -27,7 +27,8 @@ def fresh_tables():
 @pytest.mark.parametrize(
     "name",
     ["chunks_fixed", "chunks_paragraph", "chunks_semantic",
-     "triples", "linked_mentions", "canonical_entities"],
+     "triples", "linked_mentions", "canonical_entities",
+     "canonical_map", "edges"],
 )
 def test_committed_fixture_is_fresh(fresh_tables, name):
     rows, schema = fresh_tables[name]

@@ -60,7 +60,8 @@ def test_unlinked_surfaces_get_surrogates(linked):
 def test_connected_components_match_union_find(spark, linked):
     _, alias, lm = linked
     edges = linking_edges(lm, alias).cache()
-    comp = connected_components(edges).toPandas()
+    comp = connected_components(edges).toPandas()  # small-core driver path
+    comp_dist = connected_components(edges, small_core_edges=0).toPandas()  # shuffle loop
     edge_rows = edges.toPandas()
 
     parent: dict[str, str] = {}
@@ -84,6 +85,8 @@ def test_connected_components_match_union_find(spark, linked):
     expected = {n: find(n) for n in parent}
     got = dict(zip(comp["node"], comp["component"]))
     assert got == expected
+    got_dist = dict(zip(comp_dist["node"], comp_dist["component"]))
+    assert got_dist == expected
 
 
 def test_canonicalize_triples_end_to_end(spark, linked):
@@ -135,17 +138,21 @@ def test_cc_pendant_pruning_edge_cases(spark):
          ("Z", "Y")],                       # pair where min is dst
         "src string, dst string",
     )
+    # small_core_edges=0 forces the distributed loop so the pendant
+    # machinery itself is exercised; the default exercises the driver path
     for pruned in (True, False):
-        got = {
-            (r["node"], r["component"])
-            for r in connected_components(edges, prune_pendants=pruned).collect()
-        }
-        assert got == {
-            ("A", "A"), ("B", "A"), ("C", "A"),
-            ("D", "D"), ("E", "D"),
-            ("F", "F"), ("G", "F"), ("H", "F"), ("I", "F"),
-            ("Y", "Y"), ("Z", "Y"),
-        }, pruned
+        for small_core in (0, None):
+            kw = {} if small_core is None else {"small_core_edges": small_core}
+            got = {
+                (r["node"], r["component"])
+                for r in connected_components(edges, prune_pendants=pruned, **kw).collect()
+            }
+            assert got == {
+                ("A", "A"), ("B", "A"), ("C", "A"),
+                ("D", "D"), ("E", "D"),
+                ("F", "F"), ("G", "F"), ("H", "F"), ("I", "F"),
+                ("Y", "Y"), ("Z", "Y"),
+            }, (pruned, small_core)
 
 
 def test_cc_self_loops_single_row_per_node(spark):
@@ -159,8 +166,10 @@ def test_cc_self_loops_single_row_per_node(spark):
         "src string, dst string",
     )
     for pruned in (True, False):
-        rows = connected_components(edges, prune_pendants=pruned).collect()
-        got = [(r["node"], r["component"]) for r in rows]
-        assert sorted(got) == [
-            ("A", "A"), ("B", "A"), ("C", "C"), ("D", "C"), ("X", "X"),
-        ], pruned
+        for small_core in (0, None):
+            kw = {} if small_core is None else {"small_core_edges": small_core}
+            rows = connected_components(edges, prune_pendants=pruned, **kw).collect()
+            got = [(r["node"], r["component"]) for r in rows]
+            assert sorted(got) == [
+                ("A", "A"), ("B", "A"), ("C", "C"), ("D", "C"), ("X", "X"),
+            ], (pruned, small_core)

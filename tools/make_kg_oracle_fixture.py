@@ -26,6 +26,8 @@ from chatvector_ai_spark import datagen as dg  # noqa: E402
 from chatvector_ai_spark.oracle.docflow import extract_doc, ingest_doc  # noqa: E402
 from chatvector_ai_spark.oracle.kglink import (  # noqa: E402
     canonical_entities_oracle,
+    canonical_map_oracle,
+    edges_oracle,
     link_mentions_oracle,
 )
 
@@ -70,6 +72,17 @@ CANON_SCHEMA = pa.schema(
         ("canonical_entity", pa.string()),
         ("n_mentions", pa.int64()),
         ("n_docs", pa.int64()),
+    ]
+)
+CMAP_SCHEMA = pa.schema(
+    [("entity_id", pa.string()), ("canonical_entity", pa.string())]
+)
+EDGE_SCHEMA = pa.schema(
+    [
+        ("src", pa.string()), ("rel", pa.string()), ("dst", pa.string()),
+        ("doc_id", pa.string()), ("tenant_id", pa.string()),
+        ("chunk_id", pa.string()), ("conf", pa.float32()),
+        ("src_surface", pa.string()), ("dst_surface", pa.string()),
     ]
 )
 
@@ -134,6 +147,15 @@ def build_tables(n_docs: int) -> dict[str, tuple[list[dict], pa.Schema]]:
                 canonical_entities_oracle(linked, aliases),
                 CANON_SCHEMA,
             )
+            cmap = canonical_map_oracle(linked, aliases)
+            tables["canonical_map"] = (
+                [
+                    {"entity_id": e, "canonical_entity": c}
+                    for e, c in sorted(cmap.items())
+                ],
+                CMAP_SCHEMA,
+            )
+            tables["edges"] = (edges_oracle(triples, linked, aliases), EDGE_SCHEMA)
     return tables
 
 
