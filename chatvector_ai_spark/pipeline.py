@@ -55,6 +55,12 @@ def nodes_from_linked(linked: DataFrame, cmap: DataFrame) -> DataFrame:
             F.min("canonical").alias("label"),
         )
         .withColumn("bucket", F.pmod(F.xxhash64("canonical_entity"), F.lit(N_BUCKETS)))
+        # co-locate each bucket in one write task: a partitionBy write from
+        # T tasks otherwise fans out to T×N_BUCKETS small files per commit
+        # (512 at 32 slots — a manifest and footer-scan burden that grows
+        # with every executor added; at 100 TB, one right-sized file group
+        # per bucket is the layout the table contract wants)
+        .repartition("bucket")
     )
 
 
@@ -86,6 +92,7 @@ def edges_from_linked(linked: DataFrame, cmap: DataFrame) -> DataFrame:
         )
         .drop("triple_id")
         .withColumn("bucket", F.pmod(F.xxhash64("src"), F.lit(N_BUCKETS)))
+        .repartition("bucket")  # one write task per bucket (see nodes_from_linked)
     )
 
 
