@@ -14,6 +14,14 @@ one partially-aggregating groupBy; a single ``localCheckpoint`` per round
 truncates the growing plan lineage (the iterative-join discipline AQE cannot
 provide).
 
+Small-core shortcut: after the cheap symmetrize+distinct, an edge set at
+broadcast scale (≤ CC_SMALL_CORE_EDGES, default 200k) is resolved with one
+collect + driver union-find instead — on a graph that small the shuffle
+loop is pure scheduler latency (measured ~10 s flat regardless of cores),
+while union-find is O(E α(E)) in milliseconds. The distributed loop below
+remains the path for cores that exceed the threshold, which is what a
+10^12-document alias graph would do.
+
 Skew posture (SURVEY.md §4.3): hub entities ("S:acme" in 30% of docs) are
 collapsed to DISTINCT (src, dst) pairs before iterating, so a node's join
 fan-out is bounded by its count of *distinct* neighbor surface forms — the

@@ -1027,6 +1027,30 @@ KG_DUCK_SQL: dict[str, str] = {
         f"FROM '{_KG_FIXTURE_DIR}/linked_mentions.parquet' GROUP BY tenant_id"
     ),
     "kg_edges": f"SELECT * FROM '{_KG_FIXTURE_DIR}/edges.parquet'",
+    "kg_ego_edges": f"""
+        SELECT DISTINCT * FROM '{_KG_FIXTURE_DIR}/edges.parquet'
+        WHERE src = 'E000000' OR dst = 'E000000'
+    """,
+    "kg_relation_counts": f"""
+        SELECT rel, count(*) AS n_edges,
+               count(DISTINCT src) AS n_src, count(DISTINCT dst) AS n_dst,
+               count(DISTINCT doc_id) AS n_docs
+        FROM '{_KG_FIXTURE_DIR}/edges.parquet' GROUP BY rel
+    """,
+    "kg_khop": f"""
+        WITH RECURSIVE sym AS (
+            SELECT src, dst FROM '{_KG_FIXTURE_DIR}/edges.parquet'
+            UNION
+            SELECT dst AS src, src AS dst FROM '{_KG_FIXTURE_DIR}/edges.parquet'
+        ),
+        reach(entity, hop) AS (
+            SELECT 'E000000' AS entity, 0 AS hop
+            UNION ALL
+            SELECT s.dst, r.hop + 1 FROM reach r JOIN sym s ON s.src = r.entity
+            WHERE r.hop < 2
+        )
+        SELECT entity, CAST(min(hop) AS INT) AS hop FROM reach GROUP BY entity
+    """,
     "kg_entity_degrees": f"""
         SELECT entity, count(*) AS degree FROM (
             SELECT src AS entity FROM '{_KG_FIXTURE_DIR}/edges.parquet'
@@ -1232,6 +1256,32 @@ def kg_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+KG_SEED_ENTITY = "E000000"  # top-degree hub in the KG_N_DOCS fixture graph
+
+
+def kg_ego_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ego neighborhood of the seed entity (operators/graph.ego_edges)."""
+    from chatvector_ai_spark.operators.graph import ego_edges
+
+    return ego_edges(kg_edges(spark, sf_dir), KG_SEED_ENTITY, n_buckets=None)
+
+
+def kg_relation_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-relation edge statistics (operators/graph.relation_counts)."""
+    from chatvector_ai_spark.operators.graph import relation_counts
+
+    return relation_counts(kg_edges(spark, sf_dir))
+
+
+def kg_khop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-hop reachable set from the seed with first-reached hop
+    (operators/graph.khop — BFS frontier expansion; the DuckDB twin is a
+    recursive CTE taking min(hop), which equals BFS first-reach depth)."""
+    from chatvector_ai_spark.operators.graph import khop
+
+    return khop(kg_edges(spark, sf_dir), [KG_SEED_ENTITY], k=2)
+
+
 KG_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_ingest_chunks": kg_ingest_chunks,
     "kg_ingest_chunks_paragraph": _kg_chunks_query("paragraph"),
@@ -1244,6 +1294,9 @@ KG_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_edges": kg_edges,
     "kg_entity_degrees": kg_entity_degrees,
     "kg_cooccurrence": kg_cooccurrence,
+    "kg_ego_edges": kg_ego_edges,
+    "kg_relation_counts": kg_relation_counts,
+    "kg_khop": kg_khop,
 }
 
 
