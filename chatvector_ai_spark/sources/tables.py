@@ -53,12 +53,16 @@ def _assert_schema(df: DataFrame, expected: T.StructType, what: str) -> DataFram
 
 
 def read_documents(spark: SparkSession, path: str) -> DataFrame:
-    """Interleaved-documents table (BASELINE.json input_hint shape)."""
-    return _assert_schema(spark.read.schema(DOCUMENTS_SCHEMA).parquet(path), DOCUMENTS_SCHEMA, path)
+    """Interleaved-documents table (BASELINE.json input_hint shape).
+
+    The schema is INFERRED (one parquet footer read) and then checked —
+    imposing the expected schema on the read would mask drift, silently
+    nulling mistyped columns instead of failing fast."""
+    return _assert_schema(spark.read.parquet(path), DOCUMENTS_SCHEMA, path)
 
 
 def read_alias_dict(spark: SparkSession, path: str) -> DataFrame:
-    return _assert_schema(spark.read.schema(ALIAS_SCHEMA).parquet(path), ALIAS_SCHEMA, path)
+    return _assert_schema(spark.read.parquet(path), ALIAS_SCHEMA, path)
 
 
 def read_testdata_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

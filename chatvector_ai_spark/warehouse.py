@@ -249,10 +249,32 @@ class Warehouse:
             return None
         return entry.get("metrics", {}).get("n_buckets")
 
-    def read(self, spark: SparkSession, table: str, input_key: str | None = None) -> DataFrame:
-        entry = self.latest_entry(table, input_key)
+    def snapshots(self, table: str, input_key: str | None = None) -> list[dict[str, Any]]:
+        """All committed entries for *table*, oldest first — the snapshot
+        log (Iceberg history) a time-travel read selects from."""
+        return [
+            e
+            for e in self._load(table)
+            if input_key is None or e["input_key"] == input_key
+        ]
+
+    def read(
+        self,
+        spark: SparkSession,
+        table: str,
+        input_key: str | None = None,
+        snapshot: str | None = None,
+    ) -> DataFrame:
+        """Read the newest live snapshot of *table* — or, with *snapshot*,
+        time-travel to that exact committed snapshot id."""
+        if snapshot is not None:
+            entry = next(
+                (e for e in self._load(table) if e["snapshot"] == snapshot), None
+            )
+        else:
+            entry = self.latest_entry(table, input_key)
         if entry is None:
-            raise FileNotFoundError(f"no committed snapshot for {table!r} ({input_key=})")
+            raise FileNotFoundError(f"no committed snapshot for {table!r} ({input_key=}, {snapshot=})")
         df = spark.read.parquet(self._entry_data_dir(entry))
         view = entry.get("view")
         if view is not None:

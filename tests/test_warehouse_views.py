@@ -75,6 +75,20 @@ def test_view_is_done_tracks_parent_liveness(spark, wh, parent):
     assert not wh.is_done("good", "k")
 
 
+def test_time_travel_read_by_snapshot_id(spark, wh):
+    """Superseded snapshots stay readable by id (Iceberg time travel): a
+    delete or recompute commits a NEW snapshot; auditing the pre-change
+    state is a read at the old snapshot id from the snapshot log."""
+    v1 = spark.createDataFrame([(1, "a"), (2, "b")], "id int, v string")
+    v2 = spark.createDataFrame([(1, "a")], "id int, v string")
+    s1 = wh.commit(v1, "t", run_id="r1", stage="t", input_key="k")
+    s2 = wh.commit(v2, "t", run_id="r2", stage="t", input_key="k")
+    assert [e["snapshot"] for e in wh.snapshots("t", "k")] == [s1, s2]
+    assert wh.read(spark, "t", "k").count() == 1  # latest wins
+    assert wh.read(spark, "t", snapshot=s1).count() == 2  # time travel
+    assert wh.read(spark, "t", snapshot=s2).count() == 1
+
+
 def test_view_empty_partition_filter_side(spark, wh):
     df = spark.createDataFrame([(i, 1) for i in range(10)], "id int, ok int")
     wh.commit(df, "raw2", run_id="r1", stage="raw2", input_key="k", partition_by=["ok"])
