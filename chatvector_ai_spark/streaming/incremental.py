@@ -61,6 +61,56 @@ def stream_ingest_chunks(
     return writer.start()
 
 
+def stream_kg_edges(
+    spark: SparkSession,
+    docs_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    alias_dict: DataFrame,
+    canonical_map: DataFrame | None = None,
+    max_files_per_trigger: int | None = None,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Incremental KG construction: each micro-batch of new document files
+    runs the FULL batch operator chain — ingest → extract → link →
+    edge pivot — and appends canonical edges exactly once (checkpointed).
+
+    This is the streaming twin of the batch pipeline's stages 1-6, built
+    via ``foreachBatch`` so the unchanged batch operators run per
+    micro-batch. ``canonical_map`` is the latest committed entity→canonical
+    snapshot (``Warehouse.read(spark, "canonical_map")``): streaming edges
+    resolve against the last canonicalization, and the periodic batch job
+    refreshes the map — the standard lambda split for an operator
+    (connected components) that is inherently global. With no map yet,
+    edges carry raw linked entity ids (identity canonicalization).
+    """
+    from chatvector_ai_spark.operators.extract import extract_triples_df, good_triples
+    from chatvector_ai_spark.operators.link import link_mentions, mentions_from_triples
+    from chatvector_ai_spark.pipeline import edges_from_linked
+
+    cmap = canonical_map
+    if cmap is None:
+        cmap = spark.createDataFrame([], "entity_id string, canonical_entity string")
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        chunks = ingest_chunks(batch_df)
+        triples = good_triples(extract_triples_df(chunks, keep_embedding=False))
+        linked = link_mentions(mentions_from_triples(triples), alias_dict)
+        edges_from_linked(linked, cmap).write.mode("append").parquet(out_dir)
+
+    reader = spark.readStream.schema(DOCUMENTS_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    docs = reader.parquet(docs_dir)
+    writer = (
+        docs.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def stream_event_rollup(
     events: DataFrame,
     window: str = "1 hour",

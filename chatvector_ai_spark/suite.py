@@ -714,6 +714,55 @@ def _ivf_sql(dot: str) -> str:
 
 _q("ann_ivf_topk", _ivf_sql(_SPARK_DOT), _ivf_sql(_DUCK_DOT))
 
+
+# ANN — random-hyperplane LSH variant (the second scale path besides IVF):
+# 4 deterministic ±1 hyperplanes (sign from md5 parity of the (plane, dim)
+# pair, identical in both engines) hash every vector into one of 16
+# buckets; candidates are the query's bucket only, then exact cosine
+# reranks. At 100 TB the signature is a narrow int column computed in one
+# projection; the bucket equi-join replaces the all-pairs scan.
+def _lsh_sign_dot(engine: str, j: int) -> str:
+    """Signed dot of `embedding` with ±1 hyperplane j."""
+    if engine == "spark":
+        parity = f"conv(substr(md5(concat('h{j}:', CAST(k AS STRING))), 1, 1), 16, 10) % 2"
+        return (
+            "aggregate(zip_with(embedding, transform(sequence(0, size(embedding)-1), "
+            f"k -> CASE WHEN {parity} = 0 THEN CAST(1.0 AS DOUBLE) ELSE CAST(-1.0 AS DOUBLE) END), "
+            "(x, s) -> CAST(x AS DOUBLE) * s), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+        )
+    parity = f"CAST('0x' || substr(md5(concat('h{j}:', CAST(k AS STRING))), 1, 1) AS BIGINT) % 2"
+    return (
+        "list_dot_product(CAST(embedding AS DOUBLE[]), "
+        "list_transform(generate_series(0, len(embedding)-1), "
+        f"k -> CASE WHEN {parity} = 0 THEN CAST(1.0 AS DOUBLE) ELSE CAST(-1.0 AS DOUBLE) END))"
+    )
+
+
+def _lsh_sql(engine: str, dot: str) -> str:
+    sig = " + ".join(
+        f"(CASE WHEN {_lsh_sign_dot(engine, j)} >= 0 THEN {1 << j} ELSE 0 END)"
+        for j in range(4)
+    )
+    cos = (
+        f"round({dot.format(a='c.embedding', b='q.qv')}"
+        f" / (sqrt({dot.format(a='c.embedding', b='c.embedding')})"
+        f" * sqrt({dot.format(a='q.qv', b='q.qv')})), 6)"
+    )
+    return f"""
+    WITH sigs AS (SELECT vec_id, embedding, {sig} AS sig FROM embeddings),
+    qsig AS (SELECT sig, embedding AS qv FROM sigs WHERE vec_id = 0),
+    cand AS (SELECT s.vec_id, s.embedding FROM sigs s
+             JOIN qsig ON s.sig = qsig.sig
+             WHERE s.vec_id <> 0)
+    SELECT c.vec_id, {cos} AS cosine
+    FROM cand c CROSS JOIN qsig q
+    ORDER BY cosine DESC, c.vec_id
+    LIMIT 10
+    """
+
+
+_q("ann_lsh_topk", _lsh_sql("spark", _SPARK_DOT), _lsh_sql("duck", _DUCK_DOT))
+
 # ---------------------------------------------------------------------------
 # Text analysis
 # ---------------------------------------------------------------------------

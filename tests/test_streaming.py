@@ -9,6 +9,7 @@ from pyspark.sql import functions as F
 from chatvector_ai_spark import datagen as dg
 from chatvector_ai_spark.operators.ingest import ingest_chunks
 from chatvector_ai_spark.streaming import stream_event_rollup, stream_ingest_chunks
+from chatvector_ai_spark.streaming.incremental import stream_kg_edges
 
 
 def _write_docs(spark, lo, hi, path):
@@ -48,6 +49,42 @@ def test_incremental_ingest_processes_each_file_once(spark, tmp_path):
     batch2 = ingest_chunks(spark.read.parquet(docs_dir)).groupBy("doc_id").count()
     diff = merged.join(batch2, "doc_id").where(merged["count"] != batch2["count"]).count()
     assert diff == 0
+
+
+def test_stream_kg_edges_end_to_end_incremental(spark, tmp_path):
+    """Full KG chain per micro-batch (ingest → extract → link → edges),
+    exactly-once across restarts, batch-parity on edge counts."""
+    from chatvector_ai_spark.operators.extract import extract_triples_df, good_triples
+    from chatvector_ai_spark.operators.link import link_mentions, mentions_from_triples
+    from chatvector_ai_spark.pipeline import edges_from_linked
+
+    docs_dir = str(tmp_path / "docs")
+    out_dir = str(tmp_path / "edges")
+    ckpt = str(tmp_path / "ckpt_kg")
+    aliases = dg.alias_df(spark, 200).cache()
+
+    _write_docs(spark, 0, 15, docs_dir)
+    q = stream_kg_edges(spark, docs_dir, out_dir, ckpt, aliases)
+    q.awaitTermination(180)
+    n_first = spark.read.parquet(out_dir).count()
+    assert n_first > 0
+
+    # restart with new files: only the new docs' edges are appended
+    _write_docs(spark, 15, 25, docs_dir)
+    q2 = stream_kg_edges(spark, docs_dir, out_dir, ckpt, aliases)
+    q2.awaitTermination(180)
+    edges = spark.read.parquet(out_dir)
+
+    # batch parity: same operators over the full input give the same count
+    # (streaming used identity canonicalization → so does the batch twin)
+    docs = spark.read.parquet(docs_dir).select("doc_id", "spans")
+    chunks = ingest_chunks(docs)
+    triples = good_triples(extract_triples_df(chunks, keep_embedding=False))
+    linked = link_mentions(mentions_from_triples(triples), aliases)
+    cmap0 = spark.createDataFrame([], "entity_id string, canonical_entity string")
+    batch_edges = edges_from_linked(linked, cmap0)
+    assert edges.count() == batch_edges.count()
+    assert edges.select("doc_id").distinct().count() == 25
 
 
 def test_stream_event_rollup_with_watermark(spark, tmp_path):
