@@ -141,6 +141,97 @@ def decode_media(media: DataFrame, backend: str = "fake") -> DataFrame:
     return media.mapInPandas(decode, schema=FEATURE_ROW_DDL)
 
 
+RESIZED_ROW_DDL = (
+    "doc_id string, span_idx int, media_ref string, "
+    "width int, height int, resized binary, resize_backend string"
+)
+
+FRAME_ROW_DDL = (
+    "doc_id string, span_idx int, media_ref string, "
+    "frame_idx int, frame_ms int, frame_feature array<float>"
+)
+
+
+def resize_images(media: DataFrame, width: int = 32, height: int = 32, backend: str = "fake") -> DataFrame:
+    """Image spans → fixed-size thumbnails as binary (the training-data
+    resize step). Fake backend emits a deterministic width×height byte
+    grid derived from the payload hash; a real backend (libjpeg/PIL) plugs
+    into the same mapInPandas signature and schema. Narrow, Arrow-batched,
+    image rows only (JVM-side filter)."""
+    if backend != "fake":
+        raise NotImplementedError(
+            f"image resize backend {backend!r} requires codec libraries not "
+            "present in this environment; only 'fake' is available"
+        )
+    n_out = width * height
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_rows = []
+            for doc_id, span_idx, ref, payload in zip(
+                pdf["doc_id"], pdf["span_idx"], pdf["media_ref"], pdf["payload"]
+            ):
+                h = hashlib.sha256(bytes(payload)).digest()
+                grid = (h * (n_out // len(h) + 1))[:n_out]
+                out_rows.append(
+                    {
+                        "doc_id": doc_id, "span_idx": span_idx, "media_ref": ref,
+                        "width": width, "height": height,
+                        "resized": grid, "resize_backend": "fake",
+                    }
+                )
+            yield pd.DataFrame(out_rows, columns=[
+                "doc_id", "span_idx", "media_ref", "width", "height",
+                "resized", "resize_backend",
+            ])
+
+    return media.where(F.col("kind") == "image").mapInPandas(resize, schema=RESIZED_ROW_DDL)
+
+
+def sample_frames(media: DataFrame, every_ms: int = 1000, max_frames: int = 8, backend: str = "fake") -> DataFrame:
+    """Video/audio spans → one row per sampled frame (1-to-N UDTF shape)
+    with a per-frame feature vector. Fake backend derives a deterministic
+    duration and per-frame features from the payload hash; sampling times
+    are every_ms apart, capped at max_frames — the exact batching/row-
+    explosion contract a real ffmpeg-backed sampler would implement."""
+    if backend != "fake":
+        raise NotImplementedError(
+            f"frame sampling backend {backend!r} requires codec libraries "
+            "not present in this environment; only 'fake' is available"
+        )
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, span_idx, ref, payload in zip(
+                pdf["doc_id"], pdf["span_idx"], pdf["media_ref"], pdf["payload"]
+            ):
+                h = hashlib.sha256(bytes(payload)).digest()
+                duration_ms = 1000 + int.from_bytes(h[2:4], "big")
+                n_frames = min(max_frames, max(1, duration_ms // every_ms))
+                for i in range(n_frames):
+                    fh = hashlib.sha256(h + i.to_bytes(4, "big")).digest()
+                    vec = np.frombuffer(
+                        (fh * (FEATURE_DIM // len(fh) + 1))[:FEATURE_DIM], dtype=np.uint8
+                    ).astype(np.float32)
+                    norm = float(np.linalg.norm(vec))
+                    rows.append(
+                        {
+                            "doc_id": doc_id, "span_idx": span_idx, "media_ref": ref,
+                            "frame_idx": i, "frame_ms": i * every_ms,
+                            "frame_feature": (vec / norm if norm else vec).tolist(),
+                        }
+                    )
+            yield pd.DataFrame(rows, columns=[
+                "doc_id", "span_idx", "media_ref", "frame_idx", "frame_ms",
+                "frame_feature",
+            ])
+
+    return media.where(F.col("kind").isin("audio", "video")).mapInPandas(
+        sample, schema=FRAME_ROW_DDL
+    )
+
+
 def validate_media(media: DataFrame, max_bytes: int = 1 << 20) -> tuple[DataFrame, DataFrame]:
     """(valid, quarantine) split — MIME allowlist + size cap, the
     reference's upload validation gate as a row-level filter."""

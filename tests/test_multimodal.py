@@ -10,6 +10,8 @@ from chatvector_ai_spark.operators.multimodal import (
     decode_media,
     fetch_payloads,
     media_spans,
+    resize_images,
+    sample_frames,
     validate_media,
 )
 
@@ -59,6 +61,35 @@ def test_decode_fake_backend_features(spark, media):
 def test_real_backend_is_explicit_stub(media):
     with pytest.raises(NotImplementedError):
         decode_media(media, backend="pillow")
+
+
+def test_resize_images_fixed_grid(spark, media):
+    out = resize_images(media, width=8, height=8).toPandas()
+    n_images = media.where("kind = 'image'").count()
+    assert len(out) == n_images
+    assert (out["width"] == 8).all() and (out["height"] == 8).all()
+    assert out["resized"].map(len).eq(64).all()
+    # deterministic: same ref → same thumbnail bytes
+    if len(out) > 1:
+        by_ref = out.groupby("media_ref")["resized"].nunique()
+        assert (by_ref == 1).all()
+    with pytest.raises(NotImplementedError):
+        resize_images(media, backend="pillow")
+
+
+def test_sample_frames_bounded_and_ordered(spark, media):
+    frames = sample_frames(media, every_ms=500, max_frames=4).toPandas()
+    n_av = media.where("kind IN ('audio','video')").count()
+    if n_av == 0:
+        pytest.skip("no audio/video spans in sample")
+    assert frames["frame_idx"].max() <= 3  # capped
+    assert (frames["frame_ms"] == frames["frame_idx"] * 500).all()
+    per_span = frames.groupby(["doc_id", "span_idx"])["frame_idx"].agg(["min", "count", "max"])
+    assert (per_span["min"] == 0).all()
+    assert (per_span["max"] == per_span["count"] - 1).all()  # contiguous
+    assert frames["frame_feature"].map(len).eq(FEATURE_DIM).all()
+    with pytest.raises(NotImplementedError):
+        sample_frames(media, backend="ffmpeg")
 
 
 def test_validation_splits_oversize(spark, media):
