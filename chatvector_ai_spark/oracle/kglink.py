@@ -163,6 +163,34 @@ def edges_oracle(
     return edges
 
 
+def nodes_oracle(
+    linked_rows: list[dict[str, Any]], alias_rows: list[dict[str, Any]]
+) -> list[dict[str, Any]]:
+    """Canonical node aggregate — the single-node twin of
+    pipeline.nodes_from_linked: per canonical entity, mention count,
+    provenance doc count, and min canonical surface as the label."""
+    cmap = canonical_map_oracle(linked_rows, alias_rows)
+    mentions: dict[str, int] = {}
+    docs: dict[str, set] = {}
+    label: dict[str, str] = {}
+    for r in linked_rows:
+        canon = cmap.get(r["entity_id"], r["entity_id"])
+        mentions[canon] = mentions.get(canon, 0) + 1
+        docs.setdefault(canon, set()).add(r["doc_id"])
+        cur = label.get(canon)
+        if cur is None or r["canonical"] < cur:
+            label[canon] = r["canonical"]
+    return [
+        {
+            "canonical_entity": e,
+            "n_mentions": mentions[e],
+            "n_docs": len(docs[e]),
+            "label": label[e],
+        }
+        for e in sorted(mentions)
+    ]
+
+
 def canonical_entities_oracle(
     linked_rows: list[dict[str, Any]],
     alias_rows: list[dict[str, Any]],

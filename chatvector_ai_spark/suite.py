@@ -1076,6 +1076,7 @@ KG_DUCK_SQL: dict[str, str] = {
         f"FROM '{_KG_FIXTURE_DIR}/linked_mentions.parquet' GROUP BY tenant_id"
     ),
     "kg_edges": f"SELECT * FROM '{_KG_FIXTURE_DIR}/edges.parquet'",
+    "kg_nodes": f"SELECT * FROM '{_KG_FIXTURE_DIR}/nodes.parquet'",
     "kg_ego_edges": f"""
         SELECT DISTINCT * FROM '{_KG_FIXTURE_DIR}/edges.parquet'
         WHERE src = 'E000000' OR dst = 'E000000'
@@ -1258,6 +1259,18 @@ def kg_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return edges_from_linked(linked, cmap).drop("bucket")
 
 
+def kg_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical node aggregate (pipeline stage 6's nodes table, minus the
+    bucket column) — counts, provenance, and min-surface label per entity,
+    checked against the union-find oracle's build."""
+    from chatvector_ai_spark.operators.canonicalize import canonical_map
+    from chatvector_ai_spark.pipeline import nodes_from_linked
+
+    linked, aliases = _kg_linked_full(spark)
+    cmap = canonical_map(linked, aliases)
+    return nodes_from_linked(linked, cmap).drop("bucket")
+
+
 def kg_entity_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-25 canonical entities by edge degree (graph.degrees shape)."""
     from pyspark.sql import functions as F
@@ -1341,6 +1354,7 @@ KG_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_tenant_scoped_mentions": kg_tenant_scoped_mentions,
     "kg_tenant_counts": kg_tenant_counts,
     "kg_edges": kg_edges,
+    "kg_nodes": kg_nodes,
     "kg_entity_degrees": kg_entity_degrees,
     "kg_cooccurrence": kg_cooccurrence,
     "kg_ego_edges": kg_ego_edges,

@@ -28,7 +28,7 @@ def fresh_tables():
     "name",
     ["chunks_fixed", "chunks_paragraph", "chunks_semantic",
      "triples", "linked_mentions", "canonical_entities",
-     "canonical_map", "edges"],
+     "canonical_map", "edges", "nodes"],
 )
 def test_committed_fixture_is_fresh(fresh_tables, name):
     rows, schema = fresh_tables[name]

@@ -29,6 +29,7 @@ from chatvector_ai_spark.oracle.kglink import (  # noqa: E402
     canonical_map_oracle,
     edges_oracle,
     link_mentions_oracle,
+    nodes_oracle,
 )
 
 FIXTURE_DIR = os.path.join(
@@ -76,6 +77,14 @@ CANON_SCHEMA = pa.schema(
 )
 CMAP_SCHEMA = pa.schema(
     [("entity_id", pa.string()), ("canonical_entity", pa.string())]
+)
+NODE_SCHEMA = pa.schema(
+    [
+        ("canonical_entity", pa.string()),
+        ("n_mentions", pa.int64()),
+        ("n_docs", pa.int64()),
+        ("label", pa.string()),
+    ]
 )
 EDGE_SCHEMA = pa.schema(
     [
@@ -156,6 +165,7 @@ def build_tables(n_docs: int) -> dict[str, tuple[list[dict], pa.Schema]]:
                 CMAP_SCHEMA,
             )
             tables["edges"] = (edges_oracle(triples, linked, aliases), EDGE_SCHEMA)
+            tables["nodes"] = (nodes_oracle(linked, aliases), NODE_SCHEMA)
     return tables
 
 
