@@ -194,11 +194,13 @@ class Warehouse:
                 f"commit_view({table!r}): no committed parent snapshot "
                 f"for {parent_table!r} ({input_key=})"
             )
-        frags = [f"{k}={_hive_value(v)}" for k, v in partition_filter.items()]
+        frags = {f"{k}={_hive_value(v)}" for k, v in partition_filter.items()}
         part_counts = [
             p
             for p in parent["partitions"]
-            if all(f"{frag}/" in p["partition"] or p["partition"].startswith(f"{frag}/") for frag in frags)
+            # exact directory-segment match (a substring test could
+            # false-positive on a column whose name ends with another's)
+            if frags <= set(p["partition"].split("/")[:-1])
         ]
         entry = {
             "snapshot": f"view-{uuid.uuid4().hex[:12]}",
