@@ -15,9 +15,15 @@ from chatvector_ai_spark.warehouse import Warehouse
 
 
 @pytest.fixture(scope="module")
-def graph(spark, tmp_path_factory):
+def graph_wh(spark, tmp_path_factory):
     wh = Warehouse(str(tmp_path_factory.mktemp("graph_wh")))
     run = run_pipeline(spark, wh, 60, n_entities=300)
+    return wh, run
+
+
+@pytest.fixture(scope="module")
+def graph(spark, graph_wh):
+    wh, run = graph_wh
     edges = wh.read(spark, "edges", run.input_key).cache()
     nodes = wh.read(spark, "nodes", run.input_key).cache()
     return nodes, edges
@@ -40,6 +46,29 @@ def test_ego_edges_match_filter(graph):
     assert ((ego["src"] == top) | (ego["dst"] == top)).all()
     expected = edges.where((F.col("src") == top) | (F.col("dst") == top)).dropDuplicates().count()
     assert len(ego) == expected
+
+
+def test_ego_uses_manifest_bucket_count_not_config(spark, graph_wh, graph):
+    """The manifest records n_buckets at write time; ego pruning with the
+    RECORDED value must equal the unbucketed truth even if the session's
+    config has since changed (a mismatched count would silently drop all
+    outgoing edges — ADVICE round 1)."""
+    wh, run = graph_wh
+    _, edges = graph
+    from chatvector_ai_spark.config import N_BUCKETS
+
+    recorded = wh.table_n_buckets("edges", run.input_key)
+    assert recorded == N_BUCKETS  # written under the current config
+    top = degrees(edges).orderBy(F.desc("degree")).first()["entity"]
+    truth = {
+        tuple(r) for r in
+        ego_edges(edges, top, n_buckets=None).select("src", "dst", "chunk_id").collect()
+    }
+    with_recorded = {
+        tuple(r) for r in
+        ego_edges(edges, top, n_buckets=recorded).select("src", "dst", "chunk_id").collect()
+    }
+    assert with_recorded == truth
 
 
 def test_khop_grows_monotonically(graph):
