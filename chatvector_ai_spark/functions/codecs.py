@@ -1,0 +1,224 @@
+"""Pure-stdlib media codecs: a REAL (non-fake) decode backend for the
+multimodal stages.
+
+The sandbox has no libjpeg/ffmpeg, but PNG and WAV need nothing beyond the
+standard library: PNG is zlib-compressed scanlines behind an 8-byte magic
+and chunked container (RFC 2083), WAV is RIFF-framed PCM readable with the
+stdlib ``wave`` module. These codecs make ``decode_media(backend="stdlib")``
+decode actual bytes — real width/height from IHDR, real duration from the
+PCM frame count, features from the decoded samples — while the fake backend
+keeps covering formats that genuinely need external libraries (JPEG, MP4).
+
+Encoders exist so tests and the synthetic fetch stage can fabricate valid
+files deterministically; they are NOT a production write path.
+
+Reference parity note: the reference has no media decode at all (its
+extraction is PDF/TXT-only, backend/services/extraction_service.py:29-74);
+this module is part of the brief's training-data-pipeline surface, not
+reference parity.
+"""
+
+from __future__ import annotations
+
+import io
+import struct
+import wave
+import zlib
+
+PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+WAV_MAGIC = b"RIFF"
+
+
+# ---------------------------------------------------------------------------
+# PNG — 8-bit grayscale / RGB / RGBA, all five scanline filters on decode
+# ---------------------------------------------------------------------------
+
+_CHANNELS = {0: 1, 2: 3, 6: 4}  # color type → samples per pixel
+
+
+def _chunk(tag: bytes, data: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(data))
+        + tag
+        + data
+        + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+    )
+
+
+def encode_png(width: int, height: int, pixels: bytes, color_type: int = 0) -> bytes:
+    """Minimal PNG writer: 8-bit, filter 0 on every scanline.
+
+    ``pixels`` is row-major, ``width*height*channels`` bytes.
+    """
+    ch = _CHANNELS[color_type]
+    if len(pixels) != width * height * ch:
+        raise ValueError(f"expected {width * height * ch} bytes, got {len(pixels)}")
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
+    stride = width * ch
+    raw = b"".join(
+        b"\x00" + pixels[y * stride : (y + 1) * stride] for y in range(height)
+    )
+    return (
+        PNG_MAGIC
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(raw, 6))
+        + _chunk(b"IEND", b"")
+    )
+
+
+def _unfilter(raw: bytes, width: int, height: int, ch: int) -> bytearray:
+    """Reverse PNG scanline filtering (types 0-4) → raw pixel bytes."""
+    stride = width * ch
+    out = bytearray(stride * height)
+    pos = 0
+    for y in range(height):
+        ftype = raw[pos]
+        pos += 1
+        line = raw[pos : pos + stride]
+        pos += stride
+        base = y * stride
+        prev_base = base - stride
+        for x in range(stride):
+            a = out[base + x - ch] if x >= ch else 0  # left
+            b = out[prev_base + x] if y > 0 else 0  # up
+            c = out[prev_base + x - ch] if (y > 0 and x >= ch) else 0  # up-left
+            v = line[x]
+            if ftype == 0:
+                r = v
+            elif ftype == 1:
+                r = v + a
+            elif ftype == 2:
+                r = v + b
+            elif ftype == 3:
+                r = v + (a + b) // 2
+            elif ftype == 4:  # Paeth
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                r = v + pred
+            else:
+                raise ValueError(f"unsupported PNG filter type {ftype}")
+            out[base + x] = r & 0xFF
+    return out
+
+
+def decode_png(data: bytes) -> tuple[int, int, int, bytes]:
+    """→ (width, height, channels, gray_pixels): parse chunks, inflate
+    IDAT, unfilter, collapse to 8-bit grayscale (mean over channels)."""
+    if not data.startswith(PNG_MAGIC):
+        raise ValueError("not a PNG (bad magic)")
+    pos = len(PNG_MAGIC)
+    width = height = None
+    color_type = bit_depth = None
+    idat = bytearray()
+    while pos + 8 <= len(data):
+        (length,) = struct.unpack(">I", data[pos : pos + 4])
+        tag = data[pos + 4 : pos + 8]
+        body = data[pos + 8 : pos + 8 + length]
+        pos += 12 + length  # len + tag + body + crc
+        if tag == b"IHDR":
+            width, height, bit_depth, color_type, comp, filt, interlace = struct.unpack(
+                ">IIBBBBB", body
+            )
+            if bit_depth != 8 or color_type not in _CHANNELS:
+                raise ValueError(
+                    f"unsupported PNG shape (bit_depth={bit_depth}, color_type={color_type})"
+                )
+            if interlace != 0:
+                raise ValueError("interlaced PNG unsupported")
+        elif tag == b"IDAT":
+            idat.extend(body)
+        elif tag == b"IEND":
+            break
+    if width is None:
+        raise ValueError("PNG missing IHDR")
+    ch = _CHANNELS[color_type]
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error as e:
+        raise ValueError(f"corrupt PNG IDAT: {e}") from e
+    expected = height * (1 + width * ch)
+    if len(raw) != expected:
+        raise ValueError(f"PNG data length {len(raw)} != expected {expected}")
+    pixels = _unfilter(raw, width, height, ch)
+    if ch == 1:
+        gray = bytes(pixels)
+    else:
+        gray = bytes(
+            sum(pixels[i * ch + k] for k in range(ch)) // ch
+            for i in range(width * height)
+        )
+    return width, height, ch, gray
+
+
+def png_grid_features(gray: bytes, width: int, height: int, grid: int = 4) -> list[float]:
+    """grid×grid mean-intensity pooling of the grayscale image, normalized
+    to [0, 1] — a deterministic, content-derived feature vector."""
+    feats: list[float] = []
+    for gy in range(grid):
+        y0, y1 = gy * height // grid, max((gy + 1) * height // grid, gy * height // grid + 1)
+        for gx in range(grid):
+            x0, x1 = gx * width // grid, max((gx + 1) * width // grid, gx * width // grid + 1)
+            total = n = 0
+            for y in range(y0, min(y1, height)):
+                row = y * width
+                for x in range(x0, min(x1, width)):
+                    total += gray[row + x]
+                    n += 1
+            feats.append((total / n / 255.0) if n else 0.0)
+    return feats
+
+
+# ---------------------------------------------------------------------------
+# WAV — PCM via the stdlib wave module
+# ---------------------------------------------------------------------------
+
+
+def encode_wav(samples: list[int], sample_rate: int = 8000) -> bytes:
+    """16-bit mono PCM WAV from integer samples (clamped to int16)."""
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(sample_rate)
+        w.writeframes(
+            b"".join(
+                struct.pack("<h", max(-32768, min(32767, s))) for s in samples
+            )
+        )
+    return buf.getvalue()
+
+
+def decode_wav(data: bytes) -> tuple[int, int, list[int]]:
+    """→ (sample_rate, duration_ms, samples): stdlib wave parse of 16-bit
+    mono PCM."""
+    if not data.startswith(WAV_MAGIC):
+        raise ValueError("not a WAV (bad RIFF magic)")
+    try:
+        with wave.open(io.BytesIO(data), "rb") as w:
+            rate = w.getframerate()
+            n = w.getnframes()
+            if w.getsampwidth() != 2 or w.getnchannels() != 1:
+                raise ValueError("only 16-bit mono PCM supported")
+            frames = w.readframes(n)
+    except (wave.Error, EOFError, struct.error) as e:
+        raise ValueError(f"corrupt WAV: {e}") from e
+    samples = list(struct.unpack(f"<{n}h", frames))
+    duration_ms = int(round(n * 1000 / rate)) if rate else 0
+    return rate, duration_ms, samples
+
+
+def wav_band_features(samples: list[int], bands: int = 16) -> list[float]:
+    """Per-band RMS energy envelope over ``bands`` equal time slices,
+    normalized by int16 full scale — deterministic audio features."""
+    n = len(samples)
+    feats: list[float] = []
+    for b in range(bands):
+        i0, i1 = b * n // bands, (b + 1) * n // bands
+        seg = samples[i0:i1]
+        if not seg:
+            feats.append(0.0)
+            continue
+        rms = (sum(s * s for s in seg) / len(seg)) ** 0.5
+        feats.append(rms / 32768.0)
+    return feats

@@ -79,7 +79,12 @@ def delete_documents(
         prev = warehouse.latest_entry(table, input_key).get("metrics", {})
         if "n_buckets" in prev:
             entry_metrics["n_buckets"] = prev["n_buckets"]
-        partition_by = ["bucket"] if "n_buckets" in prev else None
+        # preserve the parent snapshot's hive layout (manifest-recorded):
+        # a superseding commit that drops e.g. partition_by=['ok'] would
+        # break later metadata-only commit_views against this table
+        partition_by = warehouse.table_partition_by(table, input_key) or (
+            ["bucket"] if "n_buckets" in prev else None
+        )
         warehouse.commit(
             filtered, table,
             run_id=run_id, stage="delete", input_key=input_key,

@@ -91,15 +91,37 @@ def relation_counts(edges: DataFrame) -> DataFrame:
     )
 
 
-def cooccurring_entities(edges: DataFrame, min_shared_docs: int = 2) -> DataFrame:
+def cooccurring_entities(
+    edges: DataFrame,
+    min_shared_docs: int = 2,
+    max_entities_per_doc: int | None = 64,
+) -> DataFrame:
     """Entity pairs appearing as endpoints in ≥ min_shared_docs shared
     documents — the doc-level co-occurrence signal (blocked self-join on
-    doc_id; partial-agg collapses before the pair shuffle)."""
-    ent_docs = (
-        edges.select(F.col("src").alias("entity"), "doc_id")
-        .unionByName(edges.select(F.col("dst").alias("entity"), "doc_id"))
-        .distinct()
+    doc_id; partial-agg collapses before the pair shuffle).
+
+    The per-doc pair fan-out is O(entities-per-doc²): one pathological doc
+    with 10⁴ distinct entities would emit 5×10⁷ pairs in a single task, so
+    ``max_entities_per_doc`` caps each doc's entity set to its top-N by
+    endpoint-mention count (ties broken by entity id — deterministic).
+    The window is PARTITION BY doc_id — per-doc, never global. ``None``
+    disables the cap."""
+    ent_mentions = edges.select(F.col("src").alias("entity"), "doc_id").unionByName(
+        edges.select(F.col("dst").alias("entity"), "doc_id")
     )
+    ent_docs = ent_mentions.groupBy("doc_id", "entity").agg(
+        F.count("*").alias("n_mentions")
+    )
+    if max_entities_per_doc is not None:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("doc_id").orderBy(
+            F.desc("n_mentions"), F.asc("entity")
+        )
+        ent_docs = ent_docs.withColumn("rk", F.row_number().over(w)).where(
+            F.col("rk") <= max_entities_per_doc
+        )
+    ent_docs = ent_docs.select("doc_id", "entity")
     a, b = ent_docs.alias("a"), ent_docs.alias("b")
     return (
         a.join(b, (F.col("a.doc_id") == F.col("b.doc_id")) & (F.col("a.entity") < F.col("b.entity")))

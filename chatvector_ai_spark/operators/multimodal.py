@@ -77,14 +77,38 @@ def fetch_payloads(media: DataFrame, max_bytes: int = 1 << 20) -> DataFrame:
     """
 
     def fetch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from chatvector_ai_spark.functions.codecs import encode_png, encode_wav
+
         for pdf in batches:
             payloads, ctypes, sizes = [], [], []
             for ref in pdf["media_ref"]:
                 seed = hashlib.sha256(ref.encode()).digest()
-                n = 64 + seed[0]  # deterministic small payload
-                payloads.append((seed * ((n // len(seed)) + 1))[:n])
-                ctypes.append(_CONTENT_TYPES.get(ref.rsplit(".", 1)[-1], "application/octet-stream"))
-                sizes.append(n)
+                ext = ref.rsplit(".", 1)[-1]
+                if ext == "png":
+                    # a REAL (stdlib-decodable) PNG, content seeded by ref
+                    w, h = 8 + seed[0] % 8, 8 + seed[1] % 8
+                    px = bytes(
+                        seed[(x * 7 + y * 13 + seed[2]) % len(seed)]
+                        for y in range(h)
+                        for x in range(w)
+                    )
+                    payload = encode_png(w, h, px, color_type=0)
+                elif ext == "wav":
+                    # a REAL PCM WAV, ~0.1-0.3 s seeded by ref
+                    n = 800 + seed[0] * 8
+                    payload = encode_wav(
+                        [
+                            (seed[i % len(seed)] - 128) * 200
+                            for i in range(n)
+                        ],
+                        sample_rate=8000,
+                    )
+                else:
+                    n = 64 + seed[0]  # deterministic opaque payload
+                    payload = (seed * ((n // len(seed)) + 1))[:n]
+                payloads.append(payload)
+                ctypes.append(_CONTENT_TYPES.get(ext, "application/octet-stream"))
+                sizes.append(len(payload))
             out = pdf.copy()
             out["payload"] = payloads
             out["content_type"] = ctypes
@@ -97,17 +121,29 @@ def fetch_payloads(media: DataFrame, max_bytes: int = 1 << 20) -> DataFrame:
 def decode_media(media: DataFrame, backend: str = "fake") -> DataFrame:
     """Decode payloads → fixed-dim feature vectors + media dims.
 
+    ``backend='stdlib'``: REAL decode for PNG and WAV payloads using the
+    pure-stdlib codecs (functions/codecs.py): width/height parsed from the
+    PNG IHDR and pixels unfiltered+inflated, duration from the WAV PCM
+    frame count, features pooled from the actual decoded content. Payloads
+    that are neither (JPEG, MP4, …) fall through to the deterministic
+    pseudo-decode with ``decode_backend='fake'`` so the row is still
+    produced (a real deployment would add libjpeg/ffmpeg backends behind
+    the same dispatch).
+
     ``backend='fake'``: deterministic pseudo-decode (sha-seeded features,
-    dims derived from payload) — exercises the full distributed path.
-    Any other backend raises NotImplementedError until the corresponding
-    codec library is wired in (intentional stub; the Spark plumbing —
-    schema, batching, partitioning — is the deliverable here).
+    dims derived from payload) — exercises the full distributed path with
+    zero codec work.
+
+    Any other backend raises NotImplementedError (ffmpeg/libjpeg are not
+    in this environment).
     """
+    if backend == "stdlib":
+        return _decode_media_stdlib(media)
     if backend != "fake":
         raise NotImplementedError(
             f"media decode backend {backend!r} requires codec libraries not "
-            "present in this environment; only the deterministic 'fake' "
-            "backend is available"
+            "present in this environment; 'stdlib' (PNG/WAV) and the "
+            "deterministic 'fake' backend are available"
         )
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -135,6 +171,85 @@ def decode_media(media: DataFrame, backend: str = "fake") -> DataFrame:
                     "height": pd.array(heights, dtype="Int32"),
                     "duration_ms": pd.array(durs, dtype="Int32"),
                     "decode_backend": "fake",
+                }
+            )
+
+    return media.mapInPandas(decode, schema=FEATURE_ROW_DDL)
+
+
+def _fake_feature(payload: bytes) -> tuple[list[float], bytes]:
+    """sha-seeded unit feature vector (the fake backend's contract)."""
+    h = hashlib.sha256(payload).digest()
+    vec = np.frombuffer(
+        (h * (FEATURE_DIM // len(h) + 1))[:FEATURE_DIM], dtype=np.uint8
+    ).astype(np.float32)
+    norm = float(np.linalg.norm(vec))
+    return (vec / norm if norm else vec).tolist(), h
+
+
+def _decode_media_stdlib(media: DataFrame) -> DataFrame:
+    """Real PNG/WAV decode via functions/codecs (see decode_media)."""
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from chatvector_ai_spark.functions.codecs import (
+            PNG_MAGIC,
+            WAV_MAGIC,
+            decode_png,
+            decode_wav,
+            png_grid_features,
+            wav_band_features,
+        )
+
+        import struct
+
+        for pdf in batches:
+            feats, widths, heights, durs, backends = [], [], [], [], []
+            for payload, kind in zip(pdf["payload"], pdf["kind"]):
+                data = bytes(payload)
+                decoded = False
+                # a corrupt payload must degrade to the labeled fake row,
+                # never crash the task (at scale one bad blob in a billion
+                # would otherwise kill the stage; the label lets a
+                # downstream filter quarantine 'decode-error' rows)
+                try:
+                    if data.startswith(PNG_MAGIC):
+                        w, h, _ch, gray = decode_png(data)
+                        feats.append([float(v) for v in png_grid_features(gray, w, h, grid=4)])
+                        widths.append(w); heights.append(h); durs.append(None)
+                        backends.append("stdlib-png")
+                        decoded = True
+                    elif data.startswith(WAV_MAGIC):
+                        _rate, duration_ms, samples = decode_wav(data)
+                        feats.append([float(v) for v in wav_band_features(samples, bands=FEATURE_DIM)])
+                        widths.append(None); heights.append(None); durs.append(duration_ms)
+                        backends.append("stdlib-wav")
+                        decoded = True
+                except (ValueError, struct.error):
+                    backends_label = "decode-error"
+                else:
+                    backends_label = "fake"
+                if not decoded:
+                    # format needs an external codec (or the payload is
+                    # corrupt) → deterministic fake, labeled so downstream
+                    # can tell real from pseudo from quarantine-worthy
+                    vec, h = _fake_feature(data)
+                    feats.append(vec)
+                    if kind == "image":
+                        widths.append(64 + h[0]); heights.append(64 + h[1]); durs.append(None)
+                    elif kind in ("audio", "video"):
+                        widths.append(None); heights.append(None)
+                        durs.append(1000 + int.from_bytes(h[2:4], "big"))
+                    else:
+                        widths.append(None); heights.append(None); durs.append(None)
+                    backends.append(backends_label)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"], "span_idx": pdf["span_idx"],
+                    "kind": pdf["kind"], "media_ref": pdf["media_ref"],
+                    "feature": feats, "width": pd.array(widths, dtype="Int32"),
+                    "height": pd.array(heights, dtype="Int32"),
+                    "duration_ms": pd.array(durs, dtype="Int32"),
+                    "decode_backend": backends,
                 }
             )
 

@@ -73,7 +73,11 @@ def stream_kg_edges(
 ) -> StreamingQuery:
     """Incremental KG construction: each micro-batch of new document files
     runs the FULL batch operator chain — ingest → extract → link →
-    edge pivot — and appends canonical edges exactly once (checkpointed).
+    edge pivot — and lands canonical edges idempotently per micro-batch:
+    each batch overwrites its own ``batch_id=<id>`` partition, so a batch
+    replayed after a crash between the parquet write and the checkpoint
+    commit rewrites the same partition instead of appending duplicates
+    (foreachBatch alone is only at-least-once).
 
     This is the streaming twin of the batch pipeline's stages 1-6, built
     via ``foreachBatch`` so the unchanged batch operators run per
@@ -96,7 +100,10 @@ def stream_kg_edges(
         chunks = ingest_chunks(batch_df)
         triples = good_triples(extract_triples_df(chunks, keep_embedding=False))
         linked = link_mentions(mentions_from_triples(triples), alias_dict)
-        edges_from_linked(linked, cmap).write.mode("append").parquet(out_dir)
+        # idempotent sink: replaying batch N overwrites batch N's partition
+        edges_from_linked(linked, cmap).write.mode("overwrite").parquet(
+            f"{out_dir}/batch_id={batch_id}"
+        )
 
     reader = spark.readStream.schema(DOCUMENTS_SCHEMA)
     if max_files_per_trigger is not None:

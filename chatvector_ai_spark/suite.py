@@ -1111,12 +1111,22 @@ KG_DUCK_SQL: dict[str, str] = {
         LIMIT 25
     """,
     "kg_cooccurrence": f"""
-        WITH resolved AS (
-            SELECT DISTINCT m.doc_id,
-                   coalesce(c.canonical_entity, m.entity_id) AS entity
+        WITH per_doc AS (
+            SELECT m.doc_id,
+                   coalesce(c.canonical_entity, m.entity_id) AS entity,
+                   count(*) AS n_mentions
             FROM '{_KG_FIXTURE_DIR}/linked_mentions.parquet' m
             LEFT JOIN '{_KG_FIXTURE_DIR}/canonical_map.parquet' c
               ON m.entity_id = c.entity_id
+            GROUP BY m.doc_id, coalesce(c.canonical_entity, m.entity_id)
+        ),
+        resolved AS (
+            SELECT doc_id, entity FROM (
+                SELECT doc_id, entity,
+                       row_number() OVER (PARTITION BY doc_id
+                                          ORDER BY n_mentions DESC, entity) AS rk
+                FROM per_doc
+            ) t WHERE rk <= 32
         )
         SELECT a.entity AS entity_a, b.entity AS entity_b,
                count(*) AS n_docs
@@ -1286,22 +1296,37 @@ def kg_entity_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+KG_COOCCUR_CAP = 32  # top-N entities per doc entering the pair join
+
+
 def kg_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Entity co-occurrence: canonical-entity pairs sharing ≥2 documents
-    (graph.cooccurrence shape; pair fan-out bounded by entities-per-doc)."""
+    (graph.cooccurrence shape). The per-doc pair fan-out is bounded by
+    keeping each doc's top-KG_COOCCUR_CAP entities by mention count
+    (entity-id tiebreak) before the self-join — one pathological
+    10⁴-entity doc can no longer emit 5×10⁷ pairs in a single task; the
+    ranking window is PARTITION BY doc_id, never global."""
+    from pyspark.sql import Window
     from pyspark.sql import functions as F
 
     from chatvector_ai_spark.operators.canonicalize import canonical_map
 
     linked, aliases = _kg_linked_full(spark)
     cmap = canonical_map(linked, aliases)
-    resolved = (
+    per_doc = (
         linked.join(F.broadcast(cmap), "entity_id", "left")
         .select(
             "doc_id",
             F.coalesce(F.col("canonical_entity"), F.col("entity_id")).alias("entity"),
         )
-        .distinct()
+        .groupBy("doc_id", "entity")
+        .agg(F.count("*").alias("n_mentions"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("n_mentions"), F.asc("entity"))
+    resolved = (
+        per_doc.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= KG_COOCCUR_CAP)
+        .select("doc_id", "entity")
     )
     a, b = resolved.alias("a"), resolved.alias("b")
     return (

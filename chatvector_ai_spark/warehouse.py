@@ -49,11 +49,24 @@ def _list_parquet_files(data_dir: str) -> list[str]:
     ]
 
 
+# Characters Hive/Spark percent-escape in partition directory names
+# (org.apache.hadoop.hive.common.FileUtils.escapePathName, mirrored by
+# Spark's ExternalCatalogUtils): control chars plus this reserved set.
+_HIVE_ESCAPE = set('"#%\'*/:=?\\{[]^\x7f') | {chr(c) for c in range(0x20)}
+
+
 def _hive_value(v: Any) -> str:
-    """Render a partition value the way Spark writes the directory name."""
+    """Render a partition value the way Spark writes the directory name:
+    percent-escape Hive's reserved character set, null/empty →
+    ``__HIVE_DEFAULT_PARTITION__`` — so commit_view's path-fragment match
+    never silently selects zero partitions for a string value containing
+    e.g. ':' or '/'."""
+    if v is None or v == "":
+        return "__HIVE_DEFAULT_PARTITION__"
     if isinstance(v, bool):
         return "true" if v else "false"
-    return str(v)
+    s = str(v)
+    return "".join(f"%{ord(c):02X}" if c in _HIVE_ESCAPE else c for c in s)
 
 
 def _footer_rows(path: str) -> int:
@@ -151,6 +164,7 @@ class Warehouse:
             "input_key": input_key,
             "row_count": sum(p["rows"] for p in part_counts),
             "partitions": part_counts,
+            "partition_by": partition_by or [],
             "metrics": metrics or {},
             "committed_at": time.time(),
         }
@@ -250,6 +264,16 @@ class Warehouse:
         if entry is None:
             return None
         return entry.get("metrics", {}).get("n_buckets")
+
+    def table_partition_by(self, table: str, input_key: str | None = None) -> list[str]:
+        """Hive partition columns of the newest committed snapshot (empty
+        for unpartitioned tables) — a superseding commit (delete, compact)
+        must preserve them or downstream metadata-only views lose their
+        pruning paths."""
+        entry = self.latest_entry(table, input_key)
+        if entry is None:
+            return []
+        return entry.get("partition_by", [])
 
     def snapshots(self, table: str, input_key: str | None = None) -> list[dict[str, Any]]:
         """All committed entries for *table*, oldest first — the snapshot

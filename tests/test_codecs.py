@@ -1,0 +1,201 @@
+"""Pure-stdlib media codecs (functions/codecs.py) + the real 'stdlib'
+decode backend of decode_media: actual PNG/WAV bytes are parsed, not
+sha-pseudo-decoded — dims from IHDR, duration from PCM frame count,
+features from decoded content."""
+
+import struct
+import zlib
+
+import pytest
+
+from chatvector_ai_spark.functions.codecs import (
+    PNG_MAGIC,
+    decode_png,
+    decode_wav,
+    encode_png,
+    encode_wav,
+    png_grid_features,
+    wav_band_features,
+)
+
+
+def test_png_roundtrip_grayscale():
+    w, h = 5, 3
+    px = bytes(range(w * h))
+    data = encode_png(w, h, px, color_type=0)
+    gw, gh, ch, gray = decode_png(data)
+    assert (gw, gh, ch) == (w, h, 1)
+    assert gray == px
+
+
+def test_png_roundtrip_rgb_collapses_to_gray_mean():
+    w, h = 2, 2
+    # pixels: (10,20,30) (60,60,60) (0,0,3) (255,255,255)
+    px = bytes([10, 20, 30, 60, 60, 60, 0, 0, 3, 255, 255, 255])
+    data = encode_png(w, h, px, color_type=2)
+    gw, gh, ch, gray = decode_png(data)
+    assert (gw, gh, ch) == (w, h, 3)
+    assert list(gray) == [20, 60, 1, 255]
+
+
+def test_png_all_filter_types_unfilter():
+    """Hand-build a grayscale PNG whose scanlines use filters 1-4 and
+    check the unfiltered pixels against hand-computed values."""
+    w = 3
+    rows = [
+        (1, [10, 5, 5]),   # Sub:   10, 15, 20
+        (2, [1, 2, 3]),    # Up:    11, 17, 23
+        (3, [4, 10, 200]), # Avg:   4+(0+11)//2=9, 10+(9+17)//2=23, 200+(23+23)//2=223 → 167 (mod 256)... compute below
+        (4, [7, 1, 2]),    # Paeth
+    ]
+    raw = b"".join(bytes([f]) + bytes(v) for f, v in rows)
+    h = len(rows)
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
+
+    def chunk(tag, body):
+        return (
+            struct.pack(">I", len(body)) + tag + body
+            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+        )
+
+    data = (
+        PNG_MAGIC
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+    gw, gh, ch, gray = decode_png(data)
+    assert (gw, gh, ch) == (w, h, 1)
+    # row 0 (Sub): a = left
+    r0 = [10, 15, 20]
+    # row 1 (Up): b = above
+    r1 = [11, 17, 23]
+    # row 2 (Average): (a + b) // 2
+    r2 = []
+    for x, v in enumerate([4, 10, 200]):
+        a = r2[x - 1] if x else 0
+        r2.append((v + (a + r1[x]) // 2) & 0xFF)
+    # row 3 (Paeth)
+    def paeth(a, b, c):
+        p = a + b - c
+        pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+        return a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+
+    r3 = []
+    for x, v in enumerate([7, 1, 2]):
+        a = r3[x - 1] if x else 0
+        c = r2[x - 1] if x else 0
+        r3.append((v + paeth(a, r2[x], c)) & 0xFF)
+    assert list(gray) == r0 + r1 + r2 + r3
+
+
+def test_png_rejects_garbage_and_unsupported():
+    with pytest.raises(ValueError):
+        decode_png(b"not a png at all")
+    # 16-bit depth unsupported
+    ihdr = struct.pack(">IIBBBBB", 1, 1, 16, 0, 0, 0, 0)
+    body = struct.pack(">I", len(ihdr)) + b"IHDR" + ihdr + struct.pack(
+        ">I", zlib.crc32(b"IHDR" + ihdr) & 0xFFFFFFFF
+    )
+    with pytest.raises(ValueError):
+        decode_png(PNG_MAGIC + body)
+
+
+def test_png_grid_features_uniform_image():
+    w = h = 8
+    data = encode_png(w, h, bytes([51]) * (w * h))
+    _, _, _, gray = decode_png(data)
+    feats = png_grid_features(gray, w, h, grid=4)
+    assert len(feats) == 16
+    assert all(abs(f - 51 / 255.0) < 1e-9 for f in feats)
+
+
+def test_wav_roundtrip_and_duration():
+    samples = [0, 1000, -1000, 32767, -32768] * 160  # 800 frames
+    data = encode_wav(samples, sample_rate=8000)
+    rate, duration_ms, got = decode_wav(data)
+    assert rate == 8000
+    assert duration_ms == 100  # 800 / 8000 s
+    assert got == samples
+
+
+def test_wav_band_features_constant_amplitude():
+    samples = [16384] * 1600
+    feats = wav_band_features(samples, bands=16)
+    assert len(feats) == 16
+    assert all(abs(f - 0.5) < 1e-6 for f in feats)
+
+
+def test_wav_rejects_garbage():
+    with pytest.raises(ValueError):
+        decode_wav(b"RIFFbroken")
+    with pytest.raises(ValueError):
+        decode_wav(b"plainly not audio")
+
+
+def test_decode_media_stdlib_backend_decodes_real_bytes(spark):
+    """End-to-end through Spark: fetch_payloads fabricates real PNG/WAV
+    payloads; backend='stdlib' must parse THEM — width/height equal to the
+    encoder's seed-derived dims, duration equal to the PCM frame count —
+    and label rows by actual backend (png/wav real, others fake)."""
+    import hashlib
+
+    from chatvector_ai_spark import datagen as dg
+    from chatvector_ai_spark.operators.multimodal import (
+        FEATURE_DIM,
+        decode_media,
+        fetch_payloads,
+        media_spans,
+    )
+
+    media = fetch_payloads(media_spans(dg.documents_df(spark, 60)))
+    feats = decode_media(media, backend="stdlib").toPandas()
+    assert len(feats) == media.count()
+    assert feats["feature"].map(len).eq(FEATURE_DIM).all()
+
+    png = feats[feats["media_ref"].str.endswith(".png")]
+    assert len(png) > 0
+    for _, row in png.iterrows():
+        seed = hashlib.sha256(row["media_ref"].encode()).digest()
+        assert row["decode_backend"] == "stdlib-png"
+        assert row["width"] == 8 + seed[0] % 8    # real IHDR width
+        assert row["height"] == 8 + seed[1] % 8   # real IHDR height
+
+    wav = feats[feats["media_ref"].str.endswith(".wav")]
+    assert len(wav) > 0
+    for _, row in wav.iterrows():
+        seed = hashlib.sha256(row["media_ref"].encode()).digest()
+        n = 800 + seed[0] * 8
+        assert row["decode_backend"] == "stdlib-wav"
+        assert row["duration_ms"] == round(n * 1000 / 8000)  # real frame count
+
+    other = feats[~feats["media_ref"].str.endswith((".png", ".wav"))]
+    if len(other):
+        assert (other["decode_backend"] == "fake").all()
+
+
+def test_decode_media_stdlib_degrades_on_corrupt_payload(spark):
+    """A payload with a valid magic but corrupt body must yield a labeled
+    'decode-error' fallback row — one bad blob in a billion must never
+    crash the stage."""
+    import pandas as pd
+
+    from chatvector_ai_spark.operators.multimodal import decode_media
+
+    rows = pd.DataFrame(
+        {
+            "doc_id": ["d0", "d0"],
+            "span_idx": [0, 1],
+            "span_offset": [0, 1],
+            "kind": ["image", "audio"],
+            "media_ref": ["bad.png", "bad.wav"],
+            "payload": [PNG_MAGIC + b"garbage body", b"RIFFgarbage body"],
+            "content_type": ["image/png", "audio/wav"],
+            "n_bytes": [20, 16],
+        }
+    )
+    media = spark.createDataFrame(rows)
+    got = decode_media(media, backend="stdlib").toPandas()
+    assert len(got) == 2
+    assert set(got["decode_backend"]) == {"decode-error"}
+    assert got["feature"].map(len).nunique() == 1  # still fixed-dim

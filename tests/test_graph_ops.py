@@ -98,3 +98,59 @@ def test_cooccurrence_symmetric_pairs(graph):
     pairs = cooccurring_entities(edges, min_shared_docs=1).toPandas()
     assert len(pairs) > 0
     assert (pairs["entity_a"] < pairs["entity_b"]).all()
+
+
+def test_cooccurrence_caps_pathological_doc_fanout(spark):
+    """A single doc with thousands of distinct entities must not emit an
+    O(entities²) pair set: the per-doc top-N cap bounds the fan-out, and
+    capped docs keep the highest-mention-count entities (deterministic)."""
+    hot = [("hot_doc", f"E{i:05d}", "rel") for i in range(2000)]
+    # E00000/E00001 appear twice in hot_doc → must survive the cap
+    hot += [("hot_doc", "E00000", "rel2"), ("hot_doc", "E00001", "rel2")]
+    cold = [("cold_doc", "E00000", "rel"), ("cold_doc", "E00001", "rel")]
+    edges = spark.createDataFrame(
+        [(d, e, f"E_dst_{d}", r) for d, e, r in hot + cold],
+        "doc_id string, src string, dst string, rel string",
+    )
+    pairs = cooccurring_entities(edges, min_shared_docs=1, max_entities_per_doc=16)
+    pdf = pairs.toPandas()
+    # hot_doc contributes at most C(16,2)=120 pairs, cold_doc C(3,2)=3
+    assert len(pdf) <= 120 + 3
+    # the high-mention entities survived the cap and still co-occur twice
+    both = pdf[(pdf["entity_a"] == "E00000") & (pdf["entity_b"] == "E00001")]
+    assert both["shared_docs"].tolist() == [2]
+
+
+def test_khop_matches_recursive_cte_min_hop_with_cycle(spark):
+    """BFS first-reach depth must equal the recursive-CTE min(hop) oracle
+    on a graph with a cycle THROUGH the seed (the kg_khop oracle shape):
+    a back-edge to the seed must not re-add it at a higher hop."""
+    import duckdb
+
+    rows = [
+        ("S", "A"), ("A", "B"), ("B", "S"),  # 3-cycle through the seed
+        ("B", "C"), ("C", "D"),              # chain past the cycle
+        ("X", "S"),                          # incoming edge (undirected hop 1)
+    ]
+    edges = spark.createDataFrame(rows, "src string, dst string")
+    got = {
+        (r["entity"], r["hop"])
+        for r in khop(edges, ["S"], k=3).collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE e AS SELECT * FROM (VALUES " +
+                ",".join(f"('{s}','{d}')" for s, d in rows) + ") t(src, dst)")
+    oracle = con.execute("""
+        WITH RECURSIVE sym AS (
+            SELECT src, dst FROM e UNION SELECT dst, src FROM e
+        ),
+        reach(entity, hop) AS (
+            SELECT 'S', 0
+            UNION ALL
+            SELECT s.dst, r.hop + 1 FROM reach r JOIN sym s ON s.src = r.entity
+            WHERE r.hop < 3
+        )
+        SELECT entity, CAST(min(hop) AS INT) FROM reach GROUP BY entity
+    """).fetchall()
+    assert got == set(oracle)
+    assert ("S", 0) in got  # the cycle never re-adds the seed

@@ -75,3 +75,121 @@ def test_stateful_sessionize_matches_batch_closed_sessions(spark, tmp_path):
     pd.testing.assert_frame_equal(
         got_s, exp_s.astype(got_s.dtypes.to_dict()), check_dtype=False
     )
+
+
+def test_idle_session_flushes_on_processing_timeout(spark, tmp_path):
+    """A user who goes quiet must have their open session emitted by the
+    ProcessingTimeTimeout flush — no further events for that user needed
+    (reference analog: inactivity closing a chat session,
+    backend/services/chat_service.py:169-199). The event-time gap is huge,
+    so ONLY the processing-time idle timer can close the session."""
+    import time
+
+    src = str(tmp_path / "events_idle")
+    out = str(tmp_path / "out_idle")
+    ckpt = str(tmp_path / "ckpt_idle")
+
+    def write(rows):
+        spark.createDataFrame(
+            rows, "ts string, user_id long, event_id long, value double"
+        ).selectExpr(
+            "CAST(ts AS TIMESTAMP) ts", "user_id", "event_id", "value"
+        ).coalesce(1).write.mode("append").parquet(src)
+
+    def run_once():
+        stream = spark.readStream.schema(
+            "ts timestamp, user_id long, event_id long, value double"
+        ).parquet(src)
+        q = (
+            stream_sessionize(stream, gap_seconds=86400, timeout_ms=300)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        # short timer → flush fires, state drains, query self-terminates;
+        # stop defensively if it is still spinning when patience runs out
+        if not q.awaitTermination(150):
+            q.stop()
+            q.awaitTermination(60)
+
+    write([("2024-01-01 10:00:00", 1, 1, 1.0), ("2024-01-01 10:00:10", 1, 2, 2.5)])
+    run_once()
+    # the availableNow run keeps firing micro-batches while timers are
+    # pending, so the flush usually lands in the first run; if it stopped
+    # early, a later batch (forced by an unrelated user's event) fires it
+    for attempt in range(3):
+        try:
+            got = spark.read.parquet(out).where("user_id = 1").toPandas()
+        except Exception:
+            got = []
+        if len(got):
+            break
+        time.sleep(1.0)
+        write([("2024-01-01 11:00:00", 100 + attempt, 50 + attempt, 9.9)])
+        run_once()
+    assert len(got) == 1
+    assert got.loc[0, "n_events"] == 2
+    assert got.loc[0, "value_cents"] == 350
+    assert str(got.loc[0, "session_start"]).startswith("2024-01-01 10:00:00")
+    assert str(got.loc[0, "session_end"]).startswith("2024-01-01 10:00:10")
+
+
+def test_out_of_order_event_never_moves_session_end_backwards(spark, tmp_path):
+    """A late event in a later micro-batch with ts earlier than the stored
+    session bounds must extend with min/max, not drag session_end back.
+
+    Each intermediate run uses ``trigger(once=True)`` — exactly one batch,
+    then clean self-termination. availableNow would keep spinning no-data
+    micro-batches while the (deliberately long) idle timers are pending,
+    so it never self-terminates and a hard stop races the next run on the
+    same checkpoint. The merged session is finally CLOSED by the event-time
+    gap branch (an event past the 1-day gap), not a timer — the idle-timer
+    flush is covered by the test above."""
+    src = str(tmp_path / "events_ooo")
+    out = str(tmp_path / "out_ooo")
+    ckpt = str(tmp_path / "ckpt_ooo")
+
+    def write(rows):
+        spark.createDataFrame(
+            rows, "ts string, user_id long, event_id long, value double"
+        ).selectExpr(
+            "CAST(ts AS TIMESTAMP) ts", "user_id", "event_id", "value"
+        ).coalesce(1).write.mode("append").parquet(src)
+
+    def run_once():
+        stream = spark.readStream.schema(
+            "ts timestamp, user_id long, event_id long, value double"
+        ).parquet(src)
+        q = (
+            stream_sessionize(stream, gap_seconds=86400, timeout_ms=3_600_000)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(once=True)
+            .start()
+        )
+        assert q.awaitTermination(180)
+
+    # batch 1: an in-order pair; the 1h idle timer never fires in-test
+    write([("2024-01-01 10:00:00", 7, 1, 1.0), ("2024-01-01 10:30:00", 7, 2, 1.0)])
+    run_once()
+    # batch 2: an out-of-order event BEFORE the stored start arrives late
+    write([("2024-01-01 09:55:00", 7, 3, 1.0)])
+    run_once()
+    # batch 3: an event past the gap closes the merged session (gap branch)
+    write([("2024-01-03 12:00:00", 7, 4, 1.0)])
+    run_once()
+    got = (
+        spark.read.parquet(out)
+        .where("user_id = 7 AND session_start < '2024-01-02'")
+        .toPandas()
+    )
+    assert len(got) == 1
+    # min/max bounds: start extended back to 09:55, end stays at 10:30
+    assert str(got.loc[0, "session_start"]).startswith("2024-01-01 09:55:00")
+    assert str(got.loc[0, "session_end"]).startswith("2024-01-01 10:30:00")
+    assert got.loc[0, "n_events"] == 3
