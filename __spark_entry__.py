@@ -22,14 +22,19 @@ from chatvector_ai_spark.suite import all_oracles, all_queries, register_views
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship hybrid retrieval on /root/testdata/sf0.001.
 
-    Vector ranking (cosine of each embedding vs the vec_id=0 query vector)
-    fused with keyword ranking (token overlap vs a fixed query string) via
-    reciprocal-rank fusion (k=60) — the Spark-native shape of the
-    reference's hybrid search (sqlalchemy_service.py:545-623 +
-    retrieval_service.py:119-152). Each list is pre-narrowed to a bounded
-    top-100 candidate set with ORDER BY … LIMIT (TakeOrderedAndProject —
-    distributed) and ranked by join-count over that bounded set, so no
-    unpartitioned window ever drags the corpus to one partition.
+    Vector ranking fused with keyword ranking (token overlap vs a fixed
+    query string) via reciprocal-rank fusion (k=60) — the Spark-native
+    shape of the reference's hybrid search (sqlalchemy_service.py:545-623
+    + retrieval_service.py:119-152). The vector arm is INDEX-ASSISTED the
+    way the reference's pgvector ivfflat index serves _find_vector_chunks
+    (sqlalchemy_service.py:479-506, ARCHITECTURE.md:402-406): every vector
+    is coarse-quantized to its nearest of 10 centroids, the two cells
+    nearest the vec_id=0 query are probed, and ONLY those candidates get
+    the exact-cosine rerank — the corpus is never exact-scanned. Each arm
+    is then narrowed to a bounded top-100 candidate set with ORDER BY …
+    LIMIT (TakeOrderedAndProject — distributed) and ranked by join-count
+    over that bounded set, so no unpartitioned window ever drags the
+    corpus to one partition.
     """
     sf_dir = "/root/testdata/sf0.001"
     spark.conf.set("spark.sql.session.timeZone", "UTC")
@@ -37,6 +42,41 @@ def entry(spark: SparkSession) -> DataFrame:
     return spark.sql(
         """
         WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+        cent AS (SELECT vec_id AS cid, embedding FROM embeddings WHERE vec_id < 10),
+        assign AS (
+            -- per-vector nearest centroid as a max_by hash AGGREGATE (ties
+            -- → smaller cid via the -cid struct field): no window, no sort
+            SELECT e.vec_id,
+                   max_by(c.cid, named_struct(
+                       'cos', aggregate(zip_with(e.embedding, c.embedding,
+                                  (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),
+                              CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)
+                              / (sqrt(aggregate(zip_with(e.embedding, e.embedding,
+                                  (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),
+                                  CAST(0.0 AS DOUBLE), (acc, v) -> acc + v))
+                                 * sqrt(aggregate(zip_with(c.embedding, c.embedding,
+                                  (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),
+                                  CAST(0.0 AS DOUBLE), (acc, v) -> acc + v))),
+                       'neg_cid', -c.cid)) AS cid
+            FROM embeddings e CROSS JOIN cent c
+            GROUP BY e.vec_id
+        ),
+        probe AS (
+            -- the 2 cells nearest the query: TakeOrdered over 10 rows
+            SELECT c.cid
+            FROM cent c CROSS JOIN q
+            ORDER BY aggregate(zip_with(q.qv, c.embedding,
+                         (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),
+                     CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)
+                     / (sqrt(aggregate(zip_with(q.qv, q.qv,
+                         (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),
+                         CAST(0.0 AS DOUBLE), (acc, v) -> acc + v))
+                        * sqrt(aggregate(zip_with(c.embedding, c.embedding,
+                         (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),
+                         CAST(0.0 AS DOUBLE), (acc, v) -> acc + v))) DESC,
+                     c.cid
+            LIMIT 2
+        ),
         vec AS (
             SELECT e.vec_id AS doc_id,
                    aggregate(zip_with(e.embedding, q.qv,
@@ -48,7 +88,10 @@ def entry(spark: SparkSession) -> DataFrame:
                       * sqrt(aggregate(zip_with(q.qv, q.qv,
                                                 (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),
                                        CAST(0.0 AS DOUBLE), (acc, v) -> acc + v))) AS cosine
-            FROM embeddings e CROSS JOIN q WHERE e.vec_id <> 0
+            FROM embeddings e
+            JOIN assign a ON e.vec_id = a.vec_id
+            JOIN probe p ON a.cid = p.cid
+            CROSS JOIN q WHERE e.vec_id <> 0
         ),
         vcand AS (SELECT doc_id, cosine FROM vec ORDER BY cosine DESC, doc_id LIMIT 100),
         vrank AS (SELECT a.doc_id, 1 + count(b.doc_id) AS rnk

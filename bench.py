@@ -7,10 +7,17 @@ on ``local[$SPARK_GRAFT_CPUS]`` and print ONE JSON line::
      "queries": {name: sec, ...}, "sf": ..., ...}
 
 The KG pipeline segment synthesizes ``CVS_BENCH_DOCS`` interleaved documents
-(default 2000 ≈ the sf0.1 design point) into a fresh warehouse and reports
-docs/sec — the BASELINE.json throughput metric. Scaling-efficiency evidence
-(same job at local[8] vs local[32]) is produced by tools/bench_scaling.py
-and recorded in BENCH/BASELINE.md.
+(default 20000 ≈ the sf0.1 design point) into a fresh warehouse and reports
+docs/sec — the BASELINE.json throughput metric.
+
+Measurement discipline: ``CVS_BENCH_REPEATS`` (default 3) INTERLEAVED
+repeats — every repeat runs the pipeline then each headline query, and the
+reported number per segment is the MIN across repeats (the same discipline
+as tools/bench_scaling.py). This co-tenant host swings identical runs by
+2-4× (documented in BENCH/BASELINE.md), so a single-pass wall-clock carries
+no round-over-round signal; min-of-N interleaved does. Scaling-efficiency
+evidence (same job at local[8] vs local[32]) is produced by
+tools/bench_scaling.py and recorded in BENCH/BASELINE.md.
 """
 
 from __future__ import annotations
@@ -30,6 +37,7 @@ HEADLINE = [
     "t1_topk_per_group",
     "w1_cosine_topk",
     "ann_ivf_topk",
+    "ann_ivf_rerank",
     "dd_minhash_lsh",
     "dd_simhash",
     "tx_fingerprint",
@@ -42,8 +50,10 @@ def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     n_docs = int(os.environ.get("CVS_BENCH_DOCS", "20000"))
+    repeats = int(os.environ.get("CVS_BENCH_REPEATS", "3"))
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or "0.1"
 
+    from chatvector_ai_spark.datagen import documents_df
     from chatvector_ai_spark.pipeline import flagship_query, run_pipeline
     from chatvector_ai_spark.session import get_spark
     from chatvector_ai_spark.suite import all_queries
@@ -51,33 +61,43 @@ def main() -> int:
 
     spark = get_spark(app_name="cvs-bench", master=f"local[{cpus}]",
                       shuffle_partitions=max(cpus, 8))
-    timings: dict[str, float] = {}
-
-    # 1) KG pipeline over a pre-materialized interleaved-documents table
-    #    (the production shape: read the committed input table; synthesis is
-    #    input prep, not pipeline work): ingest → extract → link →
-    #    canonicalize → materialize, all stages snapshot-committed.
-    from chatvector_ai_spark.datagen import documents_df
-
-    wh_root = tempfile.mkdtemp(prefix="cvs_bench_wh_")
-    docs_dir = os.path.join(wh_root, "_input_docs")
-    try:
-        documents_df(spark, n_docs).write.parquet(docs_dir)
-        t0 = time.time()
-        run = run_pipeline(spark, Warehouse(wh_root), docs_path=docs_dir, resume=False)
-        flagship_query(spark, Warehouse(wh_root), run.input_key).collect()
-        kg_sec = time.time() - t0
-    finally:
-        shutil.rmtree(wh_root, ignore_errors=True)
-    timings["kg_pipeline"] = round(kg_sec, 3)
-
-    # 2) headline operator queries on the sf-dir tables
     queries = all_queries()
-    for name in HEADLINE:
-        t0 = time.time()
-        queries[name](spark, sf_dir).collect()
-        timings[name] = round(time.time() - t0, 3)
 
+    # input prep, not pipeline work: the pre-materialized interleaved-
+    # documents table every repeat's pipeline reads (the production shape)
+    docs_dir = tempfile.mkdtemp(prefix="cvs_bench_docs_")
+    documents_df(spark, n_docs).write.mode("overwrite").parquet(docs_dir)
+
+    best: dict[str, float] = {}
+    try:
+        for rep in range(repeats):
+            # 1) KG pipeline: ingest → extract → link → canonicalize →
+            #    materialize, all stages snapshot-committed, fresh warehouse
+            wh_root = tempfile.mkdtemp(prefix="cvs_bench_wh_")
+            try:
+                t0 = time.time()
+                run = run_pipeline(
+                    spark, Warehouse(wh_root), docs_path=docs_dir, resume=False
+                )
+                flagship_query(spark, Warehouse(wh_root), run.input_key).collect()
+                sec = time.time() - t0
+            finally:
+                shutil.rmtree(wh_root, ignore_errors=True)
+            if "kg_pipeline" not in best or sec < best["kg_pipeline"]:
+                best["kg_pipeline"] = sec
+
+            # 2) headline operator queries on the sf-dir tables
+            for name in HEADLINE:
+                t0 = time.time()
+                queries[name](spark, sf_dir).collect()
+                sec = time.time() - t0
+                if name not in best or sec < best[name]:
+                    best[name] = sec
+            print(f"rep {rep}: done", file=sys.stderr)
+    finally:
+        shutil.rmtree(docs_dir, ignore_errors=True)
+
+    timings = {k: round(v, 3) for k, v in best.items()}
     total = round(sum(timings.values()), 3)
     print(json.dumps({
         "metric": "kg_pipeline+headline_queries_total_sec",
@@ -86,8 +106,10 @@ def main() -> int:
         "queries": timings,
         "sf": sf,
         "kg_docs": n_docs,
-        "kg_docs_per_sec": round(n_docs / kg_sec, 2),
+        "kg_docs_per_sec": round(n_docs / best["kg_pipeline"], 2),
         "cpus": cpus,
+        "repeats": repeats,
+        "discipline": "interleaved min-of-N",
     }))
     return 0
 

@@ -46,6 +46,12 @@ SKEW_SALT_BUCKETS = int(os.getenv("CVS_SKEW_SALT", "8"))
 
 # --- graph materialization ---------------------------------------------------
 N_BUCKETS = int(os.getenv("CVS_N_BUCKETS", "16"))
+# Write tasks (and file groups) per bucket: decouples write parallelism
+# from the bucket count. 1 = one right-sized file per bucket (correct for
+# this sandbox's data volume); at 100 TB raise it so a commit is not
+# bottlenecked on N_BUCKETS tasks and files stay near the target size —
+# bucket-pruned reads still prune (files multiply WITHIN a bucket dir).
+FILES_PER_BUCKET = int(os.getenv("CVS_FILES_PER_BUCKET", "1"))
 
 # --- warehouse (snapshot/lineage store) -------------------------------------
 WAREHOUSE_DIR = os.getenv("CVS_WAREHOUSE", "/tmp/cvs_warehouse")

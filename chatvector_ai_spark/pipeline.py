@@ -31,7 +31,13 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from chatvector_ai_spark.config import CHUNK_OVERLAP, CHUNK_SIZE, EMBEDDING_DIM, N_BUCKETS
+from chatvector_ai_spark.config import (
+    CHUNK_OVERLAP,
+    CHUNK_SIZE,
+    EMBEDDING_DIM,
+    FILES_PER_BUCKET,
+    N_BUCKETS,
+)
 from chatvector_ai_spark.datagen import alias_df, documents_df
 from chatvector_ai_spark.operators.canonicalize import canonical_map
 from chatvector_ai_spark.operators.extract import extract_triples_df
@@ -40,14 +46,39 @@ from chatvector_ai_spark.operators.link import link_mentions, mentions_from_trip
 from chatvector_ai_spark.warehouse import Warehouse
 
 
-def nodes_from_linked(linked: DataFrame, cmap: DataFrame) -> DataFrame:
+def _bucket_write_layout(
+    df: DataFrame, key: str, files_per_bucket: int | None = None
+) -> DataFrame:
+    """Co-locate the write so a partitionBy("bucket") commit produces
+    exactly ``files_per_bucket`` file groups per bucket directory.
+
+    A partitionBy write from T arbitrary tasks fans out to T×N_BUCKETS
+    small files per commit (512 at 32 slots — a manifest and footer-scan
+    burden that grows with every executor added). Repartitioning on the
+    bucket alone fixes that but pins write parallelism to N_BUCKETS tasks
+    and one ever-growing file per bucket — the 100 TB bottleneck. The salt
+    (a second hash of the same key) splits each bucket into
+    ``files_per_bucket`` deterministic sub-groups, so write parallelism
+    and target file size scale independently of the bucket count while
+    bucket-pruned reads keep pruning (files multiply WITHIN a bucket
+    directory, never across)."""
+    fpb = FILES_PER_BUCKET if files_per_bucket is None else files_per_bucket
+    if fpb <= 1:
+        return df.repartition("bucket")
+    salt = F.pmod(F.xxhash64(F.col(key), F.lit("filegroup")), F.lit(fpb))
+    return df.repartition(N_BUCKETS * fpb, F.col("bucket"), salt)
+
+
+def nodes_from_linked(
+    linked: DataFrame, cmap: DataFrame, files_per_bucket: int | None = None
+) -> DataFrame:
     """Canonical node aggregate (label = min surface, provenance counts),
     bucketed by entity hash — shared by the pipeline's nodes stage and the
     cascading-delete rebuild (operators/delete.py)."""
     resolved = linked.join(F.broadcast(cmap), "entity_id", "left").withColumn(
         "canonical_entity", F.coalesce(F.col("canonical_entity"), F.col("entity_id"))
     )
-    return (
+    agg = (
         resolved.groupBy("canonical_entity")
         .agg(
             F.count("*").alias("n_mentions"),
@@ -55,17 +86,14 @@ def nodes_from_linked(linked: DataFrame, cmap: DataFrame) -> DataFrame:
             F.min("canonical").alias("label"),
         )
         .withColumn("bucket", F.pmod(F.xxhash64("canonical_entity"), F.lit(N_BUCKETS)))
-        # co-locate each bucket in one write task: a partitionBy write from
-        # T tasks otherwise fans out to T×N_BUCKETS small files per commit
-        # (512 at 32 slots — a manifest and footer-scan burden that grows
-        # with every executor added; at 100 TB, one right-sized file group
-        # per bucket is the layout the table contract wants)
-        .repartition("bucket")
     )
+    return _bucket_write_layout(agg, "canonical_entity", files_per_bucket)
 
 
 
-def edges_from_linked(linked: DataFrame, cmap: DataFrame) -> DataFrame:
+def edges_from_linked(
+    linked: DataFrame, cmap: DataFrame, files_per_bucket: int | None = None
+) -> DataFrame:
     """Canonical edge table from linked mentions: one broadcast join
     (canonical map) + one groupBy pivot on the triple id — the subject and
     object rows of a triple meet in the same reduce group, no
@@ -77,7 +105,7 @@ def edges_from_linked(linked: DataFrame, cmap: DataFrame) -> DataFrame:
     def side(role: str, col: str):
         return F.max(F.when(F.col("role") == role, F.col(col)))
 
-    return (
+    agg = (
         resolved.groupBy("triple_id")
         .agg(
             side("subj", "entity").alias("src"),
@@ -92,8 +120,8 @@ def edges_from_linked(linked: DataFrame, cmap: DataFrame) -> DataFrame:
         )
         .drop("triple_id")
         .withColumn("bucket", F.pmod(F.xxhash64("src"), F.lit(N_BUCKETS)))
-        .repartition("bucket")  # one write task per bucket (see nodes_from_linked)
     )
+    return _bucket_write_layout(agg, "src", files_per_bucket)
 
 
 @dataclass

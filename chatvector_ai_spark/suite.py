@@ -763,6 +763,59 @@ def _lsh_sql(engine: str, dot: str) -> str:
 
 _q("ann_lsh_topk", _lsh_sql("spark", _SPARK_DOT), _lsh_sql("duck", _DUCK_DOT))
 
+
+# ANN index-assisted retrieval (the reference's ivfflat-served
+# _find_vector_chunks, backend/db/sqlalchemy_service.py:479-506 +
+# ARCHITECTURE.md:402-406): candidates come from the IVF index structure
+# — multi-probe, the nprobe=2 cells nearest the query — and ONLY those
+# are exact-cosine reranked. At scale the probe is a broadcast-size
+# centroid argmax per row and the rerank touches |probed cells| rows, not
+# the corpus; this is the index-assisted twin of the exact w1/t1 scans.
+def _ivf_rerank_sql(dot: str) -> str:
+    cos_ec = (
+        f"round({dot.format(a='e.embedding', b='c.embedding')}"
+        f" / (sqrt({dot.format(a='e.embedding', b='e.embedding')})"
+        f" * sqrt({dot.format(a='c.embedding', b='c.embedding')})), 9)"
+    )
+    cos_qc = (
+        f"round({dot.format(a='q.qv', b='c.embedding')}"
+        f" / (sqrt({dot.format(a='q.qv', b='q.qv')})"
+        f" * sqrt({dot.format(a='c.embedding', b='c.embedding')})), 9)"
+    )
+    cos_cand = (
+        f"round({dot.format(a='cand.embedding', b='q.qv')}"
+        f" / (sqrt({dot.format(a='cand.embedding', b='cand.embedding')})"
+        f" * sqrt({dot.format(a='q.qv', b='q.qv')})), 6)"
+    )
+    return f"""
+    WITH cent AS (SELECT vec_id AS cid, embedding FROM embeddings WHERE vec_id < 10),
+    q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 2),
+    assign AS (
+        SELECT vec_id, cid FROM (
+            SELECT e.vec_id, c.cid,
+                   row_number() OVER (PARTITION BY e.vec_id ORDER BY {cos_ec} DESC, c.cid) AS rk
+            FROM embeddings e CROSS JOIN cent c
+        ) t WHERE rk = 1
+    ),
+    probe AS (
+        SELECT cid FROM (
+            SELECT c.cid,
+                   row_number() OVER (ORDER BY {cos_qc} DESC, c.cid) AS rk
+            FROM cent c CROSS JOIN q
+        ) t WHERE rk <= 2
+    ),
+    cand AS (SELECT e.vec_id, e.embedding FROM embeddings e
+             JOIN assign a ON e.vec_id = a.vec_id JOIN probe p ON a.cid = p.cid
+             WHERE e.vec_id <> 2)
+    SELECT cand.vec_id, {cos_cand} AS cosine
+    FROM cand CROSS JOIN q
+    ORDER BY cosine DESC, cand.vec_id
+    LIMIT 10
+    """
+
+
+_q("ann_ivf_rerank", _ivf_rerank_sql(_SPARK_DOT), _ivf_rerank_sql(_DUCK_DOT))
+
 # ---------------------------------------------------------------------------
 # Text analysis
 # ---------------------------------------------------------------------------

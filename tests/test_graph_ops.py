@@ -154,3 +154,54 @@ def test_khop_matches_recursive_cte_min_hop_with_cycle(spark):
     """).fetchall()
     assert got == set(oracle)
     assert ("S", 0) in got  # the cycle never re-adds the seed
+
+
+def test_write_parallelism_decoupled_from_bucket_count(spark, graph_wh, tmp_path):
+    """files_per_bucket=F commits F file groups per bucket directory —
+    write parallelism scales independently of N_BUCKETS — and the bucketed
+    layout still prunes: ego over the multi-file snapshot equals the
+    single-file truth."""
+    from chatvector_ai_spark.config import N_BUCKETS
+    from chatvector_ai_spark.pipeline import edges_from_linked
+    from chatvector_ai_spark.warehouse import Warehouse
+
+    wh, run = graph_wh
+    linked = wh.read(spark, "linked_mentions", run.input_key)
+    cmap = wh.read(spark, "canonical_map", run.input_key)
+
+    fpb = 4
+    wh2 = Warehouse(str(tmp_path / "wide_wh"))
+    wh2.commit(
+        edges_from_linked(linked, cmap, files_per_bucket=fpb),
+        "edges",
+        run_id="r", stage="edges", input_key=run.input_key,
+        metrics={"n_buckets": N_BUCKETS}, partition_by=["bucket"],
+    )
+
+    import glob
+    import os
+
+    snap_dir = glob.glob(os.path.join(str(tmp_path / "wide_wh"), "edges", "snap-*"))[0]
+    per_bucket = {
+        os.path.basename(d): len(glob.glob(os.path.join(d, "*.parquet")))
+        for d in glob.glob(os.path.join(snap_dir, "bucket=*"))
+    }
+    assert len(per_bucket) > 1  # multiple bucket dirs materialized
+    # decoupled: more file groups than bucket dirs in total, and no bucket
+    # exceeds its files_per_bucket budget (hash collisions may merge some
+    # salt groups into one task, so 1..F files per bucket)
+    assert sum(per_bucket.values()) > len(per_bucket)
+    assert all(1 <= n <= fpb for n in per_bucket.values())
+
+    # pruning intact: ego over the multi-file snapshot == unbucketed truth
+    wide = wh2.read(spark, "edges", run.input_key)
+    top = degrees(wide).orderBy(F.desc("degree")).first()["entity"]
+    truth = {
+        tuple(r) for r in
+        ego_edges(wide, top, n_buckets=None).select("src", "dst", "chunk_id").collect()
+    }
+    pruned = {
+        tuple(r) for r in
+        ego_edges(wide, top, n_buckets=N_BUCKETS).select("src", "dst", "chunk_id").collect()
+    }
+    assert pruned == truth

@@ -88,6 +88,40 @@ def hardware_calibration(levels=(2, 8, 32), n=4_000_000, reps=3) -> dict[int, fl
     return out
 
 
+def _memcpy_work(args: tuple[int, int]) -> float:
+    """Copy a buffer repeatedly; returns bytes moved (one process)."""
+    size, reps = args
+    src = bytearray(size)
+    total = 0
+    for _ in range(reps):
+        dst = bytes(src)  # one full memcpy of the buffer
+        total += len(dst)
+    del dst
+    return float(total)
+
+
+def memory_bandwidth_probe(levels=(2, 8, 32), size=64 << 20, reps=8, tries=3) -> dict[int, float]:
+    """Aggregate memcpy bandwidth (GB/s) per parallelism level, best-of-tries.
+
+    The pipeline's parquet/shuffle stages are memory-bandwidth-bound, not
+    CPU-bound; on this virtualized co-tenant host the AGGREGATE bandwidth
+    can FALL as processes are added (round-2 measurement: 7.6 GB/s at 8
+    procs → 4.6 GB/s at 32). Publishing the probe next to every scaling
+    pair makes that ceiling part of the record instead of a footnote."""
+    out: dict[int, float] = {}
+    for procs in levels:
+        best = None
+        for _ in range(tries):
+            t0 = time.time()
+            with mp.Pool(procs) as p:
+                moved = sum(p.map(_memcpy_work, [(size, reps)] * procs))
+            el = time.time() - t0
+            bw = moved / el / 1e9
+            best = bw if best is None else max(best, bw)
+        out[procs] = round(best, 2)
+    return out
+
+
 def gen_docs(n_docs: int) -> str:
     docs_dir = os.path.join(tempfile.gettempdir(), f"cvs_scale_docs_{n_docs}")
     if not os.path.isdir(docs_dir):
@@ -129,11 +163,16 @@ def main() -> int:
     calib = hardware_calibration(levels=tuple(levels))
     ceilings = {f"{a}->{b}": round((calib[b] / calib[a]) / 4, 3) for a, b, _ in pairs}
     print(f"hardware calibration (M sha256/s): {calib}; ceilings {ceilings}", file=sys.stderr)
+    membw = memory_bandwidth_probe(levels=tuple(levels))
+    bw_ceilings = {f"{a}->{b}": round((membw[b] / membw[a]) / 4, 3) for a, b, _ in pairs}
+    print(f"memcpy bandwidth probe (GB/s): {membw}; bw ceilings {bw_ceilings}", file=sys.stderr)
 
     results = [measure_pair(a, b, n, repeats) for a, b, n in pairs]
 
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
-    calib_rows = "\n".join(f"| {c} | {v} |" for c, v in sorted(calib.items()))
+    calib_rows = "\n".join(
+        f"| {c} | {v} | {membw.get(c, '—')} |" for c, v in sorted(calib.items())
+    )
     pair_sections = []
     for (a, b, n), r in zip(pairs, results):
         ceiling = ceilings[f"{a}->{b}"]
@@ -161,17 +200,20 @@ criterion of BASELINE.json.
 
 ## Hardware calibration (what this host can express)
 
-Pure-CPU multiprocessing sha256 (no Spark, no I/O), best of 3, on this
-virtualized co-tenant 32-vCPU host:
+Pure-CPU multiprocessing sha256 (compute ceiling) and an aggregate memcpy
+probe (memory-bandwidth ceiling; 64 MiB buffers, far beyond cache), no
+Spark, no I/O, best of 3, on this virtualized co-tenant 32-vCPU host:
 
-| procs | M hashes/s |
-|---|---|
+| procs | M hashes/s | memcpy GB/s |
+|---|---|---|
 {calib_rows}
 
-Per-pair 4×-parallelism ceilings from the same numbers: {ceilings}.
-Pipeline efficiencies must be read against these ceilings — at high core
-counts the host itself cannot express 4× (steal/co-tenancy), so the
-low-core pairs are where the ≥0.8 criterion is meaningfully testable.
+Per-pair 4×-parallelism ceilings: compute {ceilings}; memory bandwidth
+{bw_ceilings}. Pipeline efficiencies must be read against BOTH — the
+pipeline's parquet/shuffle stages are bandwidth-bound, and at high core
+counts this host's aggregate bandwidth plateaus or falls (steal/
+co-tenancy), so the low-core pairs are where the ≥0.8 criterion is
+meaningfully testable.
 
 {chr(10).join(pair_sections)}
 Spark confs: AQE on (skew-join + partition coalescing), Arrow batch
@@ -182,6 +224,7 @@ Measured {time.strftime('%Y-%m-%d %H:%M:%S')}.
     with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
         f.write(md)
     print(json.dumps({"calibration_M_hashes_per_s": calib, "ceilings": ceilings,
+                      "memcpy_GB_per_s": membw, "bw_ceilings": bw_ceilings,
                       "pairs": results}))
     return 0
 
