@@ -798,11 +798,12 @@ def _ivf_rerank_sql(dot: str) -> str:
         ) t WHERE rk = 1
     ),
     probe AS (
-        SELECT cid FROM (
-            SELECT c.cid,
-                   row_number() OVER (ORDER BY {cos_qc} DESC, c.cid) AS rk
-            FROM cent c CROSS JOIN q
-        ) t WHERE rk <= 2
+        -- ORDER BY + LIMIT (TakeOrdered), not a global row_number window:
+        -- the centroid set is tiny, but an unpartitioned WindowExec would
+        -- still single-partition it and log the scale-smell warning
+        SELECT c.cid FROM cent c CROSS JOIN q
+        ORDER BY {cos_qc} DESC, c.cid
+        LIMIT 2
     ),
     cand AS (SELECT e.vec_id, e.embedding FROM embeddings e
              JOIN assign a ON e.vec_id = a.vec_id JOIN probe p ON a.cid = p.cid
