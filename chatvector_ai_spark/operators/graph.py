@@ -129,3 +129,198 @@ def cooccurring_entities(
         .agg(F.countDistinct("a.doc_id").alias("shared_docs"))
         .where(F.col("shared_docs") >= min_shared_docs)
     )
+
+
+def pagerank(
+    edges: DataFrame,
+    iterations: int = 5,
+    damping_pct: int = 85,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Fixed-iteration PageRank over the distinct (src, dst) digraph,
+    computed entirely in **scaled integer arithmetic** so the result is
+    bit-identical regardless of aggregation order (Spark's partial aggs vs
+    any sequential engine): rank is held in 1/*scale* units, each edge
+    contributes ``pr DIV out_degree``, and damping is ``(pct * s) DIV 100``
+    — no float ever crosses a row boundary.
+
+    Per-iteration plan: edges ⋈ pr (shuffle on src) → hash-agg on dst →
+    left join back onto the node set; ``localCheckpoint`` truncates the
+    5-deep lineage so the plan does not grow superlinearly. Dangling-node
+    mass is dropped (the common simplified formulation) — documented so the
+    oracle twin applies the same rule. At 10^12 edges each round is one
+    shuffle on the entity key; hub skew is AQE's skew-join case, and the
+    node set stays partitioned by entity throughout.
+
+    Reference analog: none (the reference has no graph layer); this is the
+    canonical KG-consumer ranking query over the materialized edges table.
+    """
+    e = edges.select("src", "dst").where(F.col("src") != F.col("dst")).distinct()
+    nodes = (
+        e.select(F.col("src").alias("entity"))
+        .unionByName(e.select(F.col("dst").alias("entity")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n = nodes.count()
+    if n == 0:
+        return nodes.withColumn("pr_scaled", F.lit(0).cast("bigint"))
+    deg = e.groupBy("src").agg(F.count("*").alias("out_deg"))
+    teleport = ((100 - damping_pct) * scale // 100) // n
+    pr = nodes.withColumn("pr", F.lit(scale // n).cast("bigint"))
+    for _ in range(iterations):
+        contrib = (
+            e.join(pr.withColumnRenamed("entity", "src"), "src")
+            .join(deg, "src")
+            .select(F.col("dst").alias("entity"), F.expr("pr DIV out_deg").alias("c"))
+        )
+        summed = contrib.groupBy("entity").agg(F.sum("c").alias("s"))
+        pr = (
+            nodes.join(summed, "entity", "left")
+            .select(
+                "entity",
+                (
+                    F.lit(teleport)
+                    + F.expr(f"({damping_pct} * coalesce(s, 0)) DIV 100")
+                ).cast("bigint").alias("pr"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return pr.withColumnRenamed("pr", "pr_scaled")
+
+
+def triangles(edges: DataFrame) -> DataFrame:
+    """Per-entity triangle counts on the undirected simple graph under
+    **degree orientation**: every undirected edge is directed from its
+    lower-(degree, id) endpoint to the higher one, so each node's out-
+    neighborhood is bounded by O(sqrt(m)) and the wedge join does O(m^1.5)
+    work total instead of Σ deg² — the standard trick that makes triangle
+    counting survive hub-skewed graphs (a celebrity node with 10⁶ neighbors
+    contributes no wedges because its edges all point *into* it).
+
+    Plan: distinct canonical pairs → degree hash-agg → two broadcast-free
+    equi-joins (wedge u→v, u→w then closing edge v→w). Output one row per
+    entity that is a member of ≥1 triangle.
+    """
+    und = (
+        edges.select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("a").alias("entity"))
+        .unionByName(und.select(F.col("b").alias("entity")))
+        .groupBy("entity")
+        .agg(F.count("*").alias("d"))
+    )
+    da = deg.withColumnRenamed("entity", "a").withColumnRenamed("d", "da")
+    db = deg.withColumnRenamed("entity", "b").withColumnRenamed("d", "db")
+    lower_first = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
+    )
+    orient = (
+        und.join(da, "a")
+        .join(db, "b")
+        .select(
+            F.when(lower_first, F.col("a")).otherwise(F.col("b")).alias("u"),
+            F.when(lower_first, F.col("b")).otherwise(F.col("a")).alias("v"),
+        )
+    )
+    e1 = orient.alias("e1")
+    e2 = orient.alias("e2")
+    e3 = orient.alias("e3")
+    tri = (
+        e1.join(e2, (F.col("e1.u") == F.col("e2.u")) & (F.col("e1.v") < F.col("e2.v")))
+        .join(e3, (F.col("e3.u") == F.col("e1.v")) & (F.col("e3.v") == F.col("e2.v")))
+        .select(F.col("e1.u").alias("x"), F.col("e1.v").alias("y"), F.col("e2.v").alias("z"))
+    )
+    members = (
+        tri.select(F.col("x").alias("entity"))
+        .unionByName(tri.select(F.col("y").alias("entity")))
+        .unionByName(tri.select(F.col("z").alias("entity")))
+    )
+    return members.groupBy("entity").agg(F.count("*").alias("n_triangles"))
+
+
+def connected_components(edges: DataFrame, max_iter: int = 50) -> DataFrame:
+    """Connected components via alternating **large-star / small-star**
+    (Kiveris et al., "Connected Components in MapReduce and Beyond") —
+    converges in O(log² n) rounds of pure groupBy+join DataFrame ops, no
+    driver-side graph state, which is what survives 10^12-edge graphs
+    (unlike label propagation's O(diameter) rounds or a driver union-find).
+
+    Invariant maintained between rounds: the pair set holds (node, peer)
+    with node > peer. large-star hangs every neighbor larger than u off
+    u's minimum; small-star re-hangs u's smaller neighbors (and u) off the
+    minimum. Each round ends with an eager ``localCheckpoint`` (lineage
+    truncation — iterative joins otherwise stack plans) and a cheap
+    (count, xxhash-sum) fingerprint action for the convergence test.
+
+    Returns (entity, component) for every endpoint, component = the
+    minimum entity id in the component. Complements the bounded
+    driver-side union-find used inside canonicalization
+    (operators/canonicalize.py) — this one is fully distributed.
+    """
+    pairs = (
+        edges.select(
+            F.greatest("src", "dst").alias("a"), F.least("src", "dst").alias("b")
+        )
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    nodes = (
+        pairs.select(F.col("a").alias("entity"))
+        .unionByName(pairs.select(F.col("b").alias("entity")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    def fingerprint(p: DataFrame) -> tuple[int, int]:
+        row = p.agg(
+            F.count("*").alias("n"),
+            # bit_xor: order-independent and overflow-free under ANSI mode
+            # (a running sum of xxhash64 values overflows BIGINT)
+            F.coalesce(F.expr("bit_xor(xxhash64(a, b))"), F.lit(0)).alias("h"),
+        ).collect()[0]
+        return int(row["n"]), int(row["h"])
+
+    def large_star(p: DataFrame) -> DataFrame:
+        sym = p.select(F.col("a").alias("u"), F.col("b").alias("v")).unionByName(
+            p.select(F.col("b").alias("u"), F.col("a").alias("v"))
+        )
+        mins = sym.groupBy("u").agg(F.min("v").alias("mv"))
+        mins = mins.select("u", F.least("u", "mv").alias("m"))
+        return (
+            sym.join(mins, "u")
+            .where(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("a"), F.col("m").alias("b"))
+            .where(F.col("a") != F.col("b"))
+            .distinct()
+        )
+
+    def small_star(p: DataFrame) -> DataFrame:
+        # input pairs already oriented a > b
+        mins = p.groupBy("a").agg(F.min("b").alias("m"))
+        hang_nbrs = (
+            p.join(mins, "a")
+            .select(F.col("b").alias("a"), F.col("m").alias("b"))
+            .where(F.col("a") != F.col("b"))
+        )
+        hang_self = mins.select(F.col("a"), F.col("m").alias("b"))
+        return hang_nbrs.unionByName(hang_self).where(F.col("a") != F.col("b")).distinct()
+
+    prev = fingerprint(pairs)
+    for _ in range(max_iter):
+        pairs = small_star(large_star(pairs)).localCheckpoint(eager=True)
+        cur = fingerprint(pairs)
+        if cur == prev:
+            break
+        prev = cur
+    labels = pairs.groupBy(F.col("a").alias("entity")).agg(F.min("b").alias("component"))
+    return (
+        nodes.join(labels, "entity", "left")
+        .select("entity", F.coalesce("component", "entity").alias("component"))
+    )

@@ -1085,6 +1085,96 @@ _q(
 )
 
 
+# W2b — full BM25 (k1=1.2, b=0.75, Lucene idf = ln(1 + (N-df+0.5)/(df+0.5)))
+# over the documents corpus for the fixed query {table, scan, query}. All
+# corpus statistics (N, Σdl, df) are integers aggregated exactly, so the
+# only float math is a per-row expression evaluated in the same order by
+# both engines — no cross-row float accumulation (ts_rank_cd analog of the
+# reference's hybrid keyword arm, 004_hybrid_retrieval.sql).
+def _bm25_sql(tok: str, size_fn: str, filt: str, contains: str) -> str:
+    k1, b = "1.2", "0.75"
+    score_terms = []
+    for i, term in enumerate(("table", "scan", "query"), start=1):
+        tf = f"CAST({size_fn}({filt}(tk, t -> t = '{term}')) AS DOUBLE)"
+        idf = f"ln(1.0 + (CAST(n AS DOUBLE) - df{i} + 0.5) / (df{i} + 0.5))"
+        score_terms.append(
+            f"({idf}) * ({tf} * ({k1} + 1.0))"
+            f" / ({tf} + {k1} * (1.0 - {b} + {b} * CAST(dl AS DOUBLE) / avgdl))"
+        )
+    score = " + ".join(score_terms)
+    dfs = ", ".join(
+        f"sum(CASE WHEN {contains}(tk, '{t}') THEN 1 ELSE 0 END) AS df{i}"
+        for i, t in enumerate(("table", "scan", "query"), start=1)
+    )
+    return f"""
+    WITH toks AS (SELECT doc_id, {tok} AS tk FROM documents),
+    d AS (SELECT doc_id, tk, CAST({size_fn}(tk) AS BIGINT) AS dl
+          FROM toks WHERE {size_fn}(tk) > 0),
+    stats AS (SELECT count(*) AS n, sum(dl) AS sdl FROM d),
+    dfreq AS (SELECT {dfs} FROM d)
+    SELECT doc_id, round({score}, 6) AS bm25
+    FROM (SELECT d.doc_id, d.tk, d.dl, s.n,
+                 CAST(s.sdl AS DOUBLE) / CAST(s.n AS DOUBLE) AS avgdl,
+                 f.df1, f.df2, f.df3
+          FROM d CROSS JOIN stats s CROSS JOIN dfreq f) t
+    ORDER BY bm25 DESC, doc_id
+    LIMIT 25
+    """
+
+
+_q(
+    "w2_bm25_topk",
+    _bm25_sql(_SPARK_TOK.format(c="text"), "size", "filter", "array_contains"),
+    _bm25_sql(_DUCK_TOK.format(c="text"), "len", "list_filter", "list_contains"),
+)
+
+# As-of (backward) join: for every purchase event, the most recent prior
+# click by the same user. Portable formulation: tag click timestamps, take
+# a running max over a per-user ROWS window ending 1 PRECEDING — max skips
+# NULLs in both engines, the window is PARTITIONED (per-user, never
+# global), and ties break on the unique event_id. This is the time-series
+# join shape (point-in-time feature lookup) a training-data pipeline needs.
+_q(
+    "ev_asof_join",
+    """
+    WITH tagged AS (
+        SELECT event_id, user_id, ts, event_type, value,
+               CASE WHEN event_type = 'click' THEN ts END AS click_ts
+        FROM events
+    ),
+    joined AS (
+        SELECT event_id, user_id, ts, event_type, value,
+               max(click_ts) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_click_ts
+        FROM tagged
+    )
+    SELECT event_id, user_id,
+           CAST(unix_seconds(CAST(ts AS TIMESTAMP)) - unix_seconds(CAST(last_click_ts AS TIMESTAMP)) AS BIGINT) AS secs_since_click,
+           CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS value_cents
+    FROM joined
+    WHERE event_type = 'purchase' AND last_click_ts IS NOT NULL
+    """,
+    """
+    WITH tagged AS (
+        SELECT event_id, user_id, ts, event_type, value,
+               CASE WHEN event_type = 'click' THEN ts END AS click_ts
+        FROM events
+    ),
+    joined AS (
+        SELECT event_id, user_id, ts, event_type, value,
+               max(click_ts) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_click_ts
+        FROM tagged
+    )
+    SELECT event_id, user_id,
+           CAST(floor(epoch(ts)) AS BIGINT) - CAST(floor(epoch(last_click_ts)) AS BIGINT) AS secs_since_click,
+           CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS value_cents
+    FROM joined
+    WHERE event_type = 'purchase' AND last_click_ts IS NOT NULL
+    """,
+)
+
+
 # ---------------------------------------------------------------------------
 # KG pipeline queries (synthesized interleaved documents). The DuckDB twins
 # select from committed parquet produced WITHOUT Spark by the single-node
@@ -1190,6 +1280,99 @@ KG_DUCK_SQL: dict[str, str] = {
         HAVING count(*) >= 2
     """,
 }
+
+
+def _kg_pagerank_oracle_sql(
+    iterations: int = 5, damping_pct: int = 85, scale: int = 1_000_000
+) -> str:
+    """Unrolled fixed-point PageRank twin of operators/graph.pagerank.
+
+    All arithmetic is scaled-integer (``//`` floor division on positive
+    BIGINTs ≡ Spark's ``DIV``), so partial-agg order cannot flip a bit and
+    the value-hash comparison is exact. Dangling mass is dropped in both
+    engines (documented in the operator docstring)."""
+    edges = f"'{_KG_FIXTURE_DIR}/edges.parquet'"
+    teleport = f"(SELECT (({100 - damping_pct} * {scale}) // 100) // n FROM params)"
+    parts = [
+        f"""
+    WITH e AS (SELECT DISTINCT src, dst FROM {edges} WHERE src <> dst),
+    nodes AS (SELECT src AS entity FROM e UNION SELECT dst AS entity FROM e),
+    deg AS (SELECT src, count(*) AS out_deg FROM e GROUP BY src),
+    params AS (SELECT count(*) AS n FROM nodes),
+    pr0 AS (SELECT entity, (SELECT {scale} // n FROM params) AS pr FROM nodes)"""
+    ]
+    for k in range(1, iterations + 1):
+        parts.append(
+            f""",
+    pr{k} AS (
+        SELECT nd.entity,
+               {teleport} + ({damping_pct} * coalesce(s.s, 0)) // 100 AS pr
+        FROM nodes nd LEFT JOIN (
+            SELECT e.dst AS entity, sum(p.pr // d.out_deg) AS s
+            FROM e JOIN pr{k - 1} p ON e.src = p.entity
+                   JOIN deg d ON e.src = d.src
+            GROUP BY e.dst
+        ) s ON nd.entity = s.entity
+    )"""
+        )
+    parts.append(
+        f"\n    SELECT entity, CAST(pr AS BIGINT) AS pr_scaled FROM pr{iterations}"
+    )
+    return "".join(parts)
+
+
+KG_DUCK_SQL["kg_pagerank"] = _kg_pagerank_oracle_sql()
+
+# Degree-oriented triangle membership counts (twin of operators/graph.triangles):
+# identical orientation rule spelled with portable boolean comparisons.
+KG_DUCK_SQL["kg_triangles"] = f"""
+    WITH und AS (
+        SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+        FROM '{_KG_FIXTURE_DIR}/edges.parquet' WHERE src <> dst
+    ),
+    deg AS (
+        SELECT entity, count(*) AS d FROM (
+            SELECT a AS entity FROM und UNION ALL SELECT b AS entity FROM und) u
+        GROUP BY entity
+    ),
+    orient AS (
+        SELECT CASE WHEN da.d < db.d OR (da.d = db.d AND und.a < und.b)
+                    THEN und.a ELSE und.b END AS u,
+               CASE WHEN da.d < db.d OR (da.d = db.d AND und.a < und.b)
+                    THEN und.b ELSE und.a END AS v
+        FROM und JOIN deg da ON und.a = da.entity
+                 JOIN deg db ON und.b = db.entity
+    ),
+    tri AS (
+        SELECT e1.u AS x, e1.v AS y, e2.v AS z
+        FROM orient e1
+        JOIN orient e2 ON e1.u = e2.u AND e1.v < e2.v
+        JOIN orient e3 ON e3.u = e1.v AND e3.v = e2.v
+    )
+    SELECT entity, count(*) AS n_triangles FROM (
+        SELECT x AS entity FROM tri
+        UNION ALL SELECT y AS entity FROM tri
+        UNION ALL SELECT z AS entity FROM tri) m
+    GROUP BY entity
+"""
+
+# Connected-components twin (operators/graph.connected_components): the
+# oracle takes min over the transitive closure — equal to the star
+# algorithm's min-of-component label on any finite graph.
+KG_DUCK_SQL["kg_components"] = f"""
+    WITH RECURSIVE sym AS (
+        SELECT src AS u, dst AS v FROM '{_KG_FIXTURE_DIR}/edges.parquet' WHERE src <> dst
+        UNION
+        SELECT dst AS u, src AS v FROM '{_KG_FIXTURE_DIR}/edges.parquet' WHERE src <> dst
+    ),
+    nodes AS (SELECT u AS entity FROM sym UNION SELECT v AS entity FROM sym),
+    reach(a, b) AS (
+        SELECT entity, entity FROM nodes
+        UNION
+        SELECT r.a, s.v FROM reach r JOIN sym s ON s.u = r.b
+    )
+    SELECT a AS entity, min(b) AS component FROM reach GROUP BY a
+"""
 
 
 def _kg_docs(spark: SparkSession):
@@ -1423,6 +1606,30 @@ def kg_khop(spark: SparkSession, sf_dir: str) -> DataFrame:
     return khop(kg_edges(spark, sf_dir), [KG_SEED_ENTITY], k=2)
 
 
+def kg_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5-iteration fixed-point PageRank over the canonical edge graph
+    (operators/graph.pagerank — iterative joins, scaled-integer math)."""
+    from chatvector_ai_spark.operators.graph import pagerank
+
+    return pagerank(kg_edges(spark, sf_dir))
+
+
+def kg_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-entity triangle counts under degree orientation
+    (operators/graph.triangles — O(m^1.5) wedge join, hub-skew safe)."""
+    from chatvector_ai_spark.operators.graph import triangles
+
+    return triangles(kg_edges(spark, sf_dir))
+
+
+def kg_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fully-distributed connected components via alternating large-star /
+    small-star rounds (operators/graph.connected_components)."""
+    from chatvector_ai_spark.operators.graph import connected_components
+
+    return connected_components(kg_edges(spark, sf_dir))
+
+
 KG_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_ingest_chunks": kg_ingest_chunks,
     "kg_ingest_chunks_paragraph": _kg_chunks_query("paragraph"),
@@ -1439,6 +1646,9 @@ KG_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_ego_edges": kg_ego_edges,
     "kg_relation_counts": kg_relation_counts,
     "kg_khop": kg_khop,
+    "kg_pagerank": kg_pagerank,
+    "kg_triangles": kg_triangles,
+    "kg_components": kg_components,
 }
 
 

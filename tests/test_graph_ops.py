@@ -205,3 +205,115 @@ def test_write_parallelism_decoupled_from_bucket_count(spark, graph_wh, tmp_path
         ego_edges(wide, top, n_buckets=N_BUCKETS).select("src", "dst", "chunk_id").collect()
     }
     assert pruned == truth
+
+
+# ---------------------------------------------------------------------------
+# round 3: pagerank / triangles / connected components
+# ---------------------------------------------------------------------------
+
+
+def _edges_df(spark, pairs):
+    return spark.createDataFrame(
+        [(s, d, "rel") for s, d in pairs], "src string, dst string, rel string"
+    )
+
+
+def _pagerank_reference(pairs, iterations=5, damping_pct=85, scale=1_000_000):
+    """Independent pure-python fixed-point PageRank (same integer rules)."""
+    edges = sorted({(s, d) for s, d in pairs if s != d})
+    nodes = sorted({n for e in edges for n in e})
+    n = len(nodes)
+    out_deg = {}
+    for s, _ in edges:
+        out_deg[s] = out_deg.get(s, 0) + 1
+    teleport = ((100 - damping_pct) * scale // 100) // n
+    pr = {v: scale // n for v in nodes}
+    for _ in range(iterations):
+        s = {v: 0 for v in nodes}
+        for u, v in edges:
+            s[v] += pr[u] // out_deg[u]
+        pr = {v: teleport + (damping_pct * s[v]) // 100 for v in nodes}
+    return pr
+
+
+def test_pagerank_matches_pure_python_fixed_point(spark):
+    from chatvector_ai_spark.operators.graph import pagerank
+
+    pairs = [
+        ("a", "b"), ("b", "c"), ("c", "a"), ("c", "d"), ("d", "a"),
+        ("e", "a"), ("a", "e"), ("b", "a"), ("f", "c"),
+    ]
+    got = {
+        r["entity"]: r["pr_scaled"]
+        for r in pagerank(_edges_df(spark, pairs)).collect()
+    }
+    assert got == _pagerank_reference(pairs)
+
+
+def test_pagerank_hub_outranks_leaf(spark):
+    from chatvector_ai_spark.operators.graph import pagerank
+
+    # star into 'hub': every leaf points at hub, hub points at one leaf
+    pairs = [(f"l{i}", "hub") for i in range(8)] + [("hub", "l0")]
+    got = {r["entity"]: r["pr_scaled"] for r in pagerank(_edges_df(spark, pairs)).collect()}
+    assert got["hub"] > got["l1"] > 0
+    # l0 receives hub's whole mass, must outrank the other leaves
+    assert got["l0"] > got["l1"]
+
+
+def test_triangles_counts_k4_and_ignores_dangling_edge(spark):
+    from chatvector_ai_spark.operators.graph import triangles
+
+    k4 = ["p", "q", "r", "s"]
+    pairs = [(a, b) for i, a in enumerate(k4) for b in k4[i + 1:]]
+    pairs += [("s", "t")]  # dangling edge, no triangle
+    # duplicate + reversed edges must not inflate counts
+    pairs += [("q", "p"), ("p", "q")]
+    got = {r["entity"]: r["n_triangles"] for r in triangles(_edges_df(spark, pairs)).collect()}
+    # each K4 vertex sits in C(3,2)=3 triangles; 't' in none
+    assert got == {"p": 3, "q": 3, "r": 3, "s": 3}
+
+
+def test_connected_components_matches_union_find(spark):
+    import random
+
+    from chatvector_ai_spark.operators.graph import connected_components
+
+    rng = random.Random(20260817)
+    nodes = [f"n{i:03d}" for i in range(120)]
+    pairs = [tuple(rng.sample(nodes, 2)) for _ in range(140)]
+
+    parent = {v: v for v in nodes}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    touched = sorted({n for e in pairs for n in e})
+    expected = {v: min(w for w in touched if find(w) == find(v)) for v in touched}
+    got = {
+        r["entity"]: r["component"]
+        for r in connected_components(_edges_df(spark, pairs)).collect()
+    }
+    assert got == expected
+
+
+def test_connected_components_two_disjoint_cliques(spark):
+    from chatvector_ai_spark.operators.graph import connected_components
+
+    c1 = ["a", "b", "c"]
+    c2 = ["x", "y", "z"]
+    pairs = [(u, v) for i, u in enumerate(c1) for v in c1[i + 1:]]
+    pairs += [(u, v) for i, u in enumerate(c2) for v in c2[i + 1:]]
+    got = {
+        r["entity"]: r["component"]
+        for r in connected_components(_edges_df(spark, pairs)).collect()
+    }
+    assert got == {"a": "a", "b": "a", "c": "a", "x": "x", "y": "x", "z": "x"}
