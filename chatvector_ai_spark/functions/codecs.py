@@ -6,8 +6,10 @@ standard library: PNG is zlib-compressed scanlines behind an 8-byte magic
 and chunked container (RFC 2083), WAV is RIFF-framed PCM readable with the
 stdlib ``wave`` module. These codecs make ``decode_media(backend="stdlib")``
 decode actual bytes — real width/height from IHDR, real duration from the
-PCM frame count, features from the decoded samples — while the fake backend
-keeps covering formats that genuinely need external libraries (JPEG, MP4).
+PCM frame count, features from the decoded samples. JPEG gets a real
+marker-walking header parse (dimensions/components from SOFn) while its
+pixel path stays with the labeled fake backend; formats that genuinely
+need external libraries end-to-end (MP4) stay fully fake.
 
 Encoders exist so tests and the synthetic fetch stage can fabricate valid
 files deterministically; they are NOT a production write path.
@@ -222,3 +224,80 @@ def wav_band_features(samples: list[int], bands: int = 16) -> list[float]:
         rms = (sum(s * s for s in seg) / len(seg)) ** 0.5
         feats.append(rms / 32768.0)
     return feats
+
+
+# ---------------------------------------------------------------------------
+# JPEG — marker-walking header parse (dimensions/components from SOFn).
+# Entropy decode genuinely needs libjpeg, so the pixel path stays with the
+# labeled fake backend; real dimension extraction is what a filter /
+# resize-planning pass over a 100 TB corpus actually reads.
+# ---------------------------------------------------------------------------
+
+JPEG_MAGIC = b"\xff\xd8\xff"
+
+# markers with no length segment: SOI, TEM, RSTn
+_JPEG_BARE = {0xD8, 0x01} | set(range(0xD0, 0xD8))
+# SOFn markers carry frame dims; C4/C8/CC are DHT/JPG/DAC, not frames
+_JPEG_SOF = set(range(0xC0, 0xD0)) - {0xC4, 0xC8, 0xCC}
+
+
+def jpeg_dimensions(data: bytes) -> tuple[int, int, int]:
+    """(width, height, n_components) from the first SOFn marker.
+
+    Walks the marker stream exactly as a real decoder does (length-prefixed
+    segments, bare markers skipped), raising ``ValueError`` on structural
+    corruption — truncation, a non-FF byte where a marker must start, or a
+    scan section with no preceding frame header."""
+    if not data.startswith(b"\xff\xd8"):
+        raise ValueError("not a JPEG (missing SOI)")
+    i = 2
+    while i + 2 <= len(data):
+        if data[i] != 0xFF:
+            raise ValueError(f"bad marker byte at {i}")
+        marker = data[i + 1]
+        if marker == 0xFF:  # fill byte
+            i += 1
+            continue
+        if marker in _JPEG_BARE:
+            i += 2
+            continue
+        if marker == 0xD9:  # EOI
+            break
+        if i + 4 > len(data):
+            raise ValueError("truncated segment header")
+        seglen = int.from_bytes(data[i + 2 : i + 4], "big")
+        if seglen < 2 or i + 2 + seglen > len(data):
+            raise ValueError("bad segment length")
+        if marker in _JPEG_SOF:
+            if seglen < 8:
+                raise ValueError("SOF segment too short")
+            height = int.from_bytes(data[i + 5 : i + 7], "big")
+            width = int.from_bytes(data[i + 7 : i + 9], "big")
+            ncomp = data[i + 9]
+            if width == 0 or height == 0:
+                raise ValueError("zero dimension in SOF")
+            return width, height, ncomp
+        if marker == 0xDA:  # SOS before any SOF → structurally invalid
+            raise ValueError("scan section with no frame header")
+        i += 2 + seglen
+    raise ValueError("no SOF marker found")
+
+
+def encode_jpeg_shell(width: int, height: int, scan: bytes) -> bytes:
+    """Marker-valid single-component JPEG container around an opaque scan
+    payload (0xFF bytes stuffed as FF 00, as the format requires). The
+    header chain — SOI, JFIF APP0, SOF0, SOS — parses under
+    ``jpeg_dimensions`` and any marker-walking reader; the scan is NOT a
+    decodable entropy stream (tests and the synthetic fetch stage only)."""
+    app0 = (
+        b"\xff\xe0" + (16).to_bytes(2, "big")
+        + b"JFIF\x00\x01\x01\x00" + b"\x00\x01\x00\x01\x00\x00"
+    )
+    sof0 = (
+        b"\xff\xc0" + (11).to_bytes(2, "big") + b"\x08"
+        + height.to_bytes(2, "big") + width.to_bytes(2, "big")
+        + b"\x01" + b"\x01\x11\x00"
+    )
+    sos = b"\xff\xda" + (8).to_bytes(2, "big") + b"\x01\x01\x00\x00\x3f\x00"
+    stuffed = scan.replace(b"\xff", b"\xff\x00")
+    return b"\xff\xd8" + app0 + sof0 + sos + stuffed + b"\xff\xd9"

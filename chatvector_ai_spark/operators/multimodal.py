@@ -77,7 +77,11 @@ def fetch_payloads(media: DataFrame, max_bytes: int = 1 << 20) -> DataFrame:
     """
 
     def fetch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from chatvector_ai_spark.functions.codecs import encode_png, encode_wav
+        from chatvector_ai_spark.functions.codecs import (
+            encode_jpeg_shell,
+            encode_png,
+            encode_wav,
+        )
 
         for pdf in batches:
             payloads, ctypes, sizes = [], [], []
@@ -103,6 +107,11 @@ def fetch_payloads(media: DataFrame, max_bytes: int = 1 << 20) -> DataFrame:
                         ],
                         sample_rate=8000,
                     )
+                elif ext == "jpg":
+                    # marker-valid JPEG shell: header chain real (SOI/APP0/
+                    # SOF0/SOS parse under jpeg_dimensions), scan opaque
+                    w, h = 16 + seed[0], 16 + seed[1]
+                    payload = encode_jpeg_shell(w, h, seed * 4)
                 else:
                     n = 64 + seed[0]  # deterministic opaque payload
                     payload = (seed * ((n // len(seed)) + 1))[:n]
@@ -124,8 +133,11 @@ def decode_media(media: DataFrame, backend: str = "fake") -> DataFrame:
     ``backend='stdlib'``: REAL decode for PNG and WAV payloads using the
     pure-stdlib codecs (functions/codecs.py): width/height parsed from the
     PNG IHDR and pixels unfiltered+inflated, duration from the WAV PCM
-    frame count, features pooled from the actual decoded content. Payloads
-    that are neither (JPEG, MP4, …) fall through to the deterministic
+    frame count, features pooled from the actual decoded content. JPEG
+    payloads get a real marker-walking header parse (width/height/
+    components from SOFn, ``decode_backend='stdlib-jpeg-header'``) with
+    pseudo pixel features — entropy decode needs libjpeg, and the label
+    says so. Other payloads (MP4, …) fall through to the deterministic
     pseudo-decode with ``decode_backend='fake'`` so the row is still
     produced (a real deployment would add libjpeg/ffmpeg backends behind
     the same dispatch).
@@ -192,10 +204,12 @@ def _decode_media_stdlib(media: DataFrame) -> DataFrame:
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from chatvector_ai_spark.functions.codecs import (
+            JPEG_MAGIC,
             PNG_MAGIC,
             WAV_MAGIC,
             decode_png,
             decode_wav,
+            jpeg_dimensions,
             png_grid_features,
             wav_band_features,
         )
@@ -223,6 +237,16 @@ def _decode_media_stdlib(media: DataFrame) -> DataFrame:
                         feats.append([float(v) for v in wav_band_features(samples, bands=FEATURE_DIM)])
                         widths.append(None); heights.append(None); durs.append(duration_ms)
                         backends.append("stdlib-wav")
+                        decoded = True
+                    elif data.startswith(JPEG_MAGIC):
+                        # REAL marker-walk for dimensions; pixel features
+                        # stay pseudo (entropy decode needs libjpeg) and
+                        # the label says exactly that
+                        w, h, _ncomp = jpeg_dimensions(data)
+                        vec, _ = _fake_feature(data)
+                        feats.append(vec)
+                        widths.append(w); heights.append(h); durs.append(None)
+                        backends.append("stdlib-jpeg-header")
                         decoded = True
                 except (ValueError, struct.error):
                     backends_label = "decode-error"

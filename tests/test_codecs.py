@@ -199,3 +199,104 @@ def test_decode_media_stdlib_degrades_on_corrupt_payload(spark):
     assert len(got) == 2
     assert set(got["decode_backend"]) == {"decode-error"}
     assert got["feature"].map(len).nunique() == 1  # still fixed-dim
+
+
+def test_jpeg_shell_roundtrip_dimensions():
+    from chatvector_ai_spark.functions.codecs import (
+        JPEG_MAGIC,
+        encode_jpeg_shell,
+        jpeg_dimensions,
+    )
+
+    data = encode_jpeg_shell(640, 480, bytes(range(256)) * 2)
+    assert data.startswith(JPEG_MAGIC)
+    assert jpeg_dimensions(data) == (640, 480, 1)
+    # 0xFF bytes in the scan are stuffed, so the walker never misparses them
+    noisy = encode_jpeg_shell(33, 7, b"\xff" * 64)
+    assert jpeg_dimensions(noisy) == (33, 7, 1)
+
+
+def test_jpeg_dimensions_rejects_corruption():
+    import pytest as _pytest
+
+    from chatvector_ai_spark.functions.codecs import (
+        encode_jpeg_shell,
+        jpeg_dimensions,
+    )
+
+    data = encode_jpeg_shell(100, 50, b"scan")
+    for bad in (
+        b"",
+        b"\xff",
+        b"notjpeg",
+        data[:6],            # truncated inside APP0
+        data[:21],           # truncated before SOF
+        b"\xff\xd8" + b"\x00" * 8,  # non-marker byte where FF required
+    ):
+        with _pytest.raises(ValueError):
+            jpeg_dimensions(bad)
+
+
+def test_decode_media_stdlib_jpeg_header_real_dims(spark):
+    """JPEG rows through the distributed stdlib backend: dimensions must be
+    the real SOF0 values (marker walk), features pseudo, and the label must
+    say header-only so downstream can tell real pixels from pseudo."""
+    import pandas as pd
+
+    from chatvector_ai_spark.functions.codecs import encode_jpeg_shell
+    from chatvector_ai_spark.operators.multimodal import FEATURE_DIM, decode_media
+
+    rows = pd.DataFrame(
+        {
+            "doc_id": ["d0", "d0", "d1"],
+            "span_idx": [0, 1, 0],
+            "span_offset": [0, 1, 0],
+            "kind": ["image", "image", "image"],
+            "media_ref": ["a.jpg", "b.jpg", "trunc.jpg"],
+            "payload": [
+                encode_jpeg_shell(320, 240, b"AB\xffCD" * 10),
+                encode_jpeg_shell(17, 999, b"scan"),
+                encode_jpeg_shell(320, 240, b"x" * 40)[:15],  # dies in APP0
+            ],
+            "content_type": ["image/jpeg"] * 3,
+            "n_bytes": [60, 40, 15],
+        }
+    )
+    got = (
+        decode_media(spark.createDataFrame(rows), backend="stdlib")
+        .toPandas()
+        .set_index("media_ref")
+    )
+    assert got.loc["a.jpg", "decode_backend"] == "stdlib-jpeg-header"
+    assert (got.loc["a.jpg", "width"], got.loc["a.jpg", "height"]) == (320, 240)
+    assert (got.loc["b.jpg", "width"], got.loc["b.jpg", "height"]) == (17, 999)
+    assert got.loc["trunc.jpg", "decode_backend"] == "decode-error"
+    assert got["feature"].map(len).eq(FEATURE_DIM).all()
+
+
+def test_fetch_payloads_fabricates_parseable_jpeg(spark):
+    """fetch_payloads' jpg branch must emit marker-valid JPEG bytes whose
+    SOF dims match the seed derivation (the png/wav analog)."""
+    import hashlib
+
+    import pandas as pd
+
+    from chatvector_ai_spark.functions.codecs import jpeg_dimensions
+    from chatvector_ai_spark.operators.multimodal import fetch_payloads
+
+    refs = [f"s3://media/doc-j/{i}.jpg" for i in range(4)]
+    spans = pd.DataFrame(
+        {
+            "doc_id": ["dj"] * 4,
+            "span_idx": list(range(4)),
+            "span_offset": list(range(4)),
+            "kind": ["image"] * 4,
+            "media_ref": refs,
+        }
+    )
+    got = fetch_payloads(spark.createDataFrame(spans)).toPandas().set_index("media_ref")
+    for ref in refs:
+        seed = hashlib.sha256(ref.encode()).digest()
+        w, h, ncomp = jpeg_dimensions(bytes(got.loc[ref, "payload"]))
+        assert (w, h, ncomp) == (16 + seed[0], 16 + seed[1], 1)
+        assert got.loc[ref, "content_type"] == "image/jpeg"

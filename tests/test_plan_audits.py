@@ -130,3 +130,52 @@ def test_pair_dedup_candidates_are_bucketed(spark):
     assert "bd0" in jp.text  # band hash participates in the candidate join
     nd = plan_facts(spark.sql(SPARK_SQL["dd_embed_neardup"]))
     assert "cid" in nd.text  # cell id participates in the pair join
+
+
+def test_bm25_and_ivf_rerank_plans_window_free(spark):
+    """w2_bm25_topk ranks by TakeOrdered over per-row scores (corpus stats
+    are scalar-subquery aggregates, not windows); ann_ivf_rerank's probe is
+    an ORDER BY+LIMIT, not a global row_number — its only window is the
+    per-vector (PARTITION BY vec_id) assignment argmax."""
+    from chatvector_ai_spark.suite import SPARK_SQL, register_views
+
+    register_views(spark, "/root/testdata/sf0.001")
+    bm = plan_facts(spark.sql(SPARK_SQL["w2_bm25_topk"]))
+    assert bm.window_ops == 0, bm.text[:1500]
+    assert "TakeOrderedAndProject" in bm.text
+    rr = plan_facts(spark.sql(SPARK_SQL["ann_ivf_rerank"]))
+    assert "No Partition Defined" not in rr.text
+    # assignment argmax window is partitioned; WindowGroupLimit may push it
+    assert "PartitionSpec: [vec_id" in rr.text or "partitionSpec=[vec_id" in rr.text.replace(" ", "") or rr.window_ops >= 1
+
+
+def test_asof_join_window_is_per_user(spark):
+    """ev_asof_join's running max must be partitioned by user_id — an
+    unpartitioned ordering would serialize the whole event table."""
+    from chatvector_ai_spark.suite import SPARK_SQL, register_views
+
+    register_views(spark, "/root/testdata/sf0.001")
+    facts = plan_facts(spark.sql(SPARK_SQL["ev_asof_join"]))
+    assert facts.window_ops >= 1
+    assert "user_id" in facts.text
+    # the Window node's partition spec names user_id (formatted plan prints
+    # "Window [...], [user_id#..], [ts#.. ASC ..]" in the details section)
+    import re as _re
+
+    win_lines = [l for l in facts.text.splitlines() if "Window" in l and "user_id" in l]
+    assert not any("No Partition Defined" in l for l in win_lines)
+
+
+def test_pagerank_iteration_plan_stays_truncated(spark):
+    """After 5 iterations the pagerank plan must hang off the final
+    localCheckpoint scan, not a 15-join lineage tower — the checkpoint is
+    what keeps iteration N's plan O(1) instead of O(N)."""
+    from chatvector_ai_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame(
+        [(f"e{i}", f"e{(i * 7 + 1) % 40}", "r") for i in range(40)],
+        "src string, dst string, rel string",
+    )
+    facts = plan_facts(pagerank(edges, iterations=3))
+    # a checkpointed plan scans the materialized RDD; no joins remain
+    assert facts.sortmerge_joins + facts.broadcast_joins + facts.shuffle_hash_joins == 0, facts.text[:1500]
