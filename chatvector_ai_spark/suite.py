@@ -613,6 +613,48 @@ _q(
     """,
 )
 
+# n-gram Jaccard near-dup (the brief's literal "n-gram Jaccard" variant):
+# word-bigram shingle sets instead of token sets — order-sensitive, so a
+# doc and its shuffled copy stop being near-dups. Candidates come from the
+# same 12-hash/6-band LSH machinery as dd_jaccard_pairs (banded within the
+# source block, no all-pairs join); every banded candidate is emitted
+# with its exact shingle Jaccard (order-sensitivity on display: the
+# corpus's token-reordered near-dups score high on token-set Jaccard but
+# near zero here).
+_SPARK_SHINGLES = (
+    "array_distinct(transform(sequence(1, size(tk0) - 1), "
+    "i -> concat(element_at(tk0, i), ' ', element_at(tk0, i + 1))))"
+)
+_DUCK_SHINGLES = (
+    "list_distinct(list_transform(generate_series(1, len(tk0) - 1), "
+    "i -> tk0[i] || ' ' || tk0[i + 1]))"
+)
+_q(
+    "dd_ngram_jaccard",
+    f"""
+    WITH toks0 AS (SELECT doc_id, source, {_SPARK_TOK.format(c='text')} AS tk0 FROM documents),
+    toks AS (SELECT doc_id, source, {_SPARK_SHINGLES} AS tk
+             FROM toks0 WHERE size(tk0) >= 2),
+    hashes AS (SELECT doc_id, source, {_JP_SPARK_MH} FROM toks)
+    {_jp_tail(lambda a, b: f"concat({a}, {b})")}
+    SELECT c.a_id, c.b_id,
+           round(CAST(size(array_intersect(ta.tk, tb.tk)) AS DOUBLE)
+                 / CAST(size(ta.tk) + size(tb.tk) - size(array_intersect(ta.tk, tb.tk)) AS DOUBLE), 6) AS jaccard
+    FROM cand c JOIN toks ta ON c.a_id = ta.doc_id JOIN toks tb ON c.b_id = tb.doc_id
+    """,
+    f"""
+    WITH toks0 AS (SELECT doc_id, source, {_DUCK_TOK.format(c='text')} AS tk0 FROM documents),
+    toks AS (SELECT doc_id, source, {_DUCK_SHINGLES} AS tk
+             FROM toks0 WHERE len(tk0) >= 2),
+    hashes AS (SELECT doc_id, source, {_JP_DUCK_MH} FROM toks)
+    {_jp_tail(lambda a, b: f"{a} || {b}")}
+    SELECT c.a_id, c.b_id,
+           round(CAST(len(list_intersect(ta.tk, tb.tk)) AS DOUBLE)
+                 / CAST(len(ta.tk) + len(tb.tk) - len(list_intersect(ta.tk, tb.tk)) AS DOUBLE), 6) AS jaccard
+    FROM cand c JOIN toks ta ON c.a_id = ta.doc_id JOIN toks tb ON c.b_id = tb.doc_id
+    """,
+)
+
 # SimHash (16-bit, distinct-token majority vote per bit)
 _SPARK_BITS = ", ".join(
     f"sum(CASE WHEN shiftright(CAST(conv(substring(md5(tok), 1, 4), 16, 10) AS BIGINT), {b}) % 2 = 1 THEN 1 ELSE -1 END) AS s{b}"

@@ -300,3 +300,23 @@ def test_fetch_payloads_fabricates_parseable_jpeg(spark):
         w, h, ncomp = jpeg_dimensions(bytes(got.loc[ref, "payload"]))
         assert (w, h, ncomp) == (16 + seed[0], 16 + seed[1], 1)
         assert got.loc[ref, "content_type"] == "image/jpeg"
+
+
+def test_jpeg_shell_property_roundtrip():
+    """Any (w, h, scan) → encode → parse returns exactly (w, h, 1), even
+    when the scan is adversarially full of marker-looking bytes."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from chatvector_ai_spark.functions.codecs import encode_jpeg_shell, jpeg_dimensions
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        w=st.integers(min_value=1, max_value=0xFFFF),
+        h=st.integers(min_value=1, max_value=0xFFFF),
+        scan=st.binary(min_size=0, max_size=512),
+    )
+    def check(w, h, scan):
+        assert jpeg_dimensions(encode_jpeg_shell(w, h, scan)) == (w, h, 1)
+
+    check()
