@@ -613,6 +613,31 @@ _q(
     """,
 )
 
+# Duplicate clusters: connected components over the verified ≥0.8 Jaccard
+# pair graph, canonical representative = min doc_id per component — the
+# full dedup shape (pairs → clusters → keep one). The Spark side runs the
+# distributed large-star/small-star operator over the pair DataFrame (a
+# python-callable query, PY_QUERIES below); the oracle takes min over the
+# recursive transitive closure of the same pair SQL.
+DUCK_SQL["dd_dup_clusters"] = f"""
+    WITH RECURSIVE sym AS (
+        SELECT a_id AS u, b_id AS v FROM ({DUCK_SQL["dd_jaccard_pairs"]}) p
+        UNION
+        SELECT b_id AS u, a_id AS v FROM ({DUCK_SQL["dd_jaccard_pairs"]}) p
+    ),
+    nodes AS (SELECT u AS doc FROM sym UNION SELECT v AS doc FROM sym),
+    reach(a, b) AS (
+        SELECT doc, doc FROM nodes
+        UNION
+        SELECT r.a, s.v FROM reach r JOIN sym s ON s.u = r.b
+    ),
+    labels AS (SELECT a AS doc, min(b) AS rep FROM reach GROUP BY a)
+    SELECT rep AS representative, count(*) AS cluster_size,
+           count(*) - 1 AS n_removed
+    FROM labels GROUP BY rep
+"""
+
+
 # n-gram Jaccard near-dup (the brief's literal "n-gram Jaccard" variant):
 # word-bigram shingle sets instead of token sets — order-sensitive, so a
 # doc and its shuffled copy stop being near-dups. Candidates come from the
@@ -1716,10 +1741,38 @@ def _mk_sql_query(name: str) -> Callable[[SparkSession, str], DataFrame]:
     return run
 
 
+def dd_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate clusters = distributed connected components
+    (operators/graph.connected_components, large-star/small-star) over the
+    verified ≥0.8 Jaccard pair graph; one row per cluster with the min-id
+    representative and how many members dedup would drop."""
+    from pyspark.sql import functions as F
+
+    from chatvector_ai_spark.operators.graph import connected_components
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    register_views(spark, sf_dir)
+    pairs = spark.sql(SPARK_SQL["dd_jaccard_pairs"])
+    comp = connected_components(
+        pairs.select(F.col("a_id").alias("src"), F.col("b_id").alias("dst"))
+    )
+    return comp.groupBy(F.col("component").alias("representative")).agg(
+        F.count("*").alias("cluster_size"),
+        (F.count("*") - F.lit(1)).alias("n_removed"),
+    )
+
+
+# python-callable (non-SQL-expressible on the Spark side) suite queries
+PY_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "dd_dup_clusters": dd_dup_clusters,
+}
+
+
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         name: _mk_sql_query(name) for name in SPARK_SQL
     }
+    out.update(PY_QUERIES)
     out.update(KG_QUERIES)
     return out
 
