@@ -136,6 +136,7 @@ def pagerank(
     iterations: int = 5,
     damping_pct: int = 85,
     scale: int = 1_000_000,
+    seeds: list[str] | None = None,
 ) -> DataFrame:
     """Fixed-iteration PageRank over the distinct (src, dst) digraph,
     computed entirely in **scaled integer arithmetic** so the result is
@@ -152,6 +153,11 @@ def pagerank(
     shuffle on the entity key; hub skew is AQE's skew-join case, and the
     node set stays partitioned by entity throughout.
 
+    With ``seeds``, this is **personalized PageRank**: the initial mass and
+    the teleport term go only to the seed set (split evenly, same integer
+    rules), so rank measures proximity to the seeds — the KG "related
+    entities" query. The seed list is driver-side data of broadcast scale.
+
     Reference analog: none (the reference has no graph layer); this is the
     canonical KG-consumer ranking query over the materialized edges table.
     """
@@ -166,8 +172,20 @@ def pagerank(
     if n == 0:
         return nodes.withColumn("pr_scaled", F.lit(0).cast("bigint"))
     deg = e.groupBy("src").agg(F.count("*").alias("out_deg"))
-    teleport = ((100 - damping_pct) * scale // 100) // n
-    pr = nodes.withColumn("pr", F.lit(scale // n).cast("bigint"))
+    if seeds is None:
+        teleport_col = F.lit(((100 - damping_pct) * scale // 100) // n)
+        pr = nodes.withColumn("pr", F.lit(scale // n).cast("bigint"))
+    else:
+        is_seed = F.col("entity").isin(seeds)
+        teleport_col = F.when(
+            is_seed, F.lit(((100 - damping_pct) * scale // 100) // len(seeds))
+        ).otherwise(F.lit(0))
+        pr = nodes.withColumn(
+            "pr",
+            F.when(is_seed, F.lit(scale // len(seeds)))
+            .otherwise(F.lit(0))
+            .cast("bigint"),
+        )
     for _ in range(iterations):
         contrib = (
             e.join(pr.withColumnRenamed("entity", "src"), "src")
@@ -180,7 +198,7 @@ def pagerank(
             .select(
                 "entity",
                 (
-                    F.lit(teleport)
+                    teleport_col
                     + F.expr(f"({damping_pct} * coalesce(s, 0)) DIV 100")
                 ).cast("bigint").alias("pr"),
             )

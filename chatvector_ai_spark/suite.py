@@ -1350,23 +1350,37 @@ KG_DUCK_SQL: dict[str, str] = {
 
 
 def _kg_pagerank_oracle_sql(
-    iterations: int = 5, damping_pct: int = 85, scale: int = 1_000_000
+    iterations: int = 5,
+    damping_pct: int = 85,
+    scale: int = 1_000_000,
+    seeds: list[str] | None = None,
 ) -> str:
     """Unrolled fixed-point PageRank twin of operators/graph.pagerank.
 
     All arithmetic is scaled-integer (``//`` floor division on positive
     BIGINTs ≡ Spark's ``DIV``), so partial-agg order cannot flip a bit and
     the value-hash comparison is exact. Dangling mass is dropped in both
-    engines (documented in the operator docstring)."""
+    engines (documented in the operator docstring). With ``seeds``, the
+    initial mass and teleport term go only to the seed set (personalized
+    PageRank), exactly as the operator does."""
     edges = f"'{_KG_FIXTURE_DIR}/edges.parquet'"
-    teleport = f"(SELECT (({100 - damping_pct} * {scale}) // 100) // n FROM params)"
+    if seeds is None:
+        teleport = f"(SELECT (({100 - damping_pct} * {scale}) // 100) // n FROM params)"
+        pr0_expr = f"(SELECT {scale} // n FROM params)"
+    else:
+        seed_list = ", ".join(f"'{s}'" for s in seeds)
+        t_val = ((100 - damping_pct) * scale // 100) // len(seeds)
+        teleport = f"(CASE WHEN nd.entity IN ({seed_list}) THEN {t_val} ELSE 0 END)"
+        pr0_expr = (
+            f"(CASE WHEN entity IN ({seed_list}) THEN {scale // len(seeds)} ELSE 0 END)"
+        )
     parts = [
         f"""
     WITH e AS (SELECT DISTINCT src, dst FROM {edges} WHERE src <> dst),
     nodes AS (SELECT src AS entity FROM e UNION SELECT dst AS entity FROM e),
     deg AS (SELECT src, count(*) AS out_deg FROM e GROUP BY src),
     params AS (SELECT count(*) AS n FROM nodes),
-    pr0 AS (SELECT entity, (SELECT {scale} // n FROM params) AS pr FROM nodes)"""
+    pr0 AS (SELECT entity, {pr0_expr} AS pr FROM nodes)"""
     ]
     for k in range(1, iterations + 1):
         parts.append(
@@ -1389,6 +1403,7 @@ def _kg_pagerank_oracle_sql(
 
 
 KG_DUCK_SQL["kg_pagerank"] = _kg_pagerank_oracle_sql()
+KG_DUCK_SQL["kg_ppr"] = _kg_pagerank_oracle_sql(seeds=["E000000"])
 
 # Degree-oriented triangle membership counts (twin of operators/graph.triangles):
 # identical orientation rule spelled with portable boolean comparisons.
@@ -1681,6 +1696,14 @@ def kg_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank(kg_edges(spark, sf_dir))
 
 
+def kg_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank from the seed hub entity — proximity ranking
+    of the KG around E000000 (operators/graph.pagerank with seeds)."""
+    from chatvector_ai_spark.operators.graph import pagerank
+
+    return pagerank(kg_edges(spark, sf_dir), seeds=[KG_SEED_ENTITY])
+
+
 def kg_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-entity triangle counts under degree orientation
     (operators/graph.triangles — O(m^1.5) wedge join, hub-skew safe)."""
@@ -1714,6 +1737,7 @@ KG_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_relation_counts": kg_relation_counts,
     "kg_khop": kg_khop,
     "kg_pagerank": kg_pagerank,
+    "kg_ppr": kg_ppr,
     "kg_triangles": kg_triangles,
     "kg_components": kg_components,
 }

@@ -317,3 +317,51 @@ def test_connected_components_two_disjoint_cliques(spark):
         for r in connected_components(_edges_df(spark, pairs)).collect()
     }
     assert got == {"a": "a", "b": "a", "c": "a", "x": "x", "y": "x", "z": "x"}
+
+
+def test_personalized_pagerank_concentrates_near_seed(spark):
+    from chatvector_ai_spark.operators.graph import pagerank
+
+    # chain a -> b -> c -> d plus a far component e <-> f
+    pairs = [("a", "b"), ("b", "c"), ("c", "d"), ("e", "f"), ("f", "e")]
+    got = {
+        r["entity"]: r["pr_scaled"]
+        for r in pagerank(_edges_df(spark, pairs), seeds=["a"]).collect()
+    }
+    # all mass flows from the seed; the disconnected component gets none
+    assert got["a"] > 0 and got["b"] > 0
+    assert got["e"] == 0 and got["f"] == 0
+    # proximity ordering along the chain from the seed
+    assert got["a"] > got["c"]
+    assert got["b"] > got["c"] > got["d"] or got["b"] >= got["c"] >= got["d"]
+
+
+def test_personalized_pagerank_matches_pure_python(spark):
+    from chatvector_ai_spark.operators.graph import pagerank
+
+    pairs = [
+        ("a", "b"), ("b", "c"), ("c", "a"), ("c", "d"), ("d", "a"),
+        ("e", "a"), ("a", "e"), ("b", "a"), ("f", "c"),
+    ]
+    seeds = ["c"]
+    scale, damping = 1_000_000, 85
+    edges = sorted({(s, d) for s, d in pairs if s != d})
+    nodes = sorted({n for e in edges for n in e})
+    out_deg = {}
+    for s, _ in edges:
+        out_deg[s] = out_deg.get(s, 0) + 1
+    t_val = ((100 - damping) * scale // 100) // len(seeds)
+    pr = {v: (scale // len(seeds) if v in seeds else 0) for v in nodes}
+    for _ in range(5):
+        acc = {v: 0 for v in nodes}
+        for u, v in edges:
+            acc[v] += pr[u] // out_deg[u]
+        pr = {
+            v: (t_val if v in seeds else 0) + (damping * acc[v]) // 100
+            for v in nodes
+        }
+    got = {
+        r["entity"]: r["pr_scaled"]
+        for r in pagerank(_edges_df(spark, pairs), seeds=seeds).collect()
+    }
+    assert got == pr
