@@ -144,3 +144,47 @@ def stream_event_rollup(
             "event_type", "n", "value_cents", "approx_users",
         )
     )
+
+
+def stream_dedup(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming exact dedup with BOUNDED state:
+    ``dropDuplicatesWithinWatermark`` keeps a key's fingerprint only until
+    the watermark passes it, so state is O(keys-per-watermark-window), not
+    O(all keys ever) — the property that makes streaming dedup survive an
+    unbounded 100 TB feed (a plain ``dropDuplicates`` on a stream grows
+    state forever). Duplicates arriving later than the watermark are
+    consciously re-admitted: at that distance the batch dedup layer
+    (dd_exact / dd_minhash suite operators) owns them — the standard
+    lambda split this module already uses for canonicalization.
+    """
+    return df.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(key_cols)
+
+
+def stream_dedup_docs(
+    docs: DataFrame,
+    ts_col: str = "ingest_ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Content-hash streaming dedup of interleaved documents: the key is
+    an md5 over the ordered span texts + media refs (kind-tagged), i.e.
+    exact-duplicate *content* collapses even under different doc_ids."""
+    keyed = docs.withColumn(
+        "content_hash",
+        F.md5(
+            F.concat_ws(
+                "\x1f",
+                F.transform(
+                    "spans",
+                    lambda s: F.concat_ws(
+                        "\x1e", s["kind"], s["text"], s["media_ref"]
+                    ),
+                ),
+            )
+        ),
+    )
+    return stream_dedup(keyed, ["content_hash"], ts_col=ts_col, watermark=watermark)

@@ -117,3 +117,36 @@ def test_stream_event_rollup_with_watermark(spark, tmp_path):
     assert len(got) > 0
     merged = got.merge(batch, on=["window_start", "event_type"], suffixes=("_s", "_b"))
     assert (merged["n_s"] == merged["n_b"]).all()
+
+
+def test_stream_dedup_docs_collapses_content_dups(spark, tmp_path):
+    """Two deliveries of the same document content (different doc_ids,
+    same spans) inside one watermark window → exactly one survivor per
+    content hash; distinct contents all pass."""
+    from chatvector_ai_spark.datagen import documents_df
+    from chatvector_ai_spark.streaming.incremental import stream_dedup_docs
+
+    src = str(tmp_path / "docs_dup")
+    base = documents_df(spark, 20).withColumn(
+        "ingest_ts", F.lit("2026-01-01 00:00:00").cast("timestamp")
+    )
+    dup = base.withColumn("doc_id", F.concat(F.lit("copy-"), F.col("doc_id")))
+    base.unionByName(dup).coalesce(1).write.parquet(src)
+
+    stream = spark.readStream.schema(
+        "doc_id string, tenant_id string, "
+        "spans array<struct<kind:string,text:string,media_ref:string,offset:int>>, "
+        "ingest_ts timestamp"
+    ).parquet(src)
+    q = (
+        stream_dedup_docs(stream)
+        .writeStream.format("memory")
+        .queryName("dedup_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT content_hash, doc_id FROM dedup_test").toPandas()
+    assert len(got) == 20  # one survivor per distinct content
+    assert got["content_hash"].nunique() == 20
