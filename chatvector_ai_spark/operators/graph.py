@@ -342,3 +342,107 @@ def connected_components(edges: DataFrame, max_iter: int = 50) -> DataFrame:
         nodes.join(labels, "entity", "left")
         .select("entity", F.coalesce("component", "entity").alias("component"))
     )
+
+
+def kcore(edges: DataFrame, k: int = 3, max_rounds: int = 8) -> DataFrame:
+    """K-core: iteratively peel nodes of degree < k until fixpoint (or
+    ``max_rounds``), returning surviving entities with their core-subgraph
+    degree — the standard graph-denoising pass before expensive downstream
+    analytics (a KG entity that survives the 3-core is structurally
+    corroborated; pendant noise is not).
+
+    Each round is one hash-agg (degrees) + two semi-joins (edge filter) +
+    an eager checkpoint; convergence is detected by the edge count
+    reaching a fixpoint, which happens in ≤ max_rounds on real graphs
+    (the cap bounds worst-case latency; both the operator and its oracle
+    twin apply the same cap, so semantics stay aligned). All logic is
+    integer/set-based — no float anywhere.
+    """
+    und = (
+        edges.select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    prev_edges = und.count()
+    for _ in range(max_rounds):
+        deg = (
+            und.select(F.col("a").alias("entity"))
+            .unionByName(und.select(F.col("b").alias("entity")))
+            .groupBy("entity")
+            .agg(F.count("*").alias("d"))
+        )
+        alive = deg.where(F.col("d") >= k).select("entity")
+        und = (
+            und.join(alive.withColumnRenamed("entity", "a"), "a", "left_semi")
+            .join(alive.withColumnRenamed("entity", "b"), "b", "left_semi")
+            .select("a", "b")
+            .localCheckpoint(eager=True)
+        )
+        cur = und.count()
+        if cur == prev_edges:
+            break
+        prev_edges = cur
+    return (
+        und.select(F.col("a").alias("entity"))
+        .unionByName(und.select(F.col("b").alias("entity")))
+        .groupBy("entity")
+        .agg(F.count("*").alias("core_degree"))
+        .where(F.col("core_degree") >= k)
+    )
+
+
+def structural_similarity(
+    edges: DataFrame,
+    min_shared: int = 2,
+    max_neighbors: int = 64,
+) -> DataFrame:
+    """Entity pairs ranked by neighborhood (shared-neighbor) Jaccard — the
+    structure-based entity-resolution signal that complements the alias-
+    dictionary linker: two entities whose edge neighborhoods largely
+    coincide are merge candidates even when their surface forms share
+    nothing.
+
+    Scale shape: candidate pairs come ONLY from co-neighbor blocking (two
+    entities must share a concrete neighbor to pair), and each entity's
+    neighbor list is capped at its ``max_neighbors`` smallest neighbor
+    ids (deterministic) so one hub neighbor cannot emit O(degree²) pairs
+    in a task — the same bound co-occurrence uses. The only window is
+    PARTITION BY entity. Jaccard is exact over the capped sets in both
+    engines (integer counts; one final per-row division, rounded)."""
+    from pyspark.sql import Window
+
+    sym = (
+        edges.select(F.col("src").alias("entity"), F.col("dst").alias("nbr"))
+        .unionByName(edges.select(F.col("dst").alias("entity"), F.col("src").alias("nbr")))
+        .where(F.col("entity") != F.col("nbr"))
+        .distinct()
+    )
+    w = Window.partitionBy("entity").orderBy(F.asc("nbr"))
+    capped = sym.withColumn("rk", F.row_number().over(w)).where(
+        F.col("rk") <= max_neighbors
+    ).select("entity", "nbr")
+    sizes = capped.groupBy("entity").agg(F.count("*").alias("deg"))
+    a, b = capped.alias("a"), capped.alias("b")
+    shared = (
+        a.join(b, (F.col("a.nbr") == F.col("b.nbr")) & (F.col("a.entity") < F.col("b.entity")))
+        .groupBy(
+            F.col("a.entity").alias("entity_a"), F.col("b.entity").alias("entity_b")
+        )
+        .agg(F.count("*").alias("n_shared"))
+        .where(F.col("n_shared") >= min_shared)
+    )
+    return (
+        shared.join(sizes.withColumnRenamed("entity", "entity_a").withColumnRenamed("deg", "deg_a"), "entity_a")
+        .join(sizes.withColumnRenamed("entity", "entity_b").withColumnRenamed("deg", "deg_b"), "entity_b")
+        .select(
+            "entity_a", "entity_b", "n_shared",
+            F.round(
+                F.col("n_shared").cast("double")
+                / (F.col("deg_a") + F.col("deg_b") - F.col("n_shared")).cast("double"),
+                6,
+            ).alias("nbr_jaccard"),
+        )
+    )

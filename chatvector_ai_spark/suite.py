@@ -1438,6 +1438,85 @@ KG_DUCK_SQL["kg_triangles"] = f"""
     GROUP BY entity
 """
 
+def _kg_kcore_oracle_sql(k: int = 3, rounds: int = 8) -> str:
+    """Unrolled k-core peel twin of operators/graph.kcore: *rounds*
+    identical peel rounds (the operator's early break only fires at a
+    fixpoint, where further rounds are no-ops, so the fixed unroll and the
+    capped loop agree by construction). Pure set/integer logic."""
+    edges = f"'{_KG_FIXTURE_DIR}/edges.parquet'"
+    parts = [
+        f"""
+    WITH und0 AS MATERIALIZED (
+        SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+        FROM {edges} WHERE src <> dst
+    )"""
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(
+            f""",
+    alive{r} AS MATERIALIZED (
+        SELECT entity FROM (
+            SELECT entity, count(*) AS d FROM (
+                SELECT a AS entity FROM und{r - 1}
+                UNION ALL SELECT b AS entity FROM und{r - 1}) u
+            GROUP BY entity) t
+        WHERE d >= {k}
+    ),
+    und{r} AS MATERIALIZED (
+        SELECT a, b FROM und{r - 1}
+        WHERE a IN (SELECT entity FROM alive{r})
+          AND b IN (SELECT entity FROM alive{r})
+    )"""
+        )
+    parts.append(
+        f"""
+    SELECT entity, count(*) AS core_degree FROM (
+        SELECT a AS entity FROM und{rounds}
+        UNION ALL SELECT b AS entity FROM und{rounds}) m
+    GROUP BY entity
+    HAVING count(*) >= {k}"""
+    )
+    return "".join(parts)
+
+
+# k=2: the alias-star-shaped fixture graph has no 3-core; the 2-core
+# (pendant-tree removal) keeps 26 corroborated entities
+KG_DUCK_SQL["kg_kcore"] = _kg_kcore_oracle_sql(k=2)
+
+# Structural (shared-neighbor Jaccard) similarity twin of
+# operators/graph.structural_similarity: co-neighbor blocking, per-entity
+# neighbor cap at the 64 smallest ids, exact Jaccard over the capped sets.
+KG_DUCK_SQL["kg_structsim"] = f"""
+    WITH sym AS (
+        SELECT DISTINCT src AS entity, dst AS nbr
+        FROM '{_KG_FIXTURE_DIR}/edges.parquet' WHERE src <> dst
+        UNION
+        SELECT DISTINCT dst AS entity, src AS nbr
+        FROM '{_KG_FIXTURE_DIR}/edges.parquet' WHERE src <> dst
+    ),
+    capped AS (
+        SELECT entity, nbr FROM (
+            SELECT entity, nbr,
+                   row_number() OVER (PARTITION BY entity ORDER BY nbr ASC) AS rk
+            FROM sym) t
+        WHERE rk <= 64
+    ),
+    sizes AS (SELECT entity, count(*) AS deg FROM capped GROUP BY entity),
+    shared AS (
+        SELECT a.entity AS entity_a, b.entity AS entity_b, count(*) AS n_shared
+        FROM capped a JOIN capped b
+          ON a.nbr = b.nbr AND a.entity < b.entity
+        GROUP BY a.entity, b.entity
+        HAVING count(*) >= 2
+    )
+    SELECT s.entity_a, s.entity_b, s.n_shared,
+           round(CAST(s.n_shared AS DOUBLE)
+                 / CAST(sa.deg + sb.deg - s.n_shared AS DOUBLE), 6) AS nbr_jaccard
+    FROM shared s
+    JOIN sizes sa ON s.entity_a = sa.entity
+    JOIN sizes sb ON s.entity_b = sb.entity
+"""
+
 # Connected-components twin (operators/graph.connected_components): the
 # oracle takes min over the transitive closure — equal to the star
 # algorithm's min-of-component label on any finite graph.
@@ -1720,6 +1799,22 @@ def kg_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(kg_edges(spark, sf_dir))
 
 
+def kg_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-core of the canonical graph — entities surviving pendant-tree
+    peeling, with their core-subgraph degree (operators/graph.kcore)."""
+    from chatvector_ai_spark.operators.graph import kcore
+
+    return kcore(kg_edges(spark, sf_dir), k=2)
+
+
+def kg_structsim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared-neighbor Jaccard entity pairs — the structure-based
+    entity-resolution signal (operators/graph.structural_similarity)."""
+    from chatvector_ai_spark.operators.graph import structural_similarity
+
+    return structural_similarity(kg_edges(spark, sf_dir))
+
+
 KG_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_ingest_chunks": kg_ingest_chunks,
     "kg_ingest_chunks_paragraph": _kg_chunks_query("paragraph"),
@@ -1740,6 +1835,8 @@ KG_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_ppr": kg_ppr,
     "kg_triangles": kg_triangles,
     "kg_components": kg_components,
+    "kg_kcore": kg_kcore,
+    "kg_structsim": kg_structsim,
 }
 
 

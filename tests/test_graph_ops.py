@@ -365,3 +365,86 @@ def test_personalized_pagerank_matches_pure_python(spark):
         for r in pagerank(_edges_df(spark, pairs), seeds=seeds).collect()
     }
     assert got == pr
+
+
+def test_kcore_keeps_clique_peels_pendant_tree(spark):
+    from chatvector_ai_spark.operators.graph import kcore
+
+    k4 = ["p", "q", "r", "s"]
+    pairs = [(a, b) for i, a in enumerate(k4) for b in k4[i + 1:]]
+    # pendant chain s -> t -> u and a reversed duplicate edge
+    pairs += [("s", "t"), ("t", "u"), ("q", "p")]
+    got = {r["entity"]: r["core_degree"] for r in kcore(_edges_df(spark, pairs), k=3).collect()}
+    assert got == {"p": 3, "q": 3, "r": 3, "s": 3}
+
+
+def test_kcore_matches_pure_python_peel(spark):
+    import random
+
+    from chatvector_ai_spark.operators.graph import kcore
+
+    rng = random.Random(20260817)
+    nodes = [f"n{i:03d}" for i in range(80)]
+    pairs = [tuple(rng.sample(nodes, 2)) for _ in range(160)]
+
+    und = {tuple(sorted(e)) for e in pairs}
+    while True:
+        deg = {}
+        for a, b in und:
+            deg[a] = deg.get(a, 0) + 1
+            deg[b] = deg.get(b, 0) + 1
+        alive = {v for v, d in deg.items() if d >= 2}
+        nxt = {(a, b) for a, b in und if a in alive and b in alive}
+        if nxt == und:
+            break
+        und = nxt
+    expected = {}
+    for a, b in und:
+        expected[a] = expected.get(a, 0) + 1
+        expected[b] = expected.get(b, 0) + 1
+    expected = {v: d for v, d in expected.items() if d >= 2}
+
+    got = {
+        r["entity"]: r["core_degree"]
+        for r in kcore(_edges_df(spark, pairs), k=2, max_rounds=50).collect()
+    }
+    assert got == expected
+
+
+def test_structural_similarity_exact_jaccard(spark):
+    from chatvector_ai_spark.operators.graph import structural_similarity
+
+    # Undirected graph: a,b share all three n* neighbors (J=1.0); the n*
+    # nodes themselves pair through shared {a,b}; c shares only one
+    # neighbor with a (below min_shared=2); d is fully isolated.
+    pairs = [
+        ("a", "n1"), ("a", "n2"), ("a", "n3"),
+        ("b", "n1"), ("b", "n2"), ("b", "n3"),
+        ("c", "n1"), ("c", "m1"),
+        ("d", "z1"),
+    ]
+    rows = structural_similarity(_edges_df(spark, pairs)).collect()
+    got = {(r["entity_a"], r["entity_b"]): (r["n_shared"], r["nbr_jaccard"]) for r in rows}
+    assert got == {
+        ("a", "b"): (3, 1.0),          # J = 3 / (3+3-3)
+        ("n1", "n2"): (2, 0.666667),   # J = 2 / (3+2-2): n1 also sees c
+        ("n1", "n3"): (2, 0.666667),
+        ("n2", "n3"): (2, 1.0),        # J = 2 / (2+2-2)
+    }
+
+
+def test_structural_similarity_neighbor_cap_is_deterministic(spark):
+    from chatvector_ai_spark.operators.graph import structural_similarity
+
+    # hub entities with 6 neighbors each; cap at 4 keeps the 4 smallest
+    # neighbor ids, so the capped sets are {n0..n3} for both -> J = 1.0
+    pairs = [("a", f"n{i}") for i in range(6)] + [("b", f"n{i}") for i in range(6)]
+    rows = structural_similarity(_edges_df(spark, pairs), max_neighbors=4).collect()
+    got = {(r["entity_a"], r["entity_b"]): (r["n_shared"], r["nbr_jaccard"]) for r in rows}
+    # hub pair scored over the capped sets {n0..n3}
+    assert got[("a", "b")] == (4, 1.0)
+    # every n_i/n_j pair shares exactly {a, b}
+    for i in range(6):
+        for j in range(i + 1, 6):
+            assert got[(f"n{i}", f"n{j}")] == (2, 1.0)
+    assert len(got) == 1 + 15
