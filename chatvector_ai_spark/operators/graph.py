@@ -446,3 +446,73 @@ def structural_similarity(
             ).alias("nbr_jaccard"),
         )
     )
+
+
+def predicate_profile(edges: DataFrame) -> DataFrame:
+    """Per-relation structural profile over distinct (src, dst) pairs:
+    pair count, distinct subject/object counts, and the PARIS-style
+    functionality / inverse-functionality ratios (#distinct subjects /
+    #pairs and #distinct objects / #pairs). Functionality ≈ 1 means the
+    relation is one-object-per-subject (good canonicalization anchor);
+    low inverse functionality flags hub objects that need salting.
+
+    One distinct + one hash-agg keyed by the (small) relation vocabulary —
+    map-side combinable, no windows, scales with edge count."""
+    pairs = edges.select("rel", "src", "dst").distinct()
+    return pairs.groupBy("rel").agg(
+        F.count("*").alias("n_pairs"),
+        F.countDistinct("src").alias("n_src"),
+        F.countDistinct("dst").alias("n_dst"),
+        F.round(F.countDistinct("src") / F.count("*"), 6).alias("functionality"),
+        F.round(F.countDistinct("dst") / F.count("*"), 6).alias("inv_functionality"),
+    )
+
+
+def metapath_counts(edges: DataFrame, max_fanout: int = 32) -> DataFrame:
+    """2-hop metapath statistics: for every ordered relation pair
+    (rel_a, rel_b), the number of path instances a -rel_a-> m -rel_b-> c
+    — the schema-level signal for which relation compositions exist in
+    the graph (rule mining / ontology induction input).
+
+    Scale shape: paths are formed by joining in-edges to out-edges on the
+    middle entity, and BOTH edge lists are capped at ``max_fanout`` per
+    middle entity (deterministic smallest-(rel, endpoint) order), so a hub
+    entity contributes at most max_fanout² paths instead of
+    in_degree×out_degree. The only windows are PARTITION BY entity."""
+    from pyspark.sql import Window
+
+    dedup = edges.select("src", "rel", "dst").distinct()
+    w_in = Window.partitionBy("dst").orderBy("rel", "src")
+    ins = (
+        dedup.withColumn("rk", F.row_number().over(w_in))
+        .where(F.col("rk") <= max_fanout)
+        .select(F.col("rel").alias("rel_a"), F.col("dst").alias("mid"))
+    )
+    w_out = Window.partitionBy("src").orderBy("rel", "dst")
+    outs = (
+        dedup.withColumn("rk", F.row_number().over(w_out))
+        .where(F.col("rk") <= max_fanout)
+        .select(F.col("rel").alias("rel_b"), F.col("src").alias("mid"))
+    )
+    return (
+        ins.join(outs, "mid")
+        .groupBy("rel_a", "rel_b")
+        .agg(F.count("*").alias("n_paths"), F.countDistinct("mid").alias("n_mids"))
+    )
+
+
+def relation_cooccurrence(edges: DataFrame) -> DataFrame:
+    """Relation pairs co-occurring on the same subject: for each unordered
+    pair (rel_a < rel_b), how many subjects carry both — the attribute-
+    correlation signal for type inference (subjects sharing a relation
+    signature likely share a type).
+
+    Per-subject fan-out is bounded by C(|relation vocabulary|, 2), which
+    is schema-scale, not data-scale; the join key is the subject."""
+    sr = edges.select("src", "rel").distinct()
+    a, b = sr.alias("a"), sr.alias("b")
+    return (
+        a.join(b, (F.col("a.src") == F.col("b.src")) & (F.col("a.rel") < F.col("b.rel")))
+        .groupBy(F.col("a.rel").alias("rel_a"), F.col("b.rel").alias("rel_b"))
+        .agg(F.countDistinct(F.col("a.src")).alias("n_subjects"))
+    )

@@ -1517,6 +1517,104 @@ KG_DUCK_SQL["kg_structsim"] = f"""
     JOIN sizes sb ON s.entity_b = sb.entity
 """
 
+# Per-relation structural profile twin (operators/graph.predicate_profile):
+# distinct-pair counts and PARIS-style functionality ratios.
+KG_DUCK_SQL["kg_predicate_profile"] = f"""
+    WITH pairs AS (
+        SELECT DISTINCT rel, src, dst FROM '{_KG_FIXTURE_DIR}/edges.parquet'
+    )
+    SELECT rel,
+           count(*) AS n_pairs,
+           count(DISTINCT src) AS n_src,
+           count(DISTINCT dst) AS n_dst,
+           round(CAST(count(DISTINCT src) AS DOUBLE) / count(*), 6) AS functionality,
+           round(CAST(count(DISTINCT dst) AS DOUBLE) / count(*), 6) AS inv_functionality
+    FROM pairs GROUP BY rel
+"""
+
+# 2-hop metapath twin (operators/graph.metapath_counts): in/out edge lists
+# capped at the 32 smallest (rel, endpoint) rows per middle entity, then
+# joined on the middle entity.
+KG_DUCK_SQL["kg_metapaths"] = f"""
+    WITH dedup AS (
+        SELECT DISTINCT src, rel, dst FROM '{_KG_FIXTURE_DIR}/edges.parquet'
+    ),
+    ins AS (
+        SELECT rel AS rel_a, dst AS mid FROM (
+            SELECT rel, src, dst,
+                   row_number() OVER (PARTITION BY dst ORDER BY rel, src) AS rk
+            FROM dedup) t
+        WHERE rk <= 32
+    ),
+    outs AS (
+        SELECT rel AS rel_b, src AS mid FROM (
+            SELECT rel, src, dst,
+                   row_number() OVER (PARTITION BY src ORDER BY rel, dst) AS rk
+            FROM dedup) t
+        WHERE rk <= 32
+    )
+    SELECT rel_a, rel_b, count(*) AS n_paths, count(DISTINCT mid) AS n_mids
+    FROM ins JOIN outs USING (mid)
+    GROUP BY rel_a, rel_b
+"""
+
+# Relation co-occurrence on shared subjects twin
+# (operators/graph.relation_cooccurrence).
+KG_DUCK_SQL["kg_rel_cooccur"] = f"""
+    WITH sr AS (
+        SELECT DISTINCT src, rel FROM '{_KG_FIXTURE_DIR}/edges.parquet'
+    )
+    SELECT a.rel AS rel_a, b.rel AS rel_b, count(DISTINCT a.src) AS n_subjects
+    FROM sr a JOIN sr b ON a.src = b.src AND a.rel < b.rel
+    GROUP BY a.rel, b.rel
+"""
+
+# Deterministic corrupted-tail negative sampling twin
+# (operators/kgtrain.negative_samples): same md5→60-bit-int arithmetic
+# (CAST('0x'||substr(md5(x),1,15) AS BIGINT) == Spark
+# conv(substring(md5(x),1,15),16,10)), same bucketed vocab indexing, same
+# filtered-setting anti-join. n_neg=2, n_buckets=64.
+KG_DUCK_SQL["kg_negative_samples"] = f"""
+    WITH pos AS (
+        SELECT DISTINCT src, rel, dst FROM '{_KG_FIXTURE_DIR}/edges.parquet'
+    ),
+    vocab AS (
+        SELECT entity,
+               CAST('0x' || substr(md5('vb:' || entity), 1, 15) AS BIGINT) % 64 AS bk
+        FROM (SELECT src AS entity FROM pos UNION SELECT dst FROM pos) e
+    ),
+    indexed AS (
+        SELECT entity, bk,
+               row_number() OVER (PARTITION BY bk ORDER BY entity) - 1 AS i
+        FROM vocab
+    ),
+    sizes AS (SELECT bk, count(*) AS bk_n FROM indexed GROUP BY bk),
+    ranked AS (
+        SELECT bk, bk_n, row_number() OVER (ORDER BY bk) - 1 AS bkr FROM sizes
+    ),
+    nn AS (SELECT count(*) AS n_ne FROM sizes),
+    gen AS (
+        SELECT p.src, p.rel, p.dst, j.neg_idx,
+               concat_ws('|', p.src, p.rel, p.dst, CAST(j.neg_idx AS VARCHAR)) AS key
+        FROM pos p CROSS JOIN (VALUES (0), (1)) j(neg_idx)
+    ),
+    placed AS (
+        SELECT g.*,
+               CAST('0x' || substr(md5('nb:' || g.key), 1, 15) AS BIGINT) % nn.n_ne AS bkr,
+               CAST('0x' || substr(md5('ni:' || g.key), 1, 15) AS BIGINT) AS hi
+        FROM gen g CROSS JOIN nn
+    ),
+    sampled AS (
+        SELECT p.src, p.rel, p.dst, p.neg_idx, ix.entity AS neg_dst
+        FROM placed p
+        JOIN ranked r ON r.bkr = p.bkr
+        JOIN indexed ix ON ix.bk = r.bk AND ix.i = p.hi % r.bk_n
+    )
+    SELECT s.* FROM sampled s
+    LEFT JOIN pos fp ON fp.src = s.src AND fp.rel = s.rel AND fp.dst = s.neg_dst
+    WHERE fp.src IS NULL
+"""
+
 # Connected-components twin (operators/graph.connected_components): the
 # oracle takes min over the transitive closure — equal to the star
 # algorithm's min-of-component label on any finite graph.
@@ -1815,6 +1913,35 @@ def kg_structsim(spark: SparkSession, sf_dir: str) -> DataFrame:
     return structural_similarity(kg_edges(spark, sf_dir))
 
 
+def kg_predicate_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-relation functionality profile (operators/graph.predicate_profile)."""
+    from chatvector_ai_spark.operators.graph import predicate_profile
+
+    return predicate_profile(kg_edges(spark, sf_dir))
+
+
+def kg_metapaths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-hop relation-composition counts (operators/graph.metapath_counts)."""
+    from chatvector_ai_spark.operators.graph import metapath_counts
+
+    return metapath_counts(kg_edges(spark, sf_dir))
+
+
+def kg_rel_cooccur(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relation pairs sharing subjects (operators/graph.relation_cooccurrence)."""
+    from chatvector_ai_spark.operators.graph import relation_cooccurrence
+
+    return relation_cooccurrence(kg_edges(spark, sf_dir))
+
+
+def kg_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic corrupted-tail KGE training negatives, filtered
+    setting (operators/kgtrain.negative_samples)."""
+    from chatvector_ai_spark.operators.kgtrain import negative_samples
+
+    return negative_samples(kg_edges(spark, sf_dir))
+
+
 KG_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_ingest_chunks": kg_ingest_chunks,
     "kg_ingest_chunks_paragraph": _kg_chunks_query("paragraph"),
@@ -1837,6 +1964,10 @@ KG_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_components": kg_components,
     "kg_kcore": kg_kcore,
     "kg_structsim": kg_structsim,
+    "kg_predicate_profile": kg_predicate_profile,
+    "kg_metapaths": kg_metapaths,
+    "kg_rel_cooccur": kg_rel_cooccur,
+    "kg_negative_samples": kg_negative_samples,
 }
 
 

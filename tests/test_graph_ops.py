@@ -448,3 +448,71 @@ def test_structural_similarity_neighbor_cap_is_deterministic(spark):
         for j in range(i + 1, 6):
             assert got[(f"n{i}", f"n{j}")] == (2, 1.0)
     assert len(got) == 1 + 15
+
+
+def test_predicate_profile_functionality_math(spark):
+    from chatvector_ai_spark.operators.graph import predicate_profile
+
+    rows = spark.createDataFrame(
+        [
+            # rel "f": functional — each subject has exactly one object
+            ("a", "f", "x"), ("b", "f", "y"), ("a", "f", "x"),  # dup pair collapses
+            # rel "m": one subject, three objects
+            ("a", "m", "x"), ("a", "m", "y"), ("a", "m", "z"),
+        ],
+        "src string, rel string, dst string",
+    )
+    got = {r["rel"]: r for r in predicate_profile(rows).collect()}
+    assert got["f"]["n_pairs"] == 2 and got["f"]["functionality"] == 1.0
+    assert got["m"]["n_pairs"] == 3
+    assert got["m"]["functionality"] == round(1 / 3, 6)
+    assert got["m"]["inv_functionality"] == 1.0
+
+
+def test_metapath_counts_and_fanout_cap(spark):
+    from chatvector_ai_spark.operators.graph import metapath_counts
+
+    rows = [("a", "r1", "m"), ("b", "r1", "m"), ("m", "r2", "c"), ("m", "r2", "d")]
+    df = spark.createDataFrame(rows, "src string, rel string, dst string")
+    got = {(r["rel_a"], r["rel_b"]): (r["n_paths"], r["n_mids"]) for r in metapath_counts(df).collect()}
+    # 2 in-edges × 2 out-edges through m
+    assert got == {("r1", "r2"): (4, 1)}
+    # cap: hub middle with 5 in and 5 out, max_fanout=2 → 2×2 paths
+    hub = [(f"a{i}", "r1", "m") for i in range(5)] + [("m", "r2", f"c{i}") for i in range(5)]
+    capped = metapath_counts(
+        spark.createDataFrame(hub, "src string, rel string, dst string"), max_fanout=2
+    ).collect()
+    assert {(r["rel_a"], r["rel_b"]): r["n_paths"] for r in capped} == {("r1", "r2"): 4}
+
+
+def test_relation_cooccurrence_counts_shared_subjects(spark):
+    from chatvector_ai_spark.operators.graph import relation_cooccurrence
+
+    rows = [
+        ("a", "r1", "x"), ("a", "r2", "y"), ("a", "r2", "z"),  # a has r1+r2
+        ("b", "r1", "x"), ("b", "r3", "y"),                      # b has r1+r3
+        ("c", "r2", "x"),                                          # c has r2 only
+    ]
+    df = spark.createDataFrame(rows, "src string, rel string, dst string")
+    got = {(r["rel_a"], r["rel_b"]): r["n_subjects"] for r in relation_cooccurrence(df).collect()}
+    assert got == {("r1", "r2"): 1, ("r1", "r3"): 1}
+
+
+def test_negative_samples_deterministic_and_filtered(spark):
+    from chatvector_ai_spark.operators.kgtrain import negative_samples
+
+    rows = [(f"e{i}", "rel", f"e{(i + 1) % 20}") for i in range(20)]
+    df = spark.createDataFrame(rows, "src string, rel string, dst string")
+    got1 = sorted(tuple(r) for r in negative_samples(df, n_neg=2).collect())
+    got2 = sorted(tuple(r) for r in negative_samples(df, n_neg=2).collect())
+    assert got1 == got2  # deterministic across runs
+    positives = {(s, r, d) for s, r, d in rows}
+    for src, rel, dst, neg_idx, neg_dst in got1:
+        assert (src, rel, dst) in positives
+        assert (src, rel, neg_dst) not in positives  # filtered setting
+        assert neg_dst in {e for t in rows for e in (t[0], t[2])}  # from vocab
+        assert neg_idx in (0, 1)
+    # ≤ n_neg per positive; near-complete coverage (only true-positive
+    # collisions are dropped)
+    assert len(got1) <= 2 * len(positives)
+    assert len(got1) >= int(1.5 * len(positives))

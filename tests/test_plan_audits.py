@@ -179,3 +179,41 @@ def test_pagerank_iteration_plan_stays_truncated(spark):
     facts = plan_facts(pagerank(edges, iterations=3))
     # a checkpointed plan scans the materialized RDD; no joins remain
     assert facts.sortmerge_joins + facts.broadcast_joins + facts.shuffle_hash_joins == 0, facts.text[:1500]
+
+
+def test_kg_analytics_plans_bounded_windows_no_python(spark):
+    """predicate_profile is pure hash-agg (no windows); metapath/structsim
+    windows are all PARTITION BY an entity key; negative_samples' only
+    global window runs over the ≤n_buckets bucket-size aggregate and its
+    dimension joins are broadcast — none of the new analytics ops can move
+    data-scale rows to one partition or drop into Python."""
+    from chatvector_ai_spark.operators.graph import (
+        metapath_counts,
+        predicate_profile,
+        structural_similarity,
+    )
+    from chatvector_ai_spark.operators.kgtrain import negative_samples
+
+    edges = spark.createDataFrame(
+        [("a", "r1", "b"), ("b", "r2", "c")], "src string, rel string, dst string"
+    )
+
+    facts = plan_facts(predicate_profile(edges))
+    assert facts.window_ops == 0, facts.text[:1200]
+    assert facts.python_evals == 0
+
+    facts = plan_facts(metapath_counts(edges))
+    # rk <= max_fanout must push down as WindowGroupLimit (partial top-K
+    # per middle entity instead of a full per-partition sort)
+    assert ") WindowGroupLimit" in facts.text, facts.text[:1200]
+    assert facts.python_evals == 0
+
+    facts = plan_facts(structural_similarity(edges))
+    assert ") WindowGroupLimit" in facts.text, facts.text[:1200]
+    assert facts.python_evals == 0
+
+    facts = plan_facts(negative_samples(edges))
+    # per-bucket vocab index + ≤n_buckets bucket-rank windows only
+    assert facts.window_ops == 2, facts.text[:1200]
+    assert facts.python_evals == 0
+    assert facts.broadcast_joins >= 1, facts.text[:1200]  # ranked dim broadcast
