@@ -516,3 +516,119 @@ def relation_cooccurrence(edges: DataFrame) -> DataFrame:
         .groupBy(F.col("a.rel").alias("rel_a"), F.col("b.rel").alias("rel_b"))
         .agg(F.countDistinct(F.col("a.src")).alias("n_subjects"))
     )
+
+
+def edge_pmi(edges: DataFrame) -> DataFrame:
+    """Pointwise mutual information of (src, dst) within each relation:
+    ``pmi = ln(c_pair * n_rel / (c_src * c_dst))`` over mention-level
+    occurrences — the information-theoretic edge weight that separates
+    systematic associations from edges that only exist because both
+    endpoints are frequent (hub × hub noise pairs get negative PMI).
+
+    Scale shape: three hash-aggs (pair, per-(rel,src), per-(rel,dst)
+    marginals) joined back on their grouping keys — all map-side
+    combinable, no windows, no pair fan-out beyond the observed edges."""
+    occ = edges.select("rel", "src", "dst")
+    pair = occ.groupBy("rel", "src", "dst").agg(F.count("*").alias("c_pair"))
+    n_rel = occ.groupBy("rel").agg(F.count("*").alias("n_rel"))
+    c_src = occ.groupBy("rel", "src").agg(F.count("*").alias("c_src"))
+    c_dst = occ.groupBy("rel", "dst").agg(F.count("*").alias("c_dst"))
+    return (
+        pair.join(c_src, ["rel", "src"])
+        .join(c_dst, ["rel", "dst"])
+        .join(F.broadcast(n_rel), "rel")
+        .select(
+            "rel", "src", "dst", "c_pair",
+            F.round(
+                F.log(
+                    F.col("c_pair").cast("double")
+                    * F.col("n_rel")
+                    / (F.col("c_src").cast("double") * F.col("c_dst"))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )
+
+
+def consolidate_edges(edges: DataFrame) -> DataFrame:
+    """Collapse mention-level edge rows into one consolidated edge per
+    (src, rel, dst) with its evidence profile: mention count, distinct
+    supporting documents / tenants, and the max extraction confidence —
+    the weighted-edge form a downstream consumer reads instead of raw
+    mentions. One hash-agg keyed by the edge identity; countDistinct
+    compiles to partial-agg + distinct-expand, no windows."""
+    return edges.groupBy("src", "rel", "dst").agg(
+        F.count("*").alias("n_mentions"),
+        F.countDistinct("doc_id").alias("n_docs"),
+        F.countDistinct("tenant_id").alias("n_tenants"),
+        F.round(F.max("conf").cast("double"), 6).alias("max_conf"),
+    )
+
+
+def infer_types(edges: DataFrame) -> DataFrame:
+    """Entity type induction from relation signatures: an entity's type
+    label is its most frequent (relation, position) feature — e.g. an
+    entity that mostly appears as the object of works_at/joined is a
+    workplace-like entity. Deterministic tie-break: smallest feature
+    string among the max-count features.
+
+    Scale shape: one hash-agg on (entity, feature), then a PARTITION BY
+    entity top-1 window (WindowGroupLimit — partial per-partition top-k,
+    no global sort)."""
+    from pyspark.sql import Window
+
+    feats = (
+        edges.select(F.col("src").alias("entity"), F.concat("rel", F.lit(":s")).alias("feature"))
+        .unionByName(
+            edges.select(F.col("dst").alias("entity"), F.concat("rel", F.lit(":o")).alias("feature"))
+        )
+        .groupBy("entity", "feature")
+        .agg(F.count("*").alias("n_obs"))
+    )
+    w = Window.partitionBy("entity").orderBy(F.desc("n_obs"), F.asc("feature"))
+    return (
+        feats.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .select("entity", F.col("feature").alias("inferred_type"), "n_obs")
+    )
+
+
+def match_pattern(edges: DataFrame, pattern: list[tuple[str, str, str]]) -> DataFrame:
+    """Basic graph pattern matching (the SPARQL BGP core): ``pattern`` is a
+    list of (subject, predicate, object) terms where a term starting with
+    ``?`` is a variable and anything else is a constant. Returns one
+    column per variable (without the ``?``), one row per distinct binding.
+
+    Example: ``[("?a", "acquired", "?b"), ("?b", "supplies", "?c")]`` finds
+    acquisition targets that supply someone.
+
+    Execution: each triple pattern is a constant-filtered scan of the edge
+    table projected to its variable columns; patterns chain with equi-joins
+    on shared variables (Catalyst reorders and broadcasts small sides).
+    Constants push down to the parquet scan; a pattern with a constant
+    subject additionally prunes by entity-hash bucket when the edge table
+    is bucket-partitioned. No Python runs per row."""
+    if not pattern:
+        raise ValueError("pattern must contain at least one triple pattern")
+
+    def one(tp: tuple[str, str, str]) -> DataFrame:
+        s, p, o = tp
+        df = edges.select("src", "rel", "dst").distinct()
+        cols = []
+        for term, col in ((s, "src"), (p, "rel"), (o, "dst")):
+            if term.startswith("?"):
+                cols.append(F.col(col).alias(term[1:]))
+            else:
+                df = df.where(F.col(col) == term)
+        if not cols:
+            # all-constant pattern: contributes an existence filter
+            return df.select(F.lit(1).alias("__exists__")).limit(1)
+        return df.select(*cols).distinct()
+
+    out = one(pattern[0])
+    for tp in pattern[1:]:
+        step = one(tp)
+        shared = [c for c in step.columns if c in out.columns and c != "__exists__"]
+        out = out.join(step, on=shared) if shared else out.crossJoin(step)
+    return out.drop("__exists__").distinct()

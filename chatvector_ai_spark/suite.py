@@ -1615,6 +1615,66 @@ KG_DUCK_SQL["kg_negative_samples"] = f"""
     WHERE fp.src IS NULL
 """
 
+# PMI edge-weight twin (operators/graph.edge_pmi): mention-level counts,
+# natural log, rounded to 6.
+KG_DUCK_SQL["kg_edge_pmi"] = f"""
+    WITH occ AS (SELECT rel, src, dst FROM '{_KG_FIXTURE_DIR}/edges.parquet'),
+    pair AS (SELECT rel, src, dst, count(*) AS c_pair FROM occ GROUP BY rel, src, dst),
+    nr AS (SELECT rel, count(*) AS n_rel FROM occ GROUP BY rel),
+    cs AS (SELECT rel, src, count(*) AS c_src FROM occ GROUP BY rel, src),
+    cd AS (SELECT rel, dst, count(*) AS c_dst FROM occ GROUP BY rel, dst)
+    SELECT p.rel, p.src, p.dst, p.c_pair,
+           round(ln(CAST(p.c_pair AS DOUBLE) * nr.n_rel
+                    / (CAST(cs.c_src AS DOUBLE) * cd.c_dst)), 6) AS pmi
+    FROM pair p
+    JOIN cs ON cs.rel = p.rel AND cs.src = p.src
+    JOIN cd ON cd.rel = p.rel AND cd.dst = p.dst
+    JOIN nr ON nr.rel = p.rel
+"""
+
+# Consolidated-edge twin (operators/graph.consolidate_edges).
+KG_DUCK_SQL["kg_consolidated_edges"] = f"""
+    SELECT src, rel, dst,
+           count(*) AS n_mentions,
+           count(DISTINCT doc_id) AS n_docs,
+           count(DISTINCT tenant_id) AS n_tenants,
+           round(CAST(max(conf) AS DOUBLE), 6) AS max_conf
+    FROM '{_KG_FIXTURE_DIR}/edges.parquet'
+    GROUP BY src, rel, dst
+"""
+
+# Type-induction twin (operators/graph.infer_types): top-1 (rel, position)
+# feature per entity, ties to the smallest feature string.
+KG_DUCK_SQL["kg_inferred_types"] = f"""
+    WITH feats AS (
+        SELECT entity, feature, count(*) AS n_obs FROM (
+            SELECT src AS entity, rel || ':s' AS feature
+            FROM '{_KG_FIXTURE_DIR}/edges.parquet'
+            UNION ALL
+            SELECT dst AS entity, rel || ':o' AS feature
+            FROM '{_KG_FIXTURE_DIR}/edges.parquet'
+        ) GROUP BY entity, feature
+    )
+    SELECT entity, feature AS inferred_type, n_obs FROM (
+        SELECT entity, feature, n_obs,
+               row_number() OVER (
+                   PARTITION BY entity ORDER BY n_obs DESC, feature
+               ) AS rk
+        FROM feats) t
+    WHERE rk = 1
+"""
+
+# BGP pattern-match twin (operators/graph.match_pattern) for the suite's
+# concrete pattern (?a acquired ?b)(?b supplies ?c): distinct bindings.
+KG_DUCK_SQL["kg_pattern_match"] = f"""
+    WITH dedup AS (
+        SELECT DISTINCT src, rel, dst FROM '{_KG_FIXTURE_DIR}/edges.parquet'
+    )
+    SELECT DISTINCT p1.src AS a, p1.dst AS b, p2.dst AS c
+    FROM dedup p1 JOIN dedup p2 ON p1.dst = p2.src
+    WHERE p1.rel = 'acquired' AND p2.rel = 'supplies'
+"""
+
 # Connected-components twin (operators/graph.connected_components): the
 # oracle takes min over the transitive closure — equal to the star
 # algorithm's min-of-component label on any finite graph.
@@ -1934,6 +1994,38 @@ def kg_rel_cooccur(spark: SparkSession, sf_dir: str) -> DataFrame:
     return relation_cooccurrence(kg_edges(spark, sf_dir))
 
 
+def kg_edge_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PMI edge weights within each relation (operators/graph.edge_pmi)."""
+    from chatvector_ai_spark.operators.graph import edge_pmi
+
+    return edge_pmi(kg_edges(spark, sf_dir))
+
+
+def kg_consolidated_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Evidence-profiled consolidated edges (operators/graph.consolidate_edges)."""
+    from chatvector_ai_spark.operators.graph import consolidate_edges
+
+    return consolidate_edges(kg_edges(spark, sf_dir))
+
+
+def kg_inferred_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relation-signature type induction (operators/graph.infer_types)."""
+    from chatvector_ai_spark.operators.graph import infer_types
+
+    return infer_types(kg_edges(spark, sf_dir))
+
+
+def kg_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BGP match (?a acquired ?b)(?b supplies ?c)
+    (operators/graph.match_pattern)."""
+    from chatvector_ai_spark.operators.graph import match_pattern
+
+    return match_pattern(
+        kg_edges(spark, sf_dir),
+        [("?a", "acquired", "?b"), ("?b", "supplies", "?c")],
+    )
+
+
 def kg_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic corrupted-tail KGE training negatives, filtered
     setting (operators/kgtrain.negative_samples)."""
@@ -1968,6 +2060,10 @@ KG_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_metapaths": kg_metapaths,
     "kg_rel_cooccur": kg_rel_cooccur,
     "kg_negative_samples": kg_negative_samples,
+    "kg_edge_pmi": kg_edge_pmi,
+    "kg_consolidated_edges": kg_consolidated_edges,
+    "kg_inferred_types": kg_inferred_types,
+    "kg_pattern_match": kg_pattern_match,
 }
 
 

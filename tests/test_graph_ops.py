@@ -516,3 +516,76 @@ def test_negative_samples_deterministic_and_filtered(spark):
     # collisions are dropped)
     assert len(got1) <= 2 * len(positives)
     assert len(got1) >= int(1.5 * len(positives))
+
+
+def test_edge_pmi_math(spark):
+    from chatvector_ai_spark.operators.graph import edge_pmi
+    import math
+
+    rows = [
+        # rel "r": pair (a,x) twice, (a,y) once, (b,y) once → n_rel=4
+        ("a", "r", "x"), ("a", "r", "x"), ("a", "r", "y"), ("b", "r", "y"),
+    ]
+    df = spark.createDataFrame(rows, "src string, rel string, dst string")
+    got = {(r["src"], r["dst"]): (r["c_pair"], r["pmi"]) for r in edge_pmi(df).collect()}
+    # (a,x): c_pair=2, c_src(a)=3, c_dst(x)=2 → ln(2*4/(3*2))
+    assert got[("a", "x")] == (2, round(math.log(8 / 6), 6))
+    # (b,y): c_pair=1, c_src(b)=1, c_dst(y)=2 → ln(1*4/(1*2))
+    assert got[("b", "y")] == (1, round(math.log(2.0), 6))
+
+
+def test_consolidate_edges_evidence_profile(spark):
+    from chatvector_ai_spark.operators.graph import consolidate_edges
+
+    rows = [
+        ("a", "r", "b", "d1", "t1", 0.9),
+        ("a", "r", "b", "d1", "t1", 0.5),
+        ("a", "r", "b", "d2", "t2", 0.7),
+        ("x", "r", "y", "d3", "t1", 0.2),
+    ]
+    df = spark.createDataFrame(
+        rows, "src string, rel string, dst string, doc_id string, tenant_id string, conf float"
+    )
+    got = {(r["src"], r["dst"]): r for r in consolidate_edges(df).collect()}
+    ab = got[("a", "b")]
+    assert (ab["n_mentions"], ab["n_docs"], ab["n_tenants"]) == (3, 2, 2)
+    assert abs(ab["max_conf"] - 0.9) < 1e-6
+    assert got[("x", "y")]["n_mentions"] == 1
+
+
+def test_infer_types_argmax_and_tiebreak(spark):
+    from chatvector_ai_spark.operators.graph import infer_types
+
+    rows = [
+        # "w" appears twice as object of works_at → works_at:o wins
+        ("p1", "works_at", "w"), ("p2", "works_at", "w"), ("w", "owns", "z"),
+        # "t" ties 1:1 between born_in:s and owns:o → smallest feature wins
+        ("t", "born_in", "c"), ("z", "owns", "t"),
+    ]
+    df = spark.createDataFrame(rows, "src string, rel string, dst string")
+    got = {r["entity"]: (r["inferred_type"], r["n_obs"]) for r in infer_types(df).collect()}
+    assert got["w"] == ("works_at:o", 2)
+    assert got["t"] == ("born_in:s", 1)  # 'born_in:s' < 'owns:o'
+
+
+def test_match_pattern_chain_and_constants(spark):
+    from chatvector_ai_spark.operators.graph import match_pattern
+
+    rows = [
+        ("a", "acquired", "b"), ("b", "supplies", "c"), ("b", "supplies", "d"),
+        ("x", "acquired", "y"),  # y supplies nobody
+        ("a", "acquired", "b"),  # duplicate mention collapses
+    ]
+    df = spark.createDataFrame(rows, "src string, rel string, dst string")
+    got = sorted(
+        (r["a"], r["b"], r["c"])
+        for r in match_pattern(
+            df, [("?a", "acquired", "?b"), ("?b", "supplies", "?c")]
+        ).collect()
+    )
+    assert got == [("a", "b", "c"), ("a", "b", "d")]
+    # constant subject narrows bindings
+    one = match_pattern(df, [("a", "acquired", "?b")]).collect()
+    assert [(r["b"],) for r in one] == [("b",)]
+    # all-variable single pattern returns the distinct edge set
+    assert match_pattern(df, [("?s", "?p", "?o")]).count() == 4

@@ -217,3 +217,44 @@ def test_kg_analytics_plans_bounded_windows_no_python(spark):
     assert facts.window_ops == 2, facts.text[:1200]
     assert facts.python_evals == 0
     assert facts.broadcast_joins >= 1, facts.text[:1200]  # ranked dim broadcast
+
+
+def test_kg_weighting_typing_bgp_plans_stay_jvm_side(spark):
+    """edge_pmi / consolidate_edges are pure hash-aggs + equi-joins (no
+    windows); infer_types' only window is a PARTITION BY entity top-1 that
+    must push down as WindowGroupLimit; match_pattern compiles to
+    constant-filtered scans chained with equi-joins — no Python, no
+    cross-join for a connected pattern."""
+    from chatvector_ai_spark.operators.graph import (
+        consolidate_edges,
+        edge_pmi,
+        infer_types,
+        match_pattern,
+    )
+
+    edges = spark.createDataFrame(
+        [("a", "r1", "b", "d1", "t1", 0.5), ("b", "r2", "c", "d2", "t2", 0.9)],
+        "src string, rel string, dst string, doc_id string, tenant_id string, conf float",
+    )
+
+    facts = plan_facts(edge_pmi(edges))
+    assert facts.window_ops == 0, facts.text[:1200]
+    assert facts.python_evals == 0
+
+    facts = plan_facts(consolidate_edges(edges))
+    assert facts.window_ops == 0, facts.text[:1200]
+    assert facts.python_evals == 0
+
+    facts = plan_facts(infer_types(edges))
+    assert ") WindowGroupLimit" in facts.text, facts.text[:1200]
+    assert facts.python_evals == 0
+
+    plan = match_pattern(
+        edges, [("?a", "r1", "?b"), ("?b", "r2", "?c")]
+    )
+    facts = plan_facts(plan)
+    assert facts.python_evals == 0
+    assert "CartesianProduct" not in facts.text, facts.text[:1200]
+    # the rel constants survive as plan-level filters (pushable to the
+    # parquet scan when the edge table is file-backed)
+    assert "rel#" in facts.text and "r1" in facts.text, facts.text[:1200]
