@@ -96,3 +96,214 @@ def negative_samples(
     return sampled.join(false_neg, ["src", "rel", "neg_dst"], "left_anti").select(
         "src", "rel", "dst", "neg_idx", "neg_dst"
     )
+
+
+# ---------------------------------------------------------------------------
+# TransE-style embedding training over the materialized edge table. The
+# whole thing is DataFrame expressions: embeddings are a *deterministic
+# function of the name* (md5-derived uniform init, the standard
+# U(-6/sqrt(d), 6/sqrt(d)) of Bordes et al.), so scoring needs NO embedding
+# join at all — each triple row computes its own vectors JVM-side via
+# transform/zip_with/aggregate, and only the gradient step materializes an
+# embedding table. This keeps the hot scoring path shuffle-free and gives
+# the margin loss an exact DuckDB value twin (same md5 arithmetic).
+# ---------------------------------------------------------------------------
+
+_TWO60 = float(1 << 60)
+
+
+def _emb_expr(prefix: str, name: F.Column, dim: int) -> F.Column:
+    """array<double> embedding — element i is a deterministic uniform in
+    (-6/sqrt(dim), 6/sqrt(dim)) from md5(prefix || name || ':' || i)."""
+    scale = 6.0 / (dim ** 0.5)
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda i: (
+            _h60(F.concat(F.lit(prefix), name, F.lit(":"), i.cast("string")))
+            / F.lit(_TWO60)
+            * 2.0
+            - 1.0
+        )
+        * F.lit(scale),
+    )
+
+
+def init_entity_embeddings(edges: DataFrame, dim: int = 16) -> DataFrame:
+    """(entity, emb) — hash-initialized entity vectors for every entity in
+    the edge vocabulary."""
+    vocab = (
+        edges.select(F.col("src").alias("entity"))
+        .unionByName(edges.select(F.col("dst").alias("entity")))
+        .distinct()
+    )
+    return vocab.withColumn("emb", _emb_expr("te:", F.col("entity"), dim))
+
+
+def init_relation_embeddings(edges: DataFrame, dim: int = 16) -> DataFrame:
+    """(rel, emb) — hash-initialized relation translation vectors."""
+    return (
+        edges.select("rel").distinct().withColumn("emb", _emb_expr("tr:", F.col("rel"), dim))
+    )
+
+
+def _l1_score(es: F.Column, rr: F.Column, eo: F.Column) -> F.Column:
+    """L1 TransE score ||e_s + r - e_o||_1 as a single JVM expression."""
+    diff = F.zip_with(F.zip_with(es, rr, lambda x, y: x + y), eo, lambda x, y: x - y)
+    return F.aggregate(diff, F.lit(0.0), lambda acc, x: acc + F.abs(x))
+
+
+def transe_margin_loss(
+    edges: DataFrame, dim: int = 16, n_neg: int = 2, gamma: float = 1.0
+) -> DataFrame:
+    """Per-relation filtered-setting margin loss at the deterministic
+    initialization: for each (positive, corrupted-tail) sample from
+    ``negative_samples``, hinge = max(0, gamma + d(s,r,o) - d(s,r,o')),
+    aggregated per relation. Returns (rel, n_samples, n_active, avg_loss).
+
+    Scale shape: embeddings are computed inline per row (no embedding
+    join); the only shuffles are the negative sampler's bucketed vocab
+    join and one final hash-agg on rel."""
+    samples = negative_samples(edges, n_neg=n_neg)
+    es = _emb_expr("te:", F.col("src"), dim)
+    rr = _emb_expr("tr:", F.col("rel"), dim)
+    eo = _emb_expr("te:", F.col("dst"), dim)
+    en = _emb_expr("te:", F.col("neg_dst"), dim)
+    hinge = F.greatest(
+        F.lit(0.0), F.lit(gamma) + _l1_score(es, rr, eo) - _l1_score(es, rr, en)
+    )
+    return (
+        samples.withColumn("hinge", hinge)
+        .groupBy("rel")
+        .agg(
+            F.count("*").alias("n_samples"),
+            F.sum((F.col("hinge") > 0).cast("bigint")).alias("n_active"),
+            F.round(F.avg("hinge"), 6).alias("avg_loss"),
+        )
+    )
+
+
+def transe_sgd_step(
+    edges: DataFrame,
+    dim: int = 16,
+    n_neg: int = 2,
+    gamma: float = 1.0,
+    lr: float = 0.01,
+) -> tuple[DataFrame, DataFrame]:
+    """One full-batch subgradient step of TransE (L1 score, filtered-setting
+    corrupted tails) entirely in DataFrame ops. Returns the updated
+    ``(entity, emb)`` and ``(rel, emb)`` tables.
+
+    For an active sample (hinge > 0) with v_pos = e_s + r - e_o and
+    v_neg = e_s + r - e_o', the L1 subgradients are sign vectors:
+
+    - e_s  += -lr * (sign(v_pos) - sign(v_neg))
+    - r    += -lr * (sign(v_pos) - sign(v_neg))
+    - e_o  += -lr * (-sign(v_pos))
+    - e_o' += -lr * (+sign(v_neg))
+
+    Scale shape: per-sample sign vectors posexplode to (name, i, g) rows —
+    O(samples × dim), the same order as the scoring work — and gradients
+    accumulate in one hash-agg keyed by (name, dim index); the updated
+    table rebuilds arrays with an array_sort(collect_list(struct)) over the
+    per-name dim rows (bounded at ``dim`` elements). No windows, no Python."""
+    samples = negative_samples(edges, n_neg=n_neg)
+    es = _emb_expr("te:", F.col("src"), dim)
+    rr = _emb_expr("tr:", F.col("rel"), dim)
+    eo = _emb_expr("te:", F.col("dst"), dim)
+    en = _emb_expr("te:", F.col("neg_dst"), dim)
+    v_pos = F.zip_with(F.zip_with(es, rr, lambda x, y: x + y), eo, lambda x, y: x - y)
+    v_neg = F.zip_with(F.zip_with(es, rr, lambda x, y: x + y), en, lambda x, y: x - y)
+    sgn = lambda c: F.when(c > 0, F.lit(1.0)).when(c < 0, F.lit(-1.0)).otherwise(F.lit(0.0))  # noqa: E731
+
+    active = (
+        samples.withColumn("sp", F.transform(v_pos, sgn))
+        .withColumn("sn", F.transform(v_neg, sgn))
+        .withColumn(
+            "hinge",
+            F.greatest(F.lit(0.0), F.lit(gamma) + _l1_score(es, rr, eo) - _l1_score(es, rr, en)),
+        )
+        .where(F.col("hinge") > 0)
+    )
+    dsr = F.zip_with("sp", "sn", lambda a, b: a - b)  # grad for s and rel
+    contribs = (
+        active.select(F.concat(F.lit("e:"), "src").alias("name"), dsr.alias("g"))
+        .unionByName(active.select(F.concat(F.lit("r:"), "rel").alias("name"), dsr.alias("g")))
+        .unionByName(
+            active.select(
+                F.concat(F.lit("e:"), "dst").alias("name"),
+                F.transform("sp", lambda x: -x).alias("g"),
+            )
+        )
+        .unionByName(active.select(F.concat(F.lit("e:"), "neg_dst").alias("name"), F.col("sn").alias("g")))
+    )
+    grads = (
+        contribs.select("name", F.posexplode("g").alias("i", "gi"))
+        .groupBy("name", "i")
+        .agg(F.sum("gi").alias("gi"))
+        .groupBy("name")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("i", "gi"))), lambda s: s["gi"]
+            ).alias("grad")
+        )
+    )
+
+    def updated(init: DataFrame, key: str, prefix: str) -> DataFrame:
+        joined = init.join(
+            grads.withColumn(key, F.expr(f"substring(name, {len(prefix) + 1})")).drop("name"),
+            key,
+            "left",
+        )
+        step = F.when(
+            F.col("grad").isNull(), F.col("emb")
+        ).otherwise(F.zip_with("emb", "grad", lambda e, g: e - F.lit(lr) * g))
+        return joined.select(key, step.alias("emb"))
+
+    ents = updated(init_entity_embeddings(edges, dim), "entity", "e:")
+    rels = updated(init_relation_embeddings(edges, dim), "rel", "r:")
+    return ents, rels
+
+
+def transe_loss_with(
+    edges: DataFrame,
+    entity_emb: DataFrame,
+    rel_emb: DataFrame,
+    n_neg: int = 2,
+    gamma: float = 1.0,
+) -> DataFrame:
+    """Margin loss evaluated against *materialized* embedding tables (the
+    post-step evaluation path): joins each sample to its three entity rows
+    and one relation row — all equi-joins; the relation table is broadcast-
+    scale by construction."""
+    samples = negative_samples(edges, n_neg=n_neg)
+    e = entity_emb
+    scored = (
+        samples.join(e.select(F.col("entity").alias("src"), F.col("emb").alias("es")), "src")
+        .join(e.select(F.col("entity").alias("dst"), F.col("emb").alias("eo")), "dst")
+        .join(e.select(F.col("entity").alias("neg_dst"), F.col("emb").alias("en")), "neg_dst")
+        # rename the key: rel_emb may share its `rel` attribute lineage with
+        # the sample table (both descend from the same edges scan), and a
+        # USING join on an identical expression id trips Catalyst's
+        # self-join disambiguation
+        .join(
+            F.broadcast(
+                rel_emb.select(F.col("rel").alias("rel_k"), F.col("emb").alias("rr"))
+            ),
+            F.col("rel") == F.col("rel_k"),
+        )
+        .drop("rel_k")
+        .withColumn(
+            "hinge",
+            F.greatest(
+                F.lit(0.0),
+                F.lit(gamma)
+                + _l1_score(F.col("es"), F.col("rr"), F.col("eo"))
+                - _l1_score(F.col("es"), F.col("rr"), F.col("en")),
+            ),
+        )
+    )
+    return scored.groupBy("rel").agg(
+        F.count("*").alias("n_samples"),
+        F.sum((F.col("hinge") > 0).cast("bigint")).alias("n_active"),
+        F.round(F.avg("hinge"), 6).alias("avg_loss"),
+    )

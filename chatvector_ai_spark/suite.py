@@ -1615,6 +1615,53 @@ KG_DUCK_SQL["kg_negative_samples"] = f"""
     WHERE fp.src IS NULL
 """
 
+# TransE margin-loss twin (operators/kgtrain.transe_margin_loss): the same
+# deterministic md5-derived U(-6/sqrt(d), 6/sqrt(d)) embedding init, L1
+# score, and filtered corrupted-tail samples — value-level parity for a
+# training op. dim=16, n_neg=2, gamma=1.0.
+_TRANSE_DIM = 16
+
+
+def _duck_emb(prefix: str, col: str, dim: int = _TRANSE_DIM) -> str:
+    scale = 6.0 / (dim ** 0.5)
+    return (
+        f"list_transform(range(0, {dim}), i -> "
+        f"(CAST('0x' || substr(md5('{prefix}' || {col} || ':' || CAST(i AS VARCHAR)), 1, 15) "
+        f"AS BIGINT) / 1152921504606846976.0 * 2 - 1) * {scale!r})"
+    )
+
+
+def _duck_l1(a: str, b: str, c: str, dim: int = _TRANSE_DIM) -> str:
+    return (
+        f"list_sum(list_transform(range(0, {dim}), i -> "
+        f"abs({a}[i + 1] + {b}[i + 1] - {c}[i + 1])))"
+    )
+
+
+KG_DUCK_SQL["kg_transe_loss"] = f"""
+    WITH samples AS (
+        SELECT * FROM ({KG_DUCK_SQL["kg_negative_samples"]})
+    ),
+    emb AS (
+        SELECT rel,
+               {_duck_emb("te:", "src")} AS es,
+               {_duck_emb("tr:", "rel")} AS rr,
+               {_duck_emb("te:", "dst")} AS eo,
+               {_duck_emb("te:", "neg_dst")} AS en
+        FROM samples
+    ),
+    scored AS (
+        SELECT rel,
+               greatest(0.0, 1.0 + {_duck_l1("es", "rr", "eo")}
+                              - {_duck_l1("es", "rr", "en")}) AS hinge
+        FROM emb
+    )
+    SELECT rel, count(*) AS n_samples,
+           CAST(sum(CASE WHEN hinge > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_active,
+           round(avg(hinge), 6) AS avg_loss
+    FROM scored GROUP BY rel
+"""
+
 # PMI edge-weight twin (operators/graph.edge_pmi): mention-level counts,
 # natural log, rounded to 6.
 KG_DUCK_SQL["kg_edge_pmi"] = f"""
@@ -1994,6 +2041,30 @@ def kg_rel_cooccur(spark: SparkSession, sf_dir: str) -> DataFrame:
     return relation_cooccurrence(kg_edges(spark, sf_dir))
 
 
+def kg_transe_loss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-relation TransE margin loss at the deterministic init
+    (operators/kgtrain.transe_margin_loss; dim=16, n_neg=2, gamma=1)."""
+    from chatvector_ai_spark.operators.kgtrain import transe_margin_loss
+
+    return transe_margin_loss(kg_edges(spark, sf_dir), dim=_TRANSE_DIM)
+
+
+def kg_transe_step_loss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-relation margin loss after ONE full-batch TransE subgradient
+    step (operators/kgtrain.transe_sgd_step + transe_loss_with) — the
+    train-then-evaluate loop as pure DataFrame ops. Rows-only driver check
+    (the gradient accumulation has no tractable SQL twin); the
+    loss-decrease property is pinned by tests/test_kgtrain.py."""
+    from chatvector_ai_spark.operators.kgtrain import (
+        transe_loss_with,
+        transe_sgd_step,
+    )
+
+    edges = kg_edges(spark, sf_dir)
+    ents, rels = transe_sgd_step(edges, dim=_TRANSE_DIM, lr=0.01)
+    return transe_loss_with(edges, ents, rels)
+
+
 def kg_edge_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PMI edge weights within each relation (operators/graph.edge_pmi)."""
     from chatvector_ai_spark.operators.graph import edge_pmi
@@ -2064,6 +2135,8 @@ KG_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_consolidated_edges": kg_consolidated_edges,
     "kg_inferred_types": kg_inferred_types,
     "kg_pattern_match": kg_pattern_match,
+    "kg_transe_loss": kg_transe_loss,
+    "kg_transe_step_loss": kg_transe_step_loss,
 }
 
 

@@ -258,3 +258,26 @@ def test_kg_weighting_typing_bgp_plans_stay_jvm_side(spark):
     # the rel constants survive as plan-level filters (pushable to the
     # parquet scan when the edge table is file-backed)
     assert "rel#" in facts.text and "r1" in facts.text, facts.text[:1200]
+
+
+def test_transe_scoring_plan_is_shuffle_lean_and_jvm_side(spark):
+    """transe_margin_loss computes embeddings INLINE (transform over a
+    sequence literal — no embedding join), so beyond the negative sampler's
+    two bounded windows and bucketed vocab join there is only the final
+    hash-agg on rel. No Python evals anywhere in the training path."""
+    from chatvector_ai_spark.operators.kgtrain import (
+        transe_margin_loss,
+        transe_sgd_step,
+    )
+
+    edges = spark.createDataFrame(
+        [("a", "r1", "b"), ("b", "r2", "c")], "src string, rel string, dst string"
+    )
+    facts = plan_facts(transe_margin_loss(edges, dim=4))
+    assert facts.python_evals == 0
+    # only the sampler's windows (per-bucket vocab index + bucket rank)
+    assert facts.window_ops == 2, facts.text[:1200]
+
+    ents, rels = transe_sgd_step(edges, dim=4, lr=0.01)
+    assert plan_facts(ents).python_evals == 0
+    assert plan_facts(rels).python_evals == 0
