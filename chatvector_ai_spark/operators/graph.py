@@ -632,3 +632,23 @@ def match_pattern(edges: DataFrame, pattern: list[tuple[str, str, str]]) -> Data
         shared = [c for c in step.columns if c in out.columns and c != "__exists__"]
         out = out.join(step, on=shared) if shared else out.crossJoin(step)
     return out.drop("__exists__").distinct()
+
+
+def export_ntriples(edges: DataFrame, base: str = "urn:cv:") -> DataFrame:
+    """Serialize the distinct edge set as N-Triples lines —
+    ``<base+src> <base+rel:rel> <base+dst> .`` — the standard RDF exchange
+    format a downstream triple store ingests. One narrow projection over
+    the distinct edge set; writing the result with text/parquet keeps the
+    export embarrassingly parallel."""
+    return (
+        edges.select("src", "rel", "dst")
+        .distinct()
+        .select(
+            F.concat(
+                F.lit("<" + base), "src",
+                F.lit("> <" + base + "rel:"), "rel",
+                F.lit("> <" + base), "dst",
+                F.lit("> ."),
+            ).alias("ntriple")
+        )
+    )

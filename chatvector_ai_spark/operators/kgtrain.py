@@ -307,3 +307,52 @@ def transe_loss_with(
         F.sum((F.col("hinge") > 0).cast("bigint")).alias("n_active"),
         F.round(F.avg("hinge"), 6).alias("avg_loss"),
     )
+
+
+def transe_predict_tails(
+    edges: DataFrame,
+    dim: int = 16,
+    k: int = 3,
+    max_candidates: int = 256,
+) -> DataFrame:
+    """Link prediction: for every observed (src, rel) query, the top-``k``
+    NEW tail entities by TransE L1 score (filtered ranking — tails already
+    observed for that (src, rel) are excluded), with type-constrained
+    candidate generation: candidates for a relation are the entities that
+    appear as ITS tails anywhere, capped at the ``max_candidates`` most
+    frequent (ties to the smallest id). Returns
+    (src, rel, pred_dst, score, rank).
+
+    Scale shape: the query×candidate fan-out is per-relation
+    |queries_r| × min(|tails_r|, max_candidates) — bounded by the cap, and
+    keyed by rel so it shuffles once on a low-cardinality key with AQE skew
+    splitting available; embeddings are inline (no join); ranking windows
+    are PARTITION BY (src, rel) / PARTITION BY rel top-k
+    (WindowGroupLimit). Scores round to 6 decimals BEFORE ranking so the
+    ordering is reproducible across engines."""
+    from pyspark.sql import Window
+
+    pos = edges.select("src", "rel", "dst").distinct()
+    w_cand = Window.partitionBy("rel").orderBy(F.desc("n"), F.asc("dst"))
+    cands = (
+        pos.groupBy("rel", "dst")
+        .agg(F.count("*").alias("n"))
+        .withColumn("rk", F.row_number().over(w_cand))
+        .where(F.col("rk") <= max_candidates)
+        .select("rel", F.col("dst").alias("pred_dst"))
+    )
+    queries = pos.select("src", "rel").distinct()
+    es = _emb_expr("te:", F.col("src"), dim)
+    rr = _emb_expr("tr:", F.col("rel"), dim)
+    ec = _emb_expr("te:", F.col("pred_dst"), dim)
+    scored = queries.join(cands, "rel").withColumn(
+        "score", F.round(_l1_score(es, rr, ec), 6)
+    )
+    known = pos.select("src", "rel", F.col("dst").alias("pred_dst"))
+    fresh = scored.join(known, ["src", "rel", "pred_dst"], "left_anti")
+    w_rank = Window.partitionBy("src", "rel").orderBy(F.asc("score"), F.asc("pred_dst"))
+    return (
+        fresh.withColumn("rank", F.row_number().over(w_rank))
+        .where(F.col("rank") <= k)
+        .select("src", "rel", "pred_dst", "score", "rank")
+    )

@@ -1662,6 +1662,57 @@ KG_DUCK_SQL["kg_transe_loss"] = f"""
     FROM scored GROUP BY rel
 """
 
+# Link-prediction twin (operators/kgtrain.transe_predict_tails): filtered
+# top-3 new tails per observed (src, rel), type-constrained candidates
+# capped at the 256 most frequent tails per relation, scores rounded to 6
+# BEFORE ranking so both engines order identically.
+KG_DUCK_SQL["kg_transe_link_pred"] = f"""
+    WITH pos AS (
+        SELECT DISTINCT src, rel, dst FROM '{_KG_FIXTURE_DIR}/edges.parquet'
+    ),
+    cands AS (
+        SELECT rel, dst AS pred_dst FROM (
+            SELECT rel, dst, count(*) AS n,
+                   row_number() OVER (PARTITION BY rel ORDER BY count(*) DESC, dst) AS rk
+            FROM pos GROUP BY rel, dst) t
+        WHERE rk <= 256
+    ),
+    queries AS (SELECT DISTINCT src, rel FROM pos),
+    joined AS (
+        SELECT q.src, q.rel, c.pred_dst
+        FROM queries q JOIN cands c ON c.rel = q.rel
+    ),
+    emb AS (
+        SELECT src, rel, pred_dst,
+               {_duck_emb("te:", "src")} AS es,
+               {_duck_emb("tr:", "rel")} AS rr,
+               {_duck_emb("te:", "pred_dst")} AS ec
+        FROM joined
+    ),
+    scored AS (
+        SELECT src, rel, pred_dst,
+               round({_duck_l1("es", "rr", "ec")}, 6) AS score
+        FROM emb
+    ),
+    fresh AS (
+        SELECT s.* FROM scored s
+        LEFT JOIN pos p ON p.src = s.src AND p.rel = s.rel AND p.dst = s.pred_dst
+        WHERE p.src IS NULL
+    )
+    SELECT src, rel, pred_dst, score, rank FROM (
+        SELECT src, rel, pred_dst, score,
+               row_number() OVER (PARTITION BY src, rel ORDER BY score, pred_dst) AS rank
+        FROM fresh) t
+    WHERE rank <= 3
+"""
+
+# N-Triples export twin (operators/graph.export_ntriples).
+KG_DUCK_SQL["kg_export_ntriples"] = f"""
+    SELECT DISTINCT '<urn:cv:' || src || '> <urn:cv:rel:' || rel
+           || '> <urn:cv:' || dst || '> .' AS ntriple
+    FROM '{_KG_FIXTURE_DIR}/edges.parquet'
+"""
+
 # PMI edge-weight twin (operators/graph.edge_pmi): mention-level counts,
 # natural log, rounded to 6.
 KG_DUCK_SQL["kg_edge_pmi"] = f"""
@@ -2065,6 +2116,22 @@ def kg_transe_step_loss(spark: SparkSession, sf_dir: str) -> DataFrame:
     return transe_loss_with(edges, ents, rels)
 
 
+def kg_transe_link_pred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered link prediction: top-3 new tails per (src, rel)
+    (operators/kgtrain.transe_predict_tails)."""
+    from chatvector_ai_spark.operators.kgtrain import transe_predict_tails
+
+    return transe_predict_tails(kg_edges(spark, sf_dir), dim=_TRANSE_DIM)
+
+
+def kg_export_ntriples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-Triples serialization of the distinct edge set
+    (operators/graph.export_ntriples)."""
+    from chatvector_ai_spark.operators.graph import export_ntriples
+
+    return export_ntriples(kg_edges(spark, sf_dir))
+
+
 def kg_edge_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PMI edge weights within each relation (operators/graph.edge_pmi)."""
     from chatvector_ai_spark.operators.graph import edge_pmi
@@ -2137,6 +2204,8 @@ KG_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_pattern_match": kg_pattern_match,
     "kg_transe_loss": kg_transe_loss,
     "kg_transe_step_loss": kg_transe_step_loss,
+    "kg_transe_link_pred": kg_transe_link_pred,
+    "kg_export_ntriples": kg_export_ntriples,
 }
 
 

@@ -84,3 +84,40 @@ def test_sgd_step_only_moves_touched_params(spark):
     assert moved, "no parameter moved"
     for e in ("a", "b", "c", "d"):
         assert e in got
+
+
+def test_predict_tails_filtered_ranked_and_capped(spark):
+    from chatvector_ai_spark.operators.kgtrain import transe_predict_tails
+
+    rows = [("a", "r", "b"), ("a", "r", "c"), ("x", "r", "b"), ("x", "r", "d")]
+    df = spark.createDataFrame(rows, "src string, rel string, dst string")
+    got = transe_predict_tails(df, dim=DIM, k=3).collect()
+    positives = {(s, r, d) for s, r, d in rows}
+    tails_of_r = {"b", "c", "d"}
+    by_query = {}
+    for r in got:
+        assert (r["src"], r["rel"], r["pred_dst"]) not in positives  # filtered
+        assert r["pred_dst"] in tails_of_r  # type-constrained candidates
+        by_query.setdefault((r["src"], r["rel"]), []).append((r["rank"], r["score"]))
+    for q, ranked in by_query.items():
+        ranked.sort()
+        assert [rk for rk, _ in ranked] == list(range(1, len(ranked) + 1))
+        scores = [s for _, s in ranked]
+        assert scores == sorted(scores)  # ascending distance
+    # a has tails {b,c} known → only d predictable; x has {b,d} → only c
+    assert set(by_query) == {("a", "r"), ("x", "r")}
+    assert len(by_query[("a", "r")]) == 1 and len(by_query[("x", "r")]) == 1
+
+    # candidate cap: max_candidates=1 keeps only the most frequent tail (b)
+    capped = transe_predict_tails(df, dim=DIM, k=3, max_candidates=1).collect()
+    assert all(r["pred_dst"] == "b" for r in capped)
+
+
+def test_export_ntriples_format(spark):
+    from chatvector_ai_spark.operators.graph import export_ntriples
+
+    df = spark.createDataFrame(
+        [("E1", "owns", "E2"), ("E1", "owns", "E2")], "src string, rel string, dst string"
+    )
+    got = [r["ntriple"] for r in export_ntriples(df).collect()]
+    assert got == ["<urn:cv:E1> <urn:cv:rel:owns> <urn:cv:E2> ."]

@@ -281,3 +281,19 @@ def test_transe_scoring_plan_is_shuffle_lean_and_jvm_side(spark):
     ents, rels = transe_sgd_step(edges, dim=4, lr=0.01)
     assert plan_facts(ents).python_evals == 0
     assert plan_facts(rels).python_evals == 0
+
+
+def test_link_prediction_plan_uses_group_limits(spark):
+    """transe_predict_tails: both the per-rel candidate cap and the
+    per-(src, rel) top-k must push down as WindowGroupLimit; the
+    query×candidate join is an equi-join on rel (no cartesian product);
+    everything stays JVM-side."""
+    from chatvector_ai_spark.operators.kgtrain import transe_predict_tails
+
+    edges = spark.createDataFrame(
+        [("a", "r1", "b"), ("b", "r2", "c")], "src string, rel string, dst string"
+    )
+    facts = plan_facts(transe_predict_tails(edges, dim=4))
+    assert facts.python_evals == 0
+    assert "CartesianProduct" not in facts.text, facts.text[:1200]
+    assert facts.text.count(") WindowGroupLimit") >= 2, facts.text[:1500]
