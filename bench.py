@@ -91,12 +91,19 @@ def main() -> int:
                 from chatvector_ai_spark.operators.graph import (
                     connected_components, pagerank,
                 )
+                from chatvector_ai_spark.operators.kgtrain import (
+                    transe_margin_loss,
+                )
 
                 edges = Warehouse(wh_root).read(spark, "edges", run.input_key)
                 for gname, fn in (
                     ("kg_pagerank_full", lambda e=edges: pagerank(e).collect()),
                     ("kg_components_full",
                      lambda e=edges: connected_components(e).collect()),
+                    # KGE training throughput: sample negatives + score the
+                    # margin loss over the full pipeline-output edge table
+                    ("kg_transe_loss_full",
+                     lambda e=edges: transe_margin_loss(e, dim=16).collect()),
                 ):
                     t0 = time.time()
                     fn()

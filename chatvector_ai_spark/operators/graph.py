@@ -652,3 +652,68 @@ def export_ntriples(edges: DataFrame, base: str = "urn:cv:") -> DataFrame:
             ).alias("ntriple")
         )
     )
+
+
+def entity_fact_summary(edges: DataFrame, k: int = 5) -> DataFrame:
+    """Entity summarization: the top-``k`` most informative subject-side
+    facts per entity, ranked by within-relation PMI (ties broken by
+    (rel, dst) ascending) — the fact-ranking step a KG card/abstract
+    generator reads instead of the raw edge list.
+
+    Composes ``edge_pmi`` with one PARTITION BY src top-k window
+    (WindowGroupLimit); everything upstream is hash-aggs + equi-joins."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("src").orderBy(F.desc("pmi"), F.asc("rel"), F.asc("dst"))
+    return (
+        edge_pmi(edges)
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(F.col("src").alias("entity"), "rel", "dst", "pmi", "rank")
+    )
+
+
+def label_propagation(edges: DataFrame, iterations: int = 4) -> DataFrame:
+    """Synchronous label-propagation community detection (LPA) over the
+    undirected distinct edge set: every node starts labeled with its own
+    id; each round it adopts the most frequent label among its neighbors
+    PLUS one vote for its own current label (the self-vote damps the
+    2-cycle oscillation synchronous LPA exhibits on bipartite structures),
+    ties broken by the smallest label; an isolated node keeps its label.
+    Fixed iteration count + deterministic tie-break make the result
+    reproducible in any engine — no randomized visit order.
+
+    Per-iteration plan: symmetric edges ⋈ labels (shuffle on the neighbor
+    key) → hash-agg (entity, label) counts → per-entity argmax via one
+    min(struct(-count, label)) aggregate — NO window — then
+    ``localCheckpoint`` truncates lineage exactly like pagerank. Each round
+    is one shuffle on the entity key at any scale.
+
+    Returns (entity, label) — nodes sharing a label form a community."""
+    sym = (
+        edges.select(F.col("src").alias("entity"), F.col("dst").alias("nbr"))
+        .unionByName(edges.select(F.col("dst").alias("entity"), F.col("src").alias("nbr")))
+        .where(F.col("entity") != F.col("nbr"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    nodes = sym.select("entity").distinct().localCheckpoint(eager=True)
+    labels = nodes.withColumn("label", F.col("entity"))
+    for _ in range(iterations):
+        nbr_labels = sym.join(
+            labels.select(F.col("entity").alias("nbr"), "label"), "nbr"
+        ).select("entity", "label")
+        votes = nbr_labels.unionByName(labels.select("entity", "label"))
+        counted = votes.groupBy("entity", "label").agg(F.count("*").alias("c"))
+        best = counted.groupBy("entity").agg(
+            F.min(F.struct((-F.col("c")).alias("nc"), F.col("label"))).alias("b")
+        )
+        labels = (
+            nodes.join(best, "entity", "left")
+            .select(
+                "entity",
+                F.coalesce(F.col("b.label"), F.col("entity")).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return labels

@@ -1730,6 +1730,75 @@ KG_DUCK_SQL["kg_edge_pmi"] = f"""
     JOIN nr ON nr.rel = p.rel
 """
 
+# Label-propagation twin (operators/graph.label_propagation): 4 synchronous
+# rounds unrolled as CTEs — same most-frequent-neighbor-label update with
+# smallest-label ties, isolated nodes keep their label.
+_LPA_ITERS = 4
+
+
+def _lpa_sql(iters: int) -> str:
+    parts = [
+        f"""sym AS (
+        SELECT DISTINCT src AS entity, dst AS nbr
+        FROM '{_KG_FIXTURE_DIR}/edges.parquet' WHERE src <> dst
+        UNION
+        SELECT DISTINCT dst AS entity, src AS nbr
+        FROM '{_KG_FIXTURE_DIR}/edges.parquet' WHERE src <> dst
+    )""",
+        "nodes AS (SELECT DISTINCT entity FROM sym)",
+        "l0 AS (SELECT entity, entity AS label FROM nodes)",
+    ]
+    for i in range(1, iters + 1):
+        parts.append(
+            f"""l{i} AS (
+        SELECT n.entity, coalesce(b.label, n.entity) AS label
+        FROM nodes n LEFT JOIN (
+            SELECT entity, label FROM (
+                SELECT v.entity, v.label, count(*) AS c,
+                       row_number() OVER (
+                           PARTITION BY v.entity
+                           ORDER BY count(*) DESC, v.label) AS rk
+                FROM (
+                    SELECT s.entity, l.label
+                    FROM sym s JOIN l{i - 1} l ON l.entity = s.nbr
+                    UNION ALL
+                    SELECT entity, label FROM l{i - 1}
+                ) AS v(entity, label)
+                GROUP BY v.entity, v.label) t
+            WHERE rk = 1) b ON b.entity = n.entity
+    )"""
+        )
+    return "WITH " + ",\n    ".join(parts) + f"\n    SELECT entity, label FROM l{iters}"
+
+
+KG_DUCK_SQL["kg_lpa_communities"] = _lpa_sql(_LPA_ITERS)
+
+# Entity fact-summary twin (operators/graph.entity_fact_summary): top-5
+# subject-side facts per entity by PMI, ties by (rel, dst).
+KG_DUCK_SQL["kg_entity_summary"] = f"""
+    WITH occ AS (SELECT rel, src, dst FROM '{_KG_FIXTURE_DIR}/edges.parquet'),
+    pair AS (SELECT rel, src, dst, count(*) AS c_pair FROM occ GROUP BY rel, src, dst),
+    nr AS (SELECT rel, count(*) AS n_rel FROM occ GROUP BY rel),
+    cs AS (SELECT rel, src, count(*) AS c_src FROM occ GROUP BY rel, src),
+    cd AS (SELECT rel, dst, count(*) AS c_dst FROM occ GROUP BY rel, dst),
+    pmi AS (
+        SELECT p.rel, p.src, p.dst,
+               round(ln(CAST(p.c_pair AS DOUBLE) * nr.n_rel
+                        / (CAST(cs.c_src AS DOUBLE) * cd.c_dst)), 6) AS pmi
+        FROM pair p
+        JOIN cs ON cs.rel = p.rel AND cs.src = p.src
+        JOIN cd ON cd.rel = p.rel AND cd.dst = p.dst
+        JOIN nr ON nr.rel = p.rel
+    )
+    SELECT src AS entity, rel, dst, pmi, rank FROM (
+        SELECT src, rel, dst, pmi,
+               row_number() OVER (
+                   PARTITION BY src ORDER BY pmi DESC, rel, dst
+               ) AS rank
+        FROM pmi) t
+    WHERE rank <= 5
+"""
+
 # Consolidated-edge twin (operators/graph.consolidate_edges).
 KG_DUCK_SQL["kg_consolidated_edges"] = f"""
     SELECT src, rel, dst,
@@ -2139,6 +2208,22 @@ def kg_edge_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     return edge_pmi(kg_edges(spark, sf_dir))
 
 
+def kg_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """4-round synchronous label-propagation communities
+    (operators/graph.label_propagation)."""
+    from chatvector_ai_spark.operators.graph import label_propagation
+
+    return label_propagation(kg_edges(spark, sf_dir), iterations=_LPA_ITERS)
+
+
+def kg_entity_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 PMI-ranked facts per entity
+    (operators/graph.entity_fact_summary)."""
+    from chatvector_ai_spark.operators.graph import entity_fact_summary
+
+    return entity_fact_summary(kg_edges(spark, sf_dir))
+
+
 def kg_consolidated_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Evidence-profiled consolidated edges (operators/graph.consolidate_edges)."""
     from chatvector_ai_spark.operators.graph import consolidate_edges
@@ -2206,6 +2291,8 @@ KG_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_transe_step_loss": kg_transe_step_loss,
     "kg_transe_link_pred": kg_transe_link_pred,
     "kg_export_ntriples": kg_export_ntriples,
+    "kg_entity_summary": kg_entity_summary,
+    "kg_lpa_communities": kg_lpa_communities,
 }
 
 

@@ -589,3 +589,51 @@ def test_match_pattern_chain_and_constants(spark):
     assert [(r["b"],) for r in one] == [("b",)]
     # all-variable single pattern returns the distinct edge set
     assert match_pattern(df, [("?s", "?p", "?o")]).count() == 4
+
+
+def test_entity_fact_summary_ranks_by_pmi(spark):
+    from chatvector_ai_spark.operators.graph import entity_fact_summary
+
+    rows = [
+        # src "a" in rel "r": (a,x) twice (strong), (a,y) once; y also
+        # appears with b so (a,y) has lower PMI than (a,x)
+        ("a", "r", "x"), ("a", "r", "x"), ("a", "r", "y"),
+        ("b", "r", "y"), ("b", "r", "y"),
+    ]
+    df = spark.createDataFrame(rows, "src string, rel string, dst string")
+    got = {(r["entity"], r["rank"]): (r["rel"], r["dst"]) for r in entity_fact_summary(df, k=2).collect()}
+    assert got[("a", 1)] == ("r", "x")
+    assert got[("a", 2)] == ("r", "y")
+    assert got[("b", 1)] == ("r", "y")
+    # k cap respected
+    assert max(rk for _, rk in got) <= 2
+
+
+def test_label_propagation_two_cliques(spark):
+    from chatvector_ai_spark.operators.graph import label_propagation
+
+    tri1 = [("a1", "r", "a2"), ("a2", "r", "a3"), ("a1", "r", "a3")]
+    tri2 = [("b1", "r", "b2"), ("b2", "r", "b3"), ("b1", "r", "b3")]
+    df = spark.createDataFrame(tri1 + tri2, "src string, rel string, dst string")
+    got = {r["entity"]: r["label"] for r in label_propagation(df, iterations=4).collect()}
+    # each disconnected triangle converges to its min label
+    assert got["a1"] == got["a2"] == got["a3"] == "a1"
+    assert got["b1"] == got["b2"] == got["b3"] == "b1"
+    assert len(set(got.values())) == 2
+
+
+def test_label_propagation_deterministic_and_isolated_selfloop(spark):
+    from chatvector_ai_spark.operators.graph import label_propagation
+
+    df = spark.createDataFrame(
+        [("x", "r", "y"), ("z", "r", "z")], "src string, rel string, dst string"
+    )
+    a = sorted(map(tuple, label_propagation(df, iterations=3).collect()))
+    b = sorted(map(tuple, label_propagation(df, iterations=3).collect()))
+    assert a == b
+    got = dict(a)
+    # self-loop-only node is isolated after the src != dst filter → may
+    # drop out of the node set entirely or keep its own label
+    assert got.get("z", "z") == "z"
+    # x and y swap-converge to the min label "x"
+    assert got["x"] == "x" and got["y"] == "x"

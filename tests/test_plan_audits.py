@@ -297,3 +297,25 @@ def test_link_prediction_plan_uses_group_limits(spark):
     assert facts.python_evals == 0
     assert "CartesianProduct" not in facts.text, facts.text[:1200]
     assert facts.text.count(") WindowGroupLimit") >= 2, facts.text[:1500]
+
+
+def test_lpa_and_summary_plans(spark):
+    """label_propagation iterations hang off localCheckpoint scans (no
+    lineage tower, no windows — the argmax is a min(struct) aggregate);
+    entity_fact_summary's only window is the PARTITION BY src top-k with
+    WindowGroupLimit pushdown."""
+    from chatvector_ai_spark.operators.graph import (
+        entity_fact_summary,
+        label_propagation,
+    )
+
+    edges = spark.createDataFrame(
+        [("a", "r1", "b"), ("b", "r2", "c")], "src string, rel string, dst string"
+    )
+    facts = plan_facts(label_propagation(edges, iterations=3))
+    assert facts.python_evals == 0
+    assert facts.window_ops == 0, facts.text[:1200]
+
+    facts = plan_facts(entity_fact_summary(edges))
+    assert facts.python_evals == 0
+    assert ") WindowGroupLimit" in facts.text, facts.text[:1200]
