@@ -717,3 +717,105 @@ def label_propagation(edges: DataFrame, iterations: int = 4) -> DataFrame:
             .localCheckpoint(eager=True)
         )
     return labels
+
+
+def resolve_conflicts(
+    edges: DataFrame, functionality_threshold_pct: int = 90
+) -> DataFrame:
+    """Knowledge fusion / truth discovery for *functional* relations: when
+    multiple documents assert different objects for the same (subject,
+    relation) and the relation's functionality ratio (distinct subjects /
+    distinct pairs, see ``predicate_profile``) says it should have ONE
+    object per subject, keep the best-evidenced assertion — most supporting
+    docs, then highest extraction confidence, then smallest object id — and
+    report how many rivals it beat. Returns
+    (src, rel, dst, n_docs, max_conf, n_alternatives) for functional
+    relations only; non-functional relations are not conflict-resolvable
+    and pass through a downstream union untouched.
+
+    Scale shape: the functional-relation set comes from one relation-keyed
+    agg (vocabulary-scale → broadcast); evidence comes from
+    ``consolidate_edges`` (one hash-agg); the winner pick is a PARTITION BY
+    (src, rel) window over the per-subject candidate list, which is bounded
+    by the relation's object fan-out — exactly the rows under dispute.
+    The threshold is integer percent so both engines compare exactly."""
+    from pyspark.sql import Window
+
+    functional = (
+        predicate_profile(edges)
+        .where(F.col("n_src") * 100 >= F.lit(functionality_threshold_pct) * F.col("n_pairs"))
+        .select("rel")
+    )
+    evidence = consolidate_edges(edges).join(F.broadcast(functional), "rel")
+    w = Window.partitionBy("src", "rel")
+    ordered = w.orderBy(F.desc("n_docs"), F.desc("max_conf"), F.asc("dst"))
+    return (
+        evidence.withColumn("rk", F.row_number().over(ordered))
+        .withColumn("n_alternatives", F.count("*").over(w) - 1)
+        .where(F.col("rk") == 1)
+        .select("src", "rel", "dst", "n_docs", "max_conf", "n_alternatives")
+    )
+
+
+def induce_ontology(edges: DataFrame) -> DataFrame:
+    """Relation domain/range induction: for each relation, the most common
+    inferred subject type (domain) and object type (range) under
+    ``infer_types``, with the share of that relation's edge endpoints the
+    winning type covers — the schema a KG consumer reads to understand what
+    a relation connects. Deterministic ties: smallest type string.
+
+    Scale shape: infer_types (hash-agg + per-entity top-1) joins back to
+    the edge endpoints on the entity key, then one hash-agg per
+    (rel, position, type) and a per-rel top-1 window over the (small)
+    type-vocabulary rows."""
+    from pyspark.sql import Window
+
+    types = infer_types(edges).select("entity", "inferred_type")
+    subj = (
+        edges.select("rel", F.col("src").alias("entity"))
+        .join(types, "entity")
+        .groupBy("rel", F.col("inferred_type").alias("t"))
+        .agg(F.count("*").alias("n"))
+        .withColumn("side", F.lit("domain"))
+    )
+    obj = (
+        edges.select("rel", F.col("dst").alias("entity"))
+        .join(types, "entity")
+        .groupBy("rel", F.col("inferred_type").alias("t"))
+        .agg(F.count("*").alias("n"))
+        .withColumn("side", F.lit("range"))
+    )
+    both = subj.unionByName(obj)
+    w = Window.partitionBy("rel", "side").orderBy(F.desc("n"), F.asc("t"))
+    tot = both.groupBy("rel", "side").agg(F.sum("n").alias("n_total"))
+    top = (
+        both.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .join(tot, ["rel", "side"])
+        .select(
+            "rel", "side", F.col("t").alias("top_type"),
+            F.round(F.col("n") / F.col("n_total"), 6).alias("share"),
+        )
+    )
+    return top
+
+
+def diff_edges(old: DataFrame, new: DataFrame) -> DataFrame:
+    """Snapshot diff over the distinct triple sets of two edge tables —
+    the incremental-maintenance audit a KG consumer runs between two
+    committed snapshots (warehouse time-travel reads provide the inputs).
+    Returns (src, rel, dst, change) with change ∈ {'added', 'removed'}:
+    a triple is *added* if it appears in ``new`` but no document of ``old``
+    supported it, and vice versa — support from both sides means no change.
+
+    Two left-anti equi-joins on the triple identity; each side is one
+    shuffle on (src, rel, dst). No windows, no Python."""
+    o = old.select("src", "rel", "dst").distinct()
+    n = new.select("src", "rel", "dst").distinct()
+    added = n.join(o, ["src", "rel", "dst"], "left_anti").withColumn(
+        "change", F.lit("added")
+    )
+    removed = o.join(n, ["src", "rel", "dst"], "left_anti").withColumn(
+        "change", F.lit("removed")
+    )
+    return added.unionByName(removed)

@@ -1831,6 +1831,101 @@ KG_DUCK_SQL["kg_inferred_types"] = f"""
     WHERE rk = 1
 """
 
+# Snapshot-diff twin (operators/graph.diff_edges): old = every edge not
+# supported exclusively by the lexicographically-last doc; new = all.
+KG_DUCK_SQL["kg_edge_diff"] = f"""
+    WITH mx AS (SELECT max(doc_id) AS m FROM '{_KG_FIXTURE_DIR}/edges.parquet'),
+    old AS (
+        SELECT DISTINCT src, rel, dst
+        FROM '{_KG_FIXTURE_DIR}/edges.parquet', mx WHERE doc_id <> mx.m
+    ),
+    new AS (
+        SELECT DISTINCT src, rel, dst FROM '{_KG_FIXTURE_DIR}/edges.parquet'
+    )
+    SELECT n.src, n.rel, n.dst, 'added' AS change
+    FROM new n LEFT JOIN old o
+      ON o.src = n.src AND o.rel = n.rel AND o.dst = n.dst
+    WHERE o.src IS NULL
+    UNION ALL
+    SELECT o.src, o.rel, o.dst, 'removed' AS change
+    FROM old o LEFT JOIN new n
+      ON n.src = o.src AND n.rel = o.rel AND n.dst = o.dst
+    WHERE n.src IS NULL
+"""
+
+# Conflict-resolution twin (operators/graph.resolve_conflicts): functional
+# relations (functionality ≥ 90%, integer-percent compare), best-evidenced
+# object per (src, rel) with rival count.
+KG_DUCK_SQL["kg_conflicts_resolved"] = f"""
+    WITH pairs AS (
+        SELECT DISTINCT rel, src, dst FROM '{_KG_FIXTURE_DIR}/edges.parquet'
+    ),
+    prof AS (
+        SELECT rel, count(*) AS n_pairs, count(DISTINCT src) AS n_src
+        FROM pairs GROUP BY rel
+    ),
+    functional AS (SELECT rel FROM prof WHERE n_src * 100 >= 90 * n_pairs),
+    ev AS (
+        SELECT src, rel, dst,
+               count(DISTINCT doc_id) AS n_docs,
+               round(CAST(max(conf) AS DOUBLE), 6) AS max_conf
+        FROM '{_KG_FIXTURE_DIR}/edges.parquet'
+        GROUP BY src, rel, dst
+    ),
+    cand AS (SELECT e.* FROM ev e JOIN functional f USING (rel))
+    SELECT src, rel, dst, n_docs, max_conf, n_alternatives FROM (
+        SELECT src, rel, dst, n_docs, max_conf,
+               row_number() OVER (
+                   PARTITION BY src, rel
+                   ORDER BY n_docs DESC, max_conf DESC, dst) AS rk,
+               count(*) OVER (PARTITION BY src, rel) - 1 AS n_alternatives
+        FROM cand) t
+    WHERE rk = 1
+"""
+
+# Ontology (domain/range) induction twin (operators/graph.induce_ontology).
+KG_DUCK_SQL["kg_ontology"] = f"""
+    WITH feats AS (
+        SELECT entity, feature, count(*) AS n_obs FROM (
+            SELECT src AS entity, rel || ':s' AS feature
+            FROM '{_KG_FIXTURE_DIR}/edges.parquet'
+            UNION ALL
+            SELECT dst AS entity, rel || ':o' AS feature
+            FROM '{_KG_FIXTURE_DIR}/edges.parquet'
+        ) GROUP BY entity, feature
+    ),
+    types AS (
+        SELECT entity, feature AS inferred_type FROM (
+            SELECT entity, feature, n_obs,
+                   row_number() OVER (
+                       PARTITION BY entity ORDER BY n_obs DESC, feature
+                   ) AS rk
+            FROM feats) t
+        WHERE rk = 1
+    ),
+    sides AS (
+        SELECT e.rel, ty.inferred_type AS t, count(*) AS n, 'domain' AS side
+        FROM '{_KG_FIXTURE_DIR}/edges.parquet' e
+        JOIN types ty ON ty.entity = e.src
+        GROUP BY e.rel, ty.inferred_type
+        UNION ALL
+        SELECT e.rel, ty.inferred_type AS t, count(*) AS n, 'range' AS side
+        FROM '{_KG_FIXTURE_DIR}/edges.parquet' e
+        JOIN types ty ON ty.entity = e.dst
+        GROUP BY e.rel, ty.inferred_type
+    ),
+    tot AS (SELECT rel, side, sum(n) AS n_total FROM sides GROUP BY rel, side)
+    SELECT b.rel, b.side, b.t AS top_type,
+           round(CAST(b.n AS DOUBLE) / tot.n_total, 6) AS share
+    FROM (
+        SELECT rel, side, t, n,
+               row_number() OVER (
+                   PARTITION BY rel, side ORDER BY n DESC, t) AS rk
+        FROM sides) b
+    JOIN tot ON tot.rel = b.rel AND tot.side = b.side
+    WHERE b.rk = 1
+"""
+
 # BGP pattern-match twin (operators/graph.match_pattern) for the suite's
 # concrete pattern (?a acquired ?b)(?b supplies ?c): distinct bindings.
 KG_DUCK_SQL["kg_pattern_match"] = f"""
@@ -2238,6 +2333,33 @@ def kg_inferred_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     return infer_types(kg_edges(spark, sf_dir))
 
 
+def kg_edge_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff: edges vs edges-minus-the-last-doc
+    (operators/graph.diff_edges)."""
+    from chatvector_ai_spark.operators.graph import diff_edges
+
+    from pyspark.sql import functions as F
+
+    edges = kg_edges(spark, sf_dir)
+    last_doc = edges.agg(F.max("doc_id")).first()[0]
+    return diff_edges(edges.where(F.col("doc_id") != last_doc), edges)
+
+
+def kg_conflicts_resolved(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Truth discovery over functional relations
+    (operators/graph.resolve_conflicts)."""
+    from chatvector_ai_spark.operators.graph import resolve_conflicts
+
+    return resolve_conflicts(kg_edges(spark, sf_dir))
+
+
+def kg_ontology(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relation domain/range induction (operators/graph.induce_ontology)."""
+    from chatvector_ai_spark.operators.graph import induce_ontology
+
+    return induce_ontology(kg_edges(spark, sf_dir))
+
+
 def kg_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BGP match (?a acquired ?b)(?b supplies ?c)
     (operators/graph.match_pattern)."""
@@ -2293,6 +2415,9 @@ KG_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_export_ntriples": kg_export_ntriples,
     "kg_entity_summary": kg_entity_summary,
     "kg_lpa_communities": kg_lpa_communities,
+    "kg_conflicts_resolved": kg_conflicts_resolved,
+    "kg_ontology": kg_ontology,
+    "kg_edge_diff": kg_edge_diff,
 }
 
 

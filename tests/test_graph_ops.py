@@ -637,3 +637,60 @@ def test_label_propagation_deterministic_and_isolated_selfloop(spark):
     assert got.get("z", "z") == "z"
     # x and y swap-converge to the min label "x"
     assert got["x"] == "x" and got["y"] == "x"
+
+
+def test_resolve_conflicts_picks_best_evidenced(spark):
+    from chatvector_ai_spark.operators.graph import resolve_conflicts
+
+    rows = [
+        # "born_in" is functional here (every subject would have 1 object
+        # except "p1", under dispute): p1→x from 2 docs, p1→y from 1 doc
+        ("p1", "born_in", "x", "d1", "t1", 0.9),
+        ("p1", "born_in", "x", "d2", "t1", 0.5),
+        ("p1", "born_in", "y", "d3", "t1", 0.99),
+        ("p2", "born_in", "z", "d4", "t1", 0.7),
+        # "knows" is many-to-many: 1 subject, 3 objects → functionality 1/3
+        ("q", "knows", "a", "d5", "t1", 0.8),
+        ("q", "knows", "b", "d6", "t1", 0.8),
+        ("q", "knows", "c", "d7", "t1", 0.8),
+    ]
+    df = spark.createDataFrame(
+        rows, "src string, rel string, dst string, doc_id string, tenant_id string, conf float"
+    )
+    # born_in: pairs {(p1,x),(p1,y),(p2,z)} → n_src=2, n_pairs=3 → 66% < 90
+    # threshold, so lower the bar to 60 to treat it as functional
+    got = {(r["src"], r["rel"]): r for r in resolve_conflicts(df, 60).collect()}
+    assert ("q", "knows") not in got  # 1/3 functionality filtered out
+    win = got[("p1", "born_in")]
+    assert win["dst"] == "x"  # 2 docs beats 1 doc despite lower conf
+    assert win["n_alternatives"] == 1
+    assert got[("p2", "born_in")]["n_alternatives"] == 0
+
+
+def test_induce_ontology_domain_range(spark):
+    from chatvector_ai_spark.operators.graph import induce_ontology
+
+    rows = [
+        ("p1", "works_at", "c1"), ("p2", "works_at", "c1"), ("p3", "works_at", "c2"),
+    ]
+    df = spark.createDataFrame(rows, "src string, rel string, dst string")
+    got = {(r["rel"], r["side"]): (r["top_type"], r["share"]) for r in induce_ontology(df).collect()}
+    # every subject's only feature is works_at:s; every object's works_at:o
+    assert got[("works_at", "domain")] == ("works_at:s", 1.0)
+    assert got[("works_at", "range")] == ("works_at:o", 1.0)
+
+
+def test_diff_edges_added_removed(spark):
+    from chatvector_ai_spark.operators.graph import diff_edges
+
+    old = spark.createDataFrame(
+        [("a", "r", "b"), ("x", "r", "y")], "src string, rel string, dst string"
+    )
+    new = spark.createDataFrame(
+        [("a", "r", "b"), ("p", "r", "q"), ("p", "r", "q")],  # dup collapses
+        "src string, rel string, dst string",
+    )
+    got = {(r["src"], r["dst"]): r["change"] for r in diff_edges(old, new).collect()}
+    assert got == {("p", "q"): "added", ("x", "y"): "removed"}
+    # identical snapshots diff to empty
+    assert diff_edges(new, new).count() == 0

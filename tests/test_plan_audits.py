@@ -319,3 +319,22 @@ def test_lpa_and_summary_plans(spark):
     facts = plan_facts(entity_fact_summary(edges))
     assert facts.python_evals == 0
     assert ") WindowGroupLimit" in facts.text, facts.text[:1200]
+
+
+def test_fusion_and_ontology_windows_are_bounded(spark):
+    """resolve_conflicts' windows are PARTITION BY (src, rel) — the disputed
+    candidate list only; induce_ontology windows partition by entity / (rel,
+    side). No global windows, no Python."""
+    from chatvector_ai_spark.operators.graph import induce_ontology, resolve_conflicts
+
+    edges = spark.createDataFrame(
+        [("a", "r1", "b", "d1", "t1", 0.5), ("b", "r2", "c", "d2", "t2", 0.9)],
+        "src string, rel string, dst string, doc_id string, tenant_id string, conf float",
+    )
+    facts = plan_facts(resolve_conflicts(edges))
+    assert facts.python_evals == 0
+    assert "No Partition Defined" not in facts.text
+
+    facts = plan_facts(induce_ontology(edges.select("src", "rel", "dst")))
+    assert facts.python_evals == 0
+    assert "No Partition Defined" not in facts.text
