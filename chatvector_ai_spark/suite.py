@@ -1987,18 +1987,32 @@ def kg_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     return good_triples(extract_triples_df(chunks, keep_embedding=False)).drop("embedding")
 
 
+_KG_LINKED_MEMO: dict[tuple[str, int], tuple[DataFrame, DataFrame]] = {}
+
+
 def _kg_linked_full(spark: SparkSession) -> tuple[DataFrame, DataFrame]:
     """(linked mentions with triple payload columns, alias dict) — the
-    shared front half of the linked/graph kg_* queries."""
+    shared front half of the linked/graph kg_* queries. Memoized per
+    SparkContext (localCheckpoint) for the same reason as ``kg_edges``:
+    the driver re-enters every kg_* query in one session and the
+    ingest→extract→link front half is identical each time."""
     from chatvector_ai_spark.datagen import alias_df
     from chatvector_ai_spark.operators.extract import extract_triples_df, good_triples
     from chatvector_ai_spark.operators.ingest import ingest_chunks
     from chatvector_ai_spark.operators.link import link_mentions, mentions_from_triples
 
+    key = (spark.sparkContext.applicationId, KG_N_DOCS)
+    cached = _KG_LINKED_MEMO.get(key)
+    if cached is not None:
+        return cached
     aliases = alias_df(spark)
     chunks = ingest_chunks(_kg_docs(spark))
     triples = good_triples(extract_triples_df(chunks, keep_embedding=False))
-    return link_mentions(mentions_from_triples(triples), aliases), aliases
+    linked = link_mentions(
+        mentions_from_triples(triples), aliases
+    ).localCheckpoint(eager=True)
+    _KG_LINKED_MEMO[key] = (linked, aliases)
+    return linked, aliases
 
 
 def _kg_linked(spark: SparkSession) -> DataFrame:
@@ -2075,6 +2089,16 @@ def kg_canonical_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ~30 kg_* suite queries all start from the same fixture-scale edge build
+# (ingest → extract → link → canonicalize). The driver runs each query as a
+# separate call in ONE session, so recomputing that front half per query is
+# pure waste — memoize the materialized edge table per SparkContext.
+# localCheckpoint(eager=True) pins the rows executor-side; a restarted
+# session gets a fresh application id and rebuilds. Deliberately NOT used
+# by the operators themselves (only the test-harness entry points).
+_KG_EDGES_MEMO: dict[tuple[str, int], DataFrame] = {}
+
+
 def kg_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Graph materialization — the canonical edge table (one row per triple
     with both endpoints resolved to component representatives), checked
@@ -2082,9 +2106,15 @@ def kg_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     from chatvector_ai_spark.operators.canonicalize import canonical_map
     from chatvector_ai_spark.pipeline import edges_from_linked
 
+    key = (spark.sparkContext.applicationId, KG_N_DOCS)
+    cached = _KG_EDGES_MEMO.get(key)
+    if cached is not None:
+        return cached
     linked, aliases = _kg_linked_full(spark)
     cmap = canonical_map(linked, aliases)
-    return edges_from_linked(linked, cmap).drop("bucket")
+    edges = edges_from_linked(linked, cmap).drop("bucket").localCheckpoint(eager=True)
+    _KG_EDGES_MEMO[key] = edges
+    return edges
 
 
 def kg_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
