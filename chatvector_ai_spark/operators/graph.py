@@ -819,3 +819,62 @@ def diff_edges(old: DataFrame, new: DataFrame) -> DataFrame:
         "change", F.lit("removed")
     )
     return added.unionByName(removed)
+
+
+def paths_between(
+    edges: DataFrame,
+    source: str,
+    target: str | None = None,
+    max_hops: int = 3,
+    max_frontier: int | None = None,
+) -> DataFrame:
+    """Enumerate simple directed paths of ≤ ``max_hops`` edges from
+    ``source`` — to ``target`` if given, else to every reachable node —
+    with the full node and relation sequence: the explainable multi-hop
+    answer a KG QA consumer wants ("how are A and C related?").
+    Returns (path array<string>, rels array<string>, n_hops).
+
+    BFS with path tracking: each hop joins the frontier to the distinct
+    edge set on the current endpoint (one shuffle on the entity key per
+    hop), extends the node/relation arrays, and drops cycles via
+    array_contains. ``max_frontier`` (optional) caps the frontier per hop
+    to the lexicographically-smallest path keys — deterministic, same rule
+    as ``khop`` — for hub-heavy graphs; uncapped the fan-out is the true
+    path count. localCheckpoint truncates per-hop lineage."""
+    spark = edges.sparkSession
+    e = edges.select("src", "rel", "dst").distinct()
+    found = spark.createDataFrame(
+        [], "path array<string>, rels array<string>, n_hops int"
+    )
+    frontier = spark.createDataFrame(
+        [(source, [source], [])],
+        "current string, path array<string>, rels array<string>",
+    )
+    for hop in range(1, max_hops + 1):
+        step = (
+            frontier.join(e, frontier.current == e.src)
+            .where(~F.array_contains("path", F.col("dst")))
+            .select(
+                F.col("dst").alias("current"),
+                F.concat("path", F.array("dst")).alias("path"),
+                F.concat("rels", F.array("rel")).alias("rels"),
+            )
+        )
+        if target is None:
+            hits = step
+        else:
+            hits = step.where(F.col("current") == target)
+        found = found.unionByName(
+            hits.select("path", "rels", F.lit(hop).alias("n_hops"))
+        )
+        if hop == max_hops:
+            break
+        frontier = (
+            step if target is None else step.where(F.col("current") != target)
+        )
+        if max_frontier is not None:
+            frontier = frontier.orderBy(F.concat_ws(">", "path")).limit(max_frontier)
+        frontier = frontier.localCheckpoint(eager=True)
+        if frontier.isEmpty():
+            break
+    return found

@@ -356,3 +356,75 @@ def transe_predict_tails(
         .where(F.col("rank") <= k)
         .select("src", "rel", "pred_dst", "score", "rank")
     )
+
+
+def transe_eval(
+    edges: DataFrame,
+    dim: int = 16,
+    hits_k: int = 3,
+    max_candidates: int = 256,
+) -> DataFrame:
+    """Link-prediction quality of the (deterministic-init) TransE model in
+    the standard **filtered ranking** protocol: every distinct positive
+    (src, rel, dst) is a test query; its tail is ranked among the
+    relation's type-constrained candidate set by L1 score (other true
+    tails of the same (src, rel) are ignored when counting rivals — the
+    Bordes et al. filtered setting). Returns per-relation
+    (rel, n_queries, mrr, hits_at_k).
+
+    rank = 1 + |candidates with strictly better (score, id) that are not
+    themselves positives|, computed as one candidate-join + hash-agg — no
+    sort of the full candidate list, no window at all: the per-query rank
+    is a COUNT, so the plan is join → filter → groupBy. Scores round to 6
+    decimals before comparison so both engines agree on "better"."""
+    from pyspark.sql import Window
+
+    pos = edges.select("src", "rel", "dst").distinct()
+    w_cand = Window.partitionBy("rel").orderBy(F.desc("n"), F.asc("dst"))
+    cands = (
+        pos.groupBy("rel", "dst")
+        .agg(F.count("*").alias("n"))
+        .withColumn("rk", F.row_number().over(w_cand))
+        .where(F.col("rk") <= max_candidates)
+        .select("rel", F.col("dst").alias("cand"))
+    )
+    es = _emb_expr("te:", F.col("src"), dim)
+    rr = _emb_expr("tr:", F.col("rel"), dim)
+    true_score = F.round(_l1_score(es, rr, _emb_expr("te:", F.col("dst"), dim)), 6)
+    cand_score = F.round(_l1_score(es, rr, _emb_expr("te:", F.col("cand"), dim)), 6)
+
+    scored = (
+        pos.withColumn("true_score", true_score)
+        .join(cands, "rel")
+        .where(F.col("cand") != F.col("dst"))
+        .withColumn("cand_score", cand_score)
+    )
+    # a rival beats the true tail on (score asc, id asc); positives are
+    # filtered out of the rival set (left_anti on the positive identity)
+    rivals = (
+        scored.where(
+            (F.col("cand_score") < F.col("true_score"))
+            | (
+                (F.col("cand_score") == F.col("true_score"))
+                & (F.col("cand") < F.col("dst"))
+            )
+        )
+        .join(
+            pos.select("src", "rel", F.col("dst").alias("cand")),
+            ["src", "rel", "cand"],
+            "left_anti",
+        )
+        .groupBy("src", "rel", "dst")
+        .agg(F.count("*").alias("n_better"))
+    )
+    ranked = pos.join(rivals, ["src", "rel", "dst"], "left").select(
+        "src", "rel", "dst",
+        (F.coalesce(F.col("n_better"), F.lit(0)) + 1).alias("rank"),
+    )
+    return ranked.groupBy("rel").agg(
+        F.count("*").alias("n_queries"),
+        F.round(F.avg(1.0 / F.col("rank")), 6).alias("mrr"),
+        F.round(
+            F.avg((F.col("rank") <= hits_k).cast("double")), 6
+        ).alias("hits_at_k"),
+    )

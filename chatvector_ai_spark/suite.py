@@ -1706,6 +1706,61 @@ KG_DUCK_SQL["kg_transe_link_pred"] = f"""
     WHERE rank <= 3
 """
 
+# Link-prediction quality twin (operators/kgtrain.transe_eval): filtered
+# MRR / hits@3 per relation, rank = 1 + count of non-positive rivals with
+# strictly better (score, id).
+KG_DUCK_SQL["kg_transe_eval"] = f"""
+    WITH pos AS (
+        SELECT DISTINCT src, rel, dst FROM '{_KG_FIXTURE_DIR}/edges.parquet'
+    ),
+    cands AS (
+        SELECT rel, dst AS cand FROM (
+            SELECT rel, dst, count(*) AS n,
+                   row_number() OVER (PARTITION BY rel ORDER BY count(*) DESC, dst) AS rk
+            FROM pos GROUP BY rel, dst) t
+        WHERE rk <= 256
+    ),
+    q AS (
+        SELECT src, rel, dst,
+               {_duck_emb("te:", "src")} AS es,
+               {_duck_emb("tr:", "rel")} AS rr,
+               {_duck_emb("te:", "dst")} AS eo
+        FROM pos
+    ),
+    qs AS (
+        SELECT src, rel, dst, es, rr,
+               round({_duck_l1("es", "rr", "eo")}, 6) AS true_score
+        FROM q
+    ),
+    scored AS (
+        SELECT src, rel, dst, true_score, cand,
+               round({_duck_l1("es", "rr", "ec")}, 6) AS cand_score
+        FROM (
+            SELECT qs.src, qs.rel, qs.dst, qs.es, qs.rr, qs.true_score,
+                   c.cand, {_duck_emb("te:", "c.cand")} AS ec
+            FROM qs JOIN cands c ON c.rel = qs.rel AND c.cand <> qs.dst
+        ) s
+    ),
+    rivals AS (
+        SELECT s.src, s.rel, s.dst, count(*) AS n_better
+        FROM scored s
+        LEFT JOIN pos p ON p.src = s.src AND p.rel = s.rel AND p.dst = s.cand
+        WHERE p.src IS NULL
+          AND (s.cand_score < s.true_score
+               OR (s.cand_score = s.true_score AND s.cand < s.dst))
+        GROUP BY s.src, s.rel, s.dst
+    ),
+    ranked AS (
+        SELECT p.rel, coalesce(r.n_better, 0) + 1 AS rank
+        FROM pos p LEFT JOIN rivals r
+          ON r.src = p.src AND r.rel = p.rel AND r.dst = p.dst
+    )
+    SELECT rel, count(*) AS n_queries,
+           round(avg(1.0 / rank), 6) AS mrr,
+           round(avg(CASE WHEN rank <= 3 THEN 1.0 ELSE 0.0 END), 6) AS hits_at_k
+    FROM ranked GROUP BY rel
+"""
+
 # N-Triples export twin (operators/graph.export_ntriples).
 KG_DUCK_SQL["kg_export_ntriples"] = f"""
     SELECT DISTINCT '<urn:cv:' || src || '> <urn:cv:rel:' || rel
@@ -1829,6 +1884,28 @@ KG_DUCK_SQL["kg_inferred_types"] = f"""
                ) AS rk
         FROM feats) t
     WHERE rk = 1
+"""
+
+# Multi-hop path twin (operators/graph.paths_between): ALL simple directed
+# paths of ≤3 hops out of the lexicographically-first source (no target
+# filter — the richer enumeration).
+KG_DUCK_SQL["kg_paths"] = f"""
+    WITH RECURSIVE e AS (
+        SELECT DISTINCT src, rel, dst FROM '{_KG_FIXTURE_DIR}/edges.parquet'
+    ),
+    params AS (SELECT (SELECT min(src) FROM e) AS s),
+    walk(current, path, rels, hops) AS (
+        SELECT s, [s], CAST([] AS VARCHAR[]), 0 FROM params
+        UNION ALL
+        SELECT e.dst,
+               list_append(w.path, e.dst),
+               list_append(w.rels, e.rel),
+               w.hops + 1
+        FROM walk w JOIN e ON e.src = w.current
+        WHERE w.hops < 3
+          AND NOT list_contains(w.path, e.dst)
+    )
+    SELECT path, rels, hops AS n_hops FROM walk WHERE hops >= 1
 """
 
 # Snapshot-diff twin (operators/graph.diff_edges): old = every edge not
@@ -2318,6 +2395,14 @@ def kg_transe_link_pred(spark: SparkSession, sf_dir: str) -> DataFrame:
     return transe_predict_tails(kg_edges(spark, sf_dir), dim=_TRANSE_DIM)
 
 
+def kg_transe_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered MRR / Hits@3 of the TransE model per relation
+    (operators/kgtrain.transe_eval)."""
+    from chatvector_ai_spark.operators.kgtrain import transe_eval
+
+    return transe_eval(kg_edges(spark, sf_dir), dim=_TRANSE_DIM)
+
+
 def kg_export_ntriples(spark: SparkSession, sf_dir: str) -> DataFrame:
     """N-Triples serialization of the distinct edge set
     (operators/graph.export_ntriples)."""
@@ -2373,6 +2458,18 @@ def kg_edge_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = kg_edges(spark, sf_dir)
     last_doc = edges.agg(F.max("doc_id")).first()[0]
     return diff_edges(edges.where(F.col("doc_id") != last_doc), edges)
+
+
+def kg_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All simple directed ≤3-hop paths from a deterministic source
+    (operators/graph.paths_between)."""
+    from pyspark.sql import functions as F
+
+    from chatvector_ai_spark.operators.graph import paths_between
+
+    edges = kg_edges(spark, sf_dir)
+    source = edges.agg(F.min("src")).first()[0]
+    return paths_between(edges, source, max_hops=3)
 
 
 def kg_conflicts_resolved(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2442,12 +2539,14 @@ KG_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_transe_loss": kg_transe_loss,
     "kg_transe_step_loss": kg_transe_step_loss,
     "kg_transe_link_pred": kg_transe_link_pred,
+    "kg_transe_eval": kg_transe_eval,
     "kg_export_ntriples": kg_export_ntriples,
     "kg_entity_summary": kg_entity_summary,
     "kg_lpa_communities": kg_lpa_communities,
     "kg_conflicts_resolved": kg_conflicts_resolved,
     "kg_ontology": kg_ontology,
     "kg_edge_diff": kg_edge_diff,
+    "kg_paths": kg_paths,
 }
 
 

@@ -694,3 +694,32 @@ def test_diff_edges_added_removed(spark):
     assert got == {("p", "q"): "added", ("x", "y"): "removed"}
     # identical snapshots diff to empty
     assert diff_edges(new, new).count() == 0
+
+
+def test_paths_between_enumerates_simple_paths(spark):
+    from chatvector_ai_spark.operators.graph import paths_between
+
+    rows = [
+        ("a", "r1", "b"), ("b", "r2", "c"),        # a->b->c
+        ("a", "r3", "c"),                            # direct a->c
+        ("c", "r4", "a"),                            # back-edge (cycle)
+        ("b", "r5", "d"),
+    ]
+    df = spark.createDataFrame(rows, "src string, rel string, dst string")
+    got = {
+        (tuple(r["path"]), tuple(r["rels"]), r["n_hops"])
+        for r in paths_between(df, "a", "c", max_hops=3).collect()
+    }
+    assert got == {
+        (("a", "c"), ("r3",), 1),
+        (("a", "b", "c"), ("r1", "r2"), 2),
+    }
+    # no-target mode enumerates every simple path from the source
+    all_paths = paths_between(df, "a", max_hops=2).collect()
+    endpoints = {tuple(r["path"]) for r in all_paths}
+    assert ("a", "b") in endpoints and ("a", "b", "d") in endpoints
+    # cycles never revisit: no path contains a twice
+    assert all(r["path"].count("a") == 1 for r in all_paths)
+    # frontier cap is deterministic and bounds work
+    capped = paths_between(df, "a", "c", max_hops=3, max_frontier=1).collect()
+    assert len(capped) <= 2

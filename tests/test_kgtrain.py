@@ -121,3 +121,66 @@ def test_export_ntriples_format(spark):
     )
     got = [r["ntriple"] for r in export_ntriples(df).collect()]
     assert got == ["<urn:cv:E1> <urn:cv:rel:owns> <urn:cv:E2> ."]
+
+
+def test_transe_eval_single_candidate_relation(spark):
+    from chatvector_ai_spark.operators.kgtrain import transe_eval
+
+    # rel "solo": every subject points at the SAME tail → candidate set has
+    # one entity, the true tail itself; rank is always 1
+    rows = [("s1", "solo", "t"), ("s2", "solo", "t"), ("s3", "solo", "t")]
+    df = spark.createDataFrame(rows, "src string, rel string, dst string")
+    got = {r["rel"]: r for r in transe_eval(df, dim=DIM).collect()}
+    solo = got["solo"]
+    assert solo["n_queries"] == 3
+    assert solo["mrr"] == 1.0 and solo["hits_at_k"] == 1.0
+
+
+def test_transe_eval_matches_pure_python_recompute(spark):
+    """Filtered MRR recomputed with hashlib+math from the documented
+    embedding construction must equal the DataFrame plan's output."""
+    import hashlib
+    import math
+
+    from chatvector_ai_spark.operators.kgtrain import transe_eval
+
+    rows = [(f"e{i}", "r", f"e{(i + 3) % 11}") for i in range(11)]
+    df = spark.createDataFrame(rows, "src string, rel string, dst string")
+    dim = DIM
+    scale = 6.0 / math.sqrt(dim)
+
+    def h60(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    def emb(prefix, name):
+        return [
+            (h60(f"{prefix}{name}:{i}") / float(1 << 60) * 2 - 1) * scale
+            for i in range(dim)
+        ]
+
+    def l1(a, b, c):
+        return round(sum(abs(x + y - z) for x, y, z in zip(a, b, c)), 6)
+
+    pos = {(s, r, d) for s, r, d in rows}
+    tails = sorted({d for _, _, d in rows})
+    rr = emb("tr:", "r")
+    ranks = []
+    for s, r, d in sorted(pos):
+        es = emb("te:", s)
+        ts = l1(es, rr, emb("te:", d))
+        better = 0
+        for c in tails:
+            if c == d or (s, r, c) in pos:
+                continue
+            cs = l1(es, rr, emb("te:", c))
+            if cs < ts or (cs == ts and c < d):
+                better += 1
+        ranks.append(better + 1)
+    exp_mrr = round(sum(1.0 / k for k in ranks) / len(ranks), 6)
+    exp_hits = round(sum(1 for k in ranks if k <= 3) / len(ranks), 6)
+
+    got = transe_eval(df, dim=dim).collect()
+    assert len(got) == 1
+    assert got[0]["n_queries"] == len(pos)
+    assert got[0]["mrr"] == exp_mrr
+    assert got[0]["hits_at_k"] == exp_hits
