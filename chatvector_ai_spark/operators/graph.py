@@ -878,3 +878,85 @@ def paths_between(
         if frontier.isEmpty():
             break
     return found
+
+
+def skew_report(edges: DataFrame, top_k: int = 10) -> DataFrame:
+    """Operational skew diagnostics: the ``top_k`` hub entities by total
+    degree (mention-level, both directions) with their share of all edge
+    endpoints — the table you read to decide what needs salting before a
+    big join. One union + hash-agg + one TakeOrdered(top_k); the share
+    denominator is a scalar agg (broadcast)."""
+    ends = edges.select(F.col("src").alias("entity")).unionByName(
+        edges.select(F.col("dst").alias("entity"))
+    )
+    deg = ends.groupBy("entity").agg(F.count("*").alias("degree"))
+    total = ends.count()
+    return (
+        deg.orderBy(F.desc("degree"), F.asc("entity"))
+        .limit(top_k)
+        .select(
+            "entity", "degree",
+            F.round(F.col("degree") / F.lit(float(total)), 6).alias("share"),
+        )
+    )
+
+
+def constraint_violations(
+    edges: DataFrame, min_share_pct: int = 80
+) -> DataFrame:
+    """SHACL-lite validation: flag edges whose subject (object) type
+    deviates from the relation's dominant domain (range) — but only where
+    the dominant type is actually a constraint, i.e. covers ≥
+    ``min_share_pct`` percent of that relation's endpoints (integer
+    percent, exact in both engines). Returns one row per distinct
+    offending triple with the side, expected and found type.
+
+    Composes ``induce_ontology`` (relation → dominant domain/range) with
+    ``infer_types`` (entity → type): two equi-joins on entity + one
+    broadcast join on the (schema-scale) ontology table."""
+    types = infer_types(edges).select("entity", "inferred_type")
+    onto = induce_ontology(edges).where(
+        F.col("share") * 100 >= F.lit(min_share_pct)
+    )
+    dedup = edges.select("src", "rel", "dst").distinct()
+    typed = (
+        dedup.join(
+            types.select(F.col("entity").alias("src"), F.col("inferred_type").alias("src_type")),
+            "src",
+        )
+        .join(
+            types.select(F.col("entity").alias("dst"), F.col("inferred_type").alias("dst_type")),
+            "dst",
+        )
+    )
+    dom = (
+        typed.join(
+            F.broadcast(
+                onto.where(F.col("side") == "domain").select(
+                    "rel", F.col("top_type").alias("expected")
+                )
+            ),
+            "rel",
+        )
+        .where(F.col("src_type") != F.col("expected"))
+        .select(
+            "src", "rel", "dst", F.lit("domain").alias("side"),
+            "expected", F.col("src_type").alias("found"),
+        )
+    )
+    rng = (
+        typed.join(
+            F.broadcast(
+                onto.where(F.col("side") == "range").select(
+                    "rel", F.col("top_type").alias("expected")
+                )
+            ),
+            "rel",
+        )
+        .where(F.col("dst_type") != F.col("expected"))
+        .select(
+            "src", "rel", "dst", F.lit("range").alias("side"),
+            "expected", F.col("dst_type").alias("found"),
+        )
+    )
+    return dom.unionByName(rng)

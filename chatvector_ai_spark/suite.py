@@ -1886,6 +1886,88 @@ KG_DUCK_SQL["kg_inferred_types"] = f"""
     WHERE rk = 1
 """
 
+# Skew-report twin (operators/graph.skew_report): top-10 hubs by degree.
+KG_DUCK_SQL["kg_skew_report"] = f"""
+    WITH ends AS (
+        SELECT src AS entity FROM '{_KG_FIXTURE_DIR}/edges.parquet'
+        UNION ALL
+        SELECT dst FROM '{_KG_FIXTURE_DIR}/edges.parquet'
+    ),
+    deg AS (SELECT entity, count(*) AS degree FROM ends GROUP BY entity),
+    tot AS (SELECT count(*) AS n FROM ends)
+    SELECT entity, degree,
+           round(CAST(degree AS DOUBLE) / tot.n, 6) AS share
+    FROM deg, tot
+    ORDER BY degree DESC, entity LIMIT 10
+"""
+
+# SHACL-lite constraint-violation twin (operators/graph.constraint_violations):
+# flag distinct triples whose endpoint type deviates from a ≥80%-dominant
+# domain/range.
+KG_DUCK_SQL["kg_constraint_violations"] = f"""
+    WITH feats AS (
+        SELECT entity, feature, count(*) AS n_obs FROM (
+            SELECT src AS entity, rel || ':s' AS feature
+            FROM '{_KG_FIXTURE_DIR}/edges.parquet'
+            UNION ALL
+            SELECT dst AS entity, rel || ':o' AS feature
+            FROM '{_KG_FIXTURE_DIR}/edges.parquet'
+        ) GROUP BY entity, feature
+    ),
+    types AS (
+        SELECT entity, feature AS inferred_type FROM (
+            SELECT entity, feature, n_obs,
+                   row_number() OVER (
+                       PARTITION BY entity ORDER BY n_obs DESC, feature
+                   ) AS rk
+            FROM feats) t
+        WHERE rk = 1
+    ),
+    sides AS (
+        SELECT e.rel, ty.inferred_type AS t, count(*) AS n, 'domain' AS side
+        FROM '{_KG_FIXTURE_DIR}/edges.parquet' e
+        JOIN types ty ON ty.entity = e.src
+        GROUP BY e.rel, ty.inferred_type
+        UNION ALL
+        SELECT e.rel, ty.inferred_type AS t, count(*) AS n, 'range' AS side
+        FROM '{_KG_FIXTURE_DIR}/edges.parquet' e
+        JOIN types ty ON ty.entity = e.dst
+        GROUP BY e.rel, ty.inferred_type
+    ),
+    tot AS (SELECT rel, side, sum(n) AS n_total FROM sides GROUP BY rel, side),
+    onto AS (
+        SELECT b.rel, b.side, b.t AS top_type,
+               round(CAST(b.n AS DOUBLE) / tot.n_total, 6) AS share
+        FROM (
+            SELECT rel, side, t, n,
+                   row_number() OVER (
+                       PARTITION BY rel, side ORDER BY n DESC, t) AS rk
+            FROM sides) b
+        JOIN tot ON tot.rel = b.rel AND tot.side = b.side
+        WHERE b.rk = 1
+    ),
+    strict AS (SELECT * FROM onto WHERE share * 100 >= 80),
+    dedup AS (
+        SELECT DISTINCT src, rel, dst FROM '{_KG_FIXTURE_DIR}/edges.parquet'
+    ),
+    typed AS (
+        SELECT d.src, d.rel, d.dst, ts.inferred_type AS src_type,
+               td.inferred_type AS dst_type
+        FROM dedup d
+        JOIN types ts ON ts.entity = d.src
+        JOIN types td ON td.entity = d.dst
+    )
+    SELECT t.src, t.rel, t.dst, 'domain' AS side,
+           o.top_type AS expected, t.src_type AS found
+    FROM typed t JOIN strict o ON o.rel = t.rel AND o.side = 'domain'
+    WHERE t.src_type <> o.top_type
+    UNION ALL
+    SELECT t.src, t.rel, t.dst, 'range' AS side,
+           o.top_type AS expected, t.dst_type AS found
+    FROM typed t JOIN strict o ON o.rel = t.rel AND o.side = 'range'
+    WHERE t.dst_type <> o.top_type
+"""
+
 # Multi-hop path twin (operators/graph.paths_between): ALL simple directed
 # paths of ≤3 hops out of the lexicographically-first source (no target
 # filter — the richer enumeration).
@@ -2460,6 +2542,21 @@ def kg_edge_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return diff_edges(edges.where(F.col("doc_id") != last_doc), edges)
 
 
+def kg_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 hub entities by endpoint degree (operators/graph.skew_report)."""
+    from chatvector_ai_spark.operators.graph import skew_report
+
+    return skew_report(kg_edges(spark, sf_dir))
+
+
+def kg_constraint_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SHACL-lite domain/range violations
+    (operators/graph.constraint_violations)."""
+    from chatvector_ai_spark.operators.graph import constraint_violations
+
+    return constraint_violations(kg_edges(spark, sf_dir))
+
+
 def kg_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     """All simple directed ≤3-hop paths from a deterministic source
     (operators/graph.paths_between)."""
@@ -2547,6 +2644,8 @@ KG_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_ontology": kg_ontology,
     "kg_edge_diff": kg_edge_diff,
     "kg_paths": kg_paths,
+    "kg_skew_report": kg_skew_report,
+    "kg_constraint_violations": kg_constraint_violations,
 }
 
 

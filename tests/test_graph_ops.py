@@ -723,3 +723,33 @@ def test_paths_between_enumerates_simple_paths(spark):
     # frontier cap is deterministic and bounds work
     capped = paths_between(df, "a", "c", max_hops=3, max_frontier=1).collect()
     assert len(capped) <= 2
+
+
+def test_skew_report_shares_and_order(spark):
+    from chatvector_ai_spark.operators.graph import skew_report
+
+    rows = [("hub", "r", f"x{i}") for i in range(5)] + [("a", "r", "b")]
+    df = spark.createDataFrame(rows, "src string, rel string, dst string")
+    got = skew_report(df, top_k=3).collect()
+    assert got[0]["entity"] == "hub" and got[0]["degree"] == 5
+    assert abs(got[0]["share"] - 5 / 12) < 1e-6  # 12 endpoints total
+    assert [r["degree"] for r in got] == sorted(
+        [r["degree"] for r in got], reverse=True
+    )
+
+
+def test_constraint_violations_flags_deviant_edge(spark):
+    from chatvector_ai_spark.operators.graph import constraint_violations
+
+    # 20 person-like subjects all point at w; one deviant edge
+    # (w, works_at, p1) puts the workplace-typed entity in subject
+    # position. p1's own type flips to works_at:o (it ties 1:1 between
+    # s/o features and ties break to the smaller string), so BOTH edges
+    # touching p1's subject slot become domain violations; the range side
+    # stays clean because every object is works_at:o-typed.
+    rows = [(f"p{i:02d}", "works_at", "w") for i in range(1, 21)] + [("w", "works_at", "p01")]
+    df = spark.createDataFrame(rows, "src string, rel string, dst string")
+    got = {(r["side"], r["src"], r["dst"]): (r["expected"], r["found"]) for r in constraint_violations(df).collect()}
+    assert got[("domain", "w", "p01")] == ("works_at:s", "works_at:o")
+    assert got[("domain", "p01", "w")] == ("works_at:s", "works_at:o")
+    assert len(got) == 2  # the other 19 conforming edges pass both sides
