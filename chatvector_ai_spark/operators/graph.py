@@ -960,3 +960,65 @@ def constraint_violations(
         )
     )
     return dom.unionByName(rng)
+
+
+def weighted_pagerank(
+    edges: DataFrame,
+    iterations: int = 5,
+    damping_pct: int = 85,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Evidence-weighted PageRank: like ``pagerank`` but each (src, dst)
+    edge carries an integer weight = its number of distinct supporting
+    (relation, document) mentions, and a node's rank mass splits across
+    out-edges proportionally to weight — well-evidenced associations pull
+    more centrality than one-off extractions. Same scaled-integer
+    discipline (``pr * w DIV total_out_weight``, positive BIGINTs), so the
+    result is aggregation-order-independent and exactly twinned in SQL.
+
+    Plan per iteration: identical to ``pagerank`` (edge ⋈ rank shuffle on
+    src, hash-agg on dst, left join to nodes, localCheckpoint) — the weight
+    rides the edge row; no extra shuffle."""
+    e = (
+        edges.where(F.col("src") != F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(
+            F.countDistinct(
+                F.concat_ws("|", "rel", "doc_id")
+            ).alias("w")
+        )
+        .localCheckpoint(eager=True)
+    )
+    nodes = (
+        e.select(F.col("src").alias("entity"))
+        .unionByName(e.select(F.col("dst").alias("entity")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n = nodes.count()
+    if n == 0:
+        return nodes.withColumn("pr_scaled", F.lit(0).cast("bigint"))
+    outw = e.groupBy("src").agg(F.sum("w").alias("out_w"))
+    teleport = F.lit(((100 - damping_pct) * scale // 100) // n)
+    pr = nodes.withColumn("pr", F.lit(scale // n).cast("bigint"))
+    for _ in range(iterations):
+        contrib = (
+            e.join(pr.withColumnRenamed("entity", "src"), "src")
+            .join(outw, "src")
+            .select(
+                F.col("dst").alias("entity"),
+                F.expr("(pr * w) DIV out_w").alias("c"),
+            )
+        )
+        summed = contrib.groupBy("entity").agg(F.sum("c").alias("s"))
+        pr = (
+            nodes.join(summed, "entity", "left")
+            .select(
+                "entity",
+                (
+                    teleport + F.expr(f"({damping_pct} * coalesce(s, 0)) DIV 100")
+                ).cast("bigint").alias("pr"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return pr.withColumnRenamed("pr", "pr_scaled")

@@ -1405,6 +1405,48 @@ def _kg_pagerank_oracle_sql(
 KG_DUCK_SQL["kg_pagerank"] = _kg_pagerank_oracle_sql()
 KG_DUCK_SQL["kg_ppr"] = _kg_pagerank_oracle_sql(seeds=["E000000"])
 
+
+def _kg_weighted_pagerank_oracle_sql(
+    iterations: int = 5, damping_pct: int = 85, scale: int = 1_000_000
+) -> str:
+    """Unrolled twin of operators/graph.weighted_pagerank: edge weight =
+    distinct (rel, doc) mention count, mass split ∝ weight, same
+    scaled-integer floor division."""
+    edges = f"'{_KG_FIXTURE_DIR}/edges.parquet'"
+    parts = [
+        f"""
+    WITH e AS (
+        SELECT src, dst, count(DISTINCT rel || '|' || doc_id) AS w
+        FROM {edges} WHERE src <> dst GROUP BY src, dst
+    ),
+    nodes AS (SELECT src AS entity FROM e UNION SELECT dst AS entity FROM e),
+    outw AS (SELECT src, sum(w) AS out_w FROM e GROUP BY src),
+    params AS (SELECT count(*) AS n FROM nodes),
+    pr0 AS (SELECT entity, (SELECT {scale} // n FROM params) AS pr FROM nodes)"""
+    ]
+    teleport = f"(SELECT (({100 - damping_pct} * {scale}) // 100) // n FROM params)"
+    for k in range(1, iterations + 1):
+        parts.append(
+            f""",
+    pr{k} AS (
+        SELECT nd.entity,
+               {teleport} + ({damping_pct} * coalesce(s.s, 0)) // 100 AS pr
+        FROM nodes nd LEFT JOIN (
+            SELECT e.dst AS entity, sum((p.pr * e.w) // o.out_w) AS s
+            FROM e JOIN pr{k - 1} p ON e.src = p.entity
+                   JOIN outw o ON e.src = o.src
+            GROUP BY e.dst
+        ) s ON nd.entity = s.entity
+    )"""
+        )
+    parts.append(
+        f"\n    SELECT entity, CAST(pr AS BIGINT) AS pr_scaled FROM pr{iterations}"
+    )
+    return "".join(parts)
+
+
+KG_DUCK_SQL["kg_weighted_pagerank"] = _kg_weighted_pagerank_oracle_sql()
+
 # Degree-oriented triangle membership counts (twin of operators/graph.triangles):
 # identical orientation rule spelled with portable boolean comparisons.
 KG_DUCK_SQL["kg_triangles"] = f"""
@@ -2542,6 +2584,13 @@ def kg_edge_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return diff_edges(edges.where(F.col("doc_id") != last_doc), edges)
 
 
+def kg_weighted_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Evidence-weighted PageRank (operators/graph.weighted_pagerank)."""
+    from chatvector_ai_spark.operators.graph import weighted_pagerank
+
+    return weighted_pagerank(kg_edges(spark, sf_dir))
+
+
 def kg_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-10 hub entities by endpoint degree (operators/graph.skew_report)."""
     from chatvector_ai_spark.operators.graph import skew_report
@@ -2645,6 +2694,7 @@ KG_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_edge_diff": kg_edge_diff,
     "kg_paths": kg_paths,
     "kg_skew_report": kg_skew_report,
+    "kg_weighted_pagerank": kg_weighted_pagerank,
     "kg_constraint_violations": kg_constraint_violations,
 }
 

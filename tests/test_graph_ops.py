@@ -753,3 +753,33 @@ def test_constraint_violations_flags_deviant_edge(spark):
     assert got[("domain", "w", "p01")] == ("works_at:s", "works_at:o")
     assert got[("domain", "p01", "w")] == ("works_at:s", "works_at:o")
     assert len(got) == 2  # the other 19 conforming edges pass both sides
+
+
+def test_weighted_pagerank_matches_python_and_favors_evidence(spark):
+    from chatvector_ai_spark.operators.graph import weighted_pagerank
+
+    # s points at h (3 distinct doc mentions) and t (1 mention): h must
+    # receive 3x t's share of s's mass each round
+    rows = [
+        ("s", "r", "h", "d1"), ("s", "r", "h", "d2"), ("s", "r", "h", "d3"),
+        ("s", "r", "t", "d4"),
+        ("h", "r", "s", "d5"), ("t", "r", "s", "d6"),
+    ]
+    df = spark.createDataFrame(rows, "src string, rel string, dst string, doc_id string")
+    got = {r["entity"]: r["pr_scaled"] for r in weighted_pagerank(df, iterations=4).collect()}
+    assert got["h"] > got["t"]
+
+    # exact fixed-point recompute (same integer arithmetic)
+    scale, damp, iters = 1_000_000, 85, 4
+    w = {("s", "h"): 3, ("s", "t"): 1, ("h", "s"): 1, ("t", "s"): 1}
+    outw = {"s": 4, "h": 1, "t": 1}
+    nodes = ["h", "s", "t"]
+    n = len(nodes)
+    pr = {v: scale // n for v in nodes}
+    tele = ((100 - damp) * scale // 100) // n
+    for _ in range(iters):
+        s_in = {v: 0 for v in nodes}
+        for (a, b), ww in w.items():
+            s_in[b] += (pr[a] * ww) // outw[a]
+        pr = {v: tele + (damp * s_in[v]) // 100 for v in nodes}
+    assert got == pr
