@@ -301,3 +301,48 @@ def encode_jpeg_shell(width: int, height: int, scan: bytes) -> bytes:
     sos = b"\xff\xda" + (8).to_bytes(2, "big") + b"\x01\x01\x00\x00\x3f\x00"
     stuffed = scan.replace(b"\xff", b"\xff\x00")
     return b"\xff\xd8" + app0 + sof0 + sos + stuffed + b"\xff\xd9"
+
+
+# ---------------------------------------------------------------------------
+# GIF / BMP — real header parses (dimensions need nothing beyond struct);
+# pixel paths (LZW / palette expansion) stay with the labeled fake backend.
+# ---------------------------------------------------------------------------
+
+GIF_MAGICS = (b"GIF87a", b"GIF89a")
+BMP_MAGIC = b"BM"
+
+
+def gif_dimensions(data: bytes) -> tuple[int, int]:
+    """(width, height) from the GIF logical screen descriptor (bytes 6-9,
+    little-endian u16 each — GIF89a spec §18)."""
+    if not data.startswith(GIF_MAGICS) or len(data) < 10:
+        raise ValueError("not a GIF (missing/truncated header)")
+    w, h = struct.unpack_from("<HH", data, 6)
+    if w == 0 or h == 0:
+        raise ValueError("GIF with zero dimension")
+    return w, h
+
+
+def encode_gif_shell(width: int, height: int) -> bytes:
+    """Minimal valid GIF89a container (screen descriptor + trailer) for
+    deterministic test payloads."""
+    return b"GIF89a" + struct.pack("<HHBBB", width, height, 0, 0, 0) + b"\x3b"
+
+
+def bmp_dimensions(data: bytes) -> tuple[int, int]:
+    """(width, height) from the BITMAPINFOHEADER (i32 at offsets 18/22;
+    height may be negative for top-down rows — absolute value is the pixel
+    height)."""
+    if not data.startswith(BMP_MAGIC) or len(data) < 26:
+        raise ValueError("not a BMP (missing/truncated header)")
+    w, h = struct.unpack_from("<ii", data, 18)
+    if w <= 0 or h == 0:
+        raise ValueError("BMP with non-positive dimension")
+    return w, abs(h)
+
+
+def encode_bmp_shell(width: int, height: int) -> bytes:
+    """Minimal valid BMP file header + BITMAPINFOHEADER for tests."""
+    info = struct.pack("<IiiHHIIiiII", 40, width, height, 1, 24, 0, 0, 0, 0, 0, 0)
+    header = b"BM" + struct.pack("<IHHI", 14 + 40, 0, 0, 14 + 40)
+    return header + info

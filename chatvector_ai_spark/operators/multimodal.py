@@ -204,11 +204,15 @@ def _decode_media_stdlib(media: DataFrame) -> DataFrame:
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from chatvector_ai_spark.functions.codecs import (
+            BMP_MAGIC,
+            GIF_MAGICS,
             JPEG_MAGIC,
             PNG_MAGIC,
             WAV_MAGIC,
+            bmp_dimensions,
             decode_png,
             decode_wav,
+            gif_dimensions,
             jpeg_dimensions,
             png_grid_features,
             wav_band_features,
@@ -247,6 +251,22 @@ def _decode_media_stdlib(media: DataFrame) -> DataFrame:
                         feats.append(vec)
                         widths.append(w); heights.append(h); durs.append(None)
                         backends.append("stdlib-jpeg-header")
+                        decoded = True
+                    elif data.startswith(GIF_MAGICS):
+                        # REAL logical-screen-descriptor parse; pixel path
+                        # (LZW) stays pseudo, label says so
+                        w, h = gif_dimensions(data)
+                        vec, _ = _fake_feature(data)
+                        feats.append(vec)
+                        widths.append(w); heights.append(h); durs.append(None)
+                        backends.append("stdlib-gif-header")
+                        decoded = True
+                    elif data.startswith(BMP_MAGIC):
+                        w, h = bmp_dimensions(data)
+                        vec, _ = _fake_feature(data)
+                        feats.append(vec)
+                        widths.append(w); heights.append(h); durs.append(None)
+                        backends.append("stdlib-bmp-header")
                         decoded = True
                 except (ValueError, struct.error):
                     backends_label = "decode-error"

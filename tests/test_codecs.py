@@ -320,3 +320,31 @@ def test_jpeg_shell_property_roundtrip():
         assert jpeg_dimensions(encode_jpeg_shell(w, h, scan)) == (w, h, 1)
 
     check()
+
+
+def test_gif_dimensions_roundtrip_and_corruption():
+    from chatvector_ai_spark.functions.codecs import encode_gif_shell, gif_dimensions
+
+    assert gif_dimensions(encode_gif_shell(320, 200)) == (320, 200)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        gif_dimensions(b"GIF89a\x00")  # truncated descriptor
+    with _pytest.raises(ValueError):
+        gif_dimensions(encode_gif_shell(0, 10))  # zero width
+    with _pytest.raises(ValueError):
+        gif_dimensions(b"NOTGIF" + b"\x00" * 10)
+
+
+def test_bmp_dimensions_roundtrip_topdown_and_corruption():
+    from chatvector_ai_spark.functions.codecs import bmp_dimensions, encode_bmp_shell
+
+    assert bmp_dimensions(encode_bmp_shell(64, 48)) == (64, 48)
+    # top-down BMPs store negative height; absolute value is the size
+    assert bmp_dimensions(encode_bmp_shell(64, -48)) == (64, 48)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        bmp_dimensions(b"BM" + b"\x00" * 10)  # truncated
+    with _pytest.raises(ValueError):
+        bmp_dimensions(b"XX" + b"\x00" * 40)

@@ -100,3 +100,26 @@ def test_validation_splits_oversize(spark, media):
     assert valid2.count() + quar2.count() == media.count()
     assert quar2.count() > 0
     assert set(quar2.toPandas()["error_code"]) == {"MEDIA_INVALID"}
+
+
+def test_stdlib_backend_decodes_gif_and_bmp_headers(spark):
+    from chatvector_ai_spark.functions.codecs import encode_bmp_shell, encode_gif_shell
+    from chatvector_ai_spark.operators.multimodal import decode_media
+
+    import pandas as pd
+
+    media = spark.createDataFrame(pd.DataFrame({
+        "doc_id": ["d0", "d0"],
+        "span_idx": [0, 1],
+        "span_offset": [0, 1],
+        "kind": ["image", "image"],
+        "media_ref": ["m1", "m2"],
+        "payload": [bytes(encode_gif_shell(320, 200)), bytes(encode_bmp_shell(64, 48))],
+        "content_type": ["image/gif", "image/bmp"],
+        "n_bytes": [24, 54],
+    }))
+    got = {r["media_ref"]: r for r in decode_media(media, backend="stdlib").collect()}
+    assert got["m1"]["decode_backend"] == "stdlib-gif-header"
+    assert (got["m1"]["width"], got["m1"]["height"]) == (320, 200)
+    assert got["m2"]["decode_backend"] == "stdlib-bmp-header"
+    assert (got["m2"]["width"], got["m2"]["height"]) == (64, 48)
