@@ -161,6 +161,8 @@ def pagerank(
     Reference analog: none (the reference has no graph layer); this is the
     canonical KG-consumer ranking query over the materialized edges table.
     """
+    if seeds is not None and not seeds:
+        raise ValueError("personalized pagerank needs a non-empty seed list")
     e = edges.select("src", "dst").where(F.col("src") != F.col("dst")).distinct()
     nodes = (
         e.select(F.col("src").alias("entity"))
@@ -171,6 +173,17 @@ def pagerank(
     n = nodes.count()
     if n == 0:
         return nodes.withColumn("pr_scaled", F.lit(0).cast("bigint"))
+    if seeds is not None:
+        # a seed absent from the edge vocabulary holds teleport mass that
+        # can never flow — all-zero ranks with no signal; fail loudly
+        # (len(seeds) is driver-side broadcast-scale data, so this probe
+        # is one isin() filter over the node set, not a join)
+        n_present = nodes.where(F.col("entity").isin(seeds)).count()
+        if n_present == 0:
+            raise ValueError(
+                f"none of the {len(seeds)} seeds appear in the edge set; "
+                "personalized teleport mass would be lost and every rank 0"
+            )
     deg = e.groupBy("src").agg(F.count("*").alias("out_deg"))
     if seeds is None:
         teleport_col = F.lit(((100 - damping_pct) * scale // 100) // n)
@@ -615,16 +628,25 @@ def match_pattern(edges: DataFrame, pattern: list[tuple[str, str, str]]) -> Data
     def one(tp: tuple[str, str, str]) -> DataFrame:
         s, p, o = tp
         df = edges.select("src", "rel", "dst").distinct()
-        cols = []
+        # var name -> source columns; a variable repeated WITHIN one triple
+        # (the SPARQL self-loop pattern, e.g. ("?x","likes","?x")) becomes
+        # an equality filter between its positions plus ONE projected
+        # column — never two same-named columns, which would poison later
+        # shared-variable joins
+        var_cols: dict[str, list[str]] = {}
         for term, col in ((s, "src"), (p, "rel"), (o, "dst")):
             if term.startswith("?"):
-                cols.append(F.col(col).alias(term[1:]))
+                var_cols.setdefault(term[1:], []).append(col)
             else:
                 df = df.where(F.col(col) == term)
-        if not cols:
+        for cols in var_cols.values():
+            for extra in cols[1:]:
+                df = df.where(F.col(cols[0]) == F.col(extra))
+        if not var_cols:
             # all-constant pattern: contributes an existence filter
             return df.select(F.lit(1).alias("__exists__")).limit(1)
-        return df.select(*cols).distinct()
+        proj = [F.col(cols[0]).alias(v) for v, cols in var_cols.items()]
+        return df.select(*proj).distinct()
 
     out = one(pattern[0])
     for tp in pattern[1:]:
@@ -826,7 +848,7 @@ def paths_between(
     source: str,
     target: str | None = None,
     max_hops: int = 3,
-    max_frontier: int | None = None,
+    max_frontier: int | None = 10_000,
 ) -> DataFrame:
     """Enumerate simple directed paths of ≤ ``max_hops`` edges from
     ``source`` — to ``target`` if given, else to every reachable node —
@@ -837,10 +859,16 @@ def paths_between(
     BFS with path tracking: each hop joins the frontier to the distinct
     edge set on the current endpoint (one shuffle on the entity key per
     hop), extends the node/relation arrays, and drops cycles via
-    array_contains. ``max_frontier`` (optional) caps the frontier per hop
-    to the lexicographically-smallest path keys — deterministic, same rule
-    as ``khop`` — for hub-heavy graphs; uncapped the fan-out is the true
-    path count. localCheckpoint truncates per-hop lineage."""
+    array_contains. ``max_frontier`` caps the frontier per hop to the
+    lexicographically-smallest path keys — deterministic, same rule as
+    ``khop``. It defaults BOUNDED (10k): on a dense/hub graph the frontier
+    is the true path count, which grows exponentially with ``max_hops``,
+    so an uncapped default would let a naive caller OOM a 100 TB graph.
+    Pass ``max_frontier=None`` to opt out explicitly (exhaustive
+    enumeration); a binding cap is logged so truncation is never silent.
+    localCheckpoint truncates per-hop lineage."""
+    import logging
+
     spark = edges.sparkSession
     e = edges.select("src", "rel", "dst").distinct()
     found = spark.createDataFrame(
@@ -875,6 +903,16 @@ def paths_between(
         if max_frontier is not None:
             frontier = frontier.orderBy(F.concat_ws(">", "path")).limit(max_frontier)
         frontier = frontier.localCheckpoint(eager=True)
+        if max_frontier is not None and frontier.count() >= max_frontier:
+            # the count is a metadata read of the eager checkpoint, not a
+            # recompute; fires also when the frontier lands exactly on the
+            # cap (conservative — truncation is never silent)
+            logging.getLogger(__name__).warning(
+                "paths_between: frontier cap %d reached at hop %d "
+                "(source=%s); results beyond the cap are truncated — pass "
+                "max_frontier=None for exhaustive enumeration",
+                max_frontier, hop, source,
+            )
         if frontier.isEmpty():
             break
     return found

@@ -16,8 +16,9 @@ Scale shape (the part that matters at 10^9 entities):
   within-bucket index via a PARTITION BY bucket window (bounded,
   ~|V|/n_buckets rows per partition).
 - Bucket sizes are a ≤``n_buckets``-row table — broadcast; its dense rank
-  (the only unpartitioned window, over ≤n_buckets rows) maps hashes onto
-  NON-EMPTY buckets only, so no sample is lost to an empty bucket.
+  (a join-count over the same ≤n_buckets-row table — no window at all)
+  maps hashes onto NON-EMPTY buckets only, so no sample is lost to an
+  empty bucket.
 - A sample resolves as (hash → non-empty bucket, hash → index mod bucket
   size) and joins the vocab on the (bucket, index) equi-key — a plain
   shuffle join on a synthetic uniform key, no skew. Sampling is
@@ -66,9 +67,16 @@ def negative_samples(
     w = Window.partitionBy("bk").orderBy("entity")
     indexed = vocab.withColumn("i", F.row_number().over(w) - 1)
     sizes = indexed.groupBy("bk").agg(F.count("*").alias("bk_n"))
-    # dense rank over the ≤n_buckets non-empty buckets (bounded window)
-    ranked = sizes.withColumn(
-        "bkr", F.row_number().over(Window.orderBy("bk")) - 1
+    # dense rank over the ≤n_buckets non-empty buckets as a join-count
+    # (bkr = |buckets with smaller bk|) instead of an unpartitioned
+    # row_number window — same values, but keeps the engine-wide invariant
+    # of ZERO single-partition windows (plans/audit enforces it), and the
+    # self-join is over a ≤n_buckets-row broadcast-scale table
+    smaller = sizes.select(F.col("bk").alias("bk_lt"))
+    ranked = (
+        sizes.join(smaller, F.col("bk_lt") < F.col("bk"), "left")
+        .groupBy("bk", "bk_n")
+        .agg(F.count("bk_lt").alias("bkr"))
     )
     n_nonempty = sizes.agg(F.count("*").alias("n_ne"))
 
@@ -249,8 +257,12 @@ def transe_sgd_step(
     )
 
     def updated(init: DataFrame, key: str, prefix: str) -> DataFrame:
+        # filter to THIS namespace before stripping the prefix: an entity
+        # and a relation sharing a surface string ("x" → grads "e:x" and
+        # "r:x") must each receive only their own gradient, never both
+        ns = grads.where(F.col("name").startswith(prefix))
         joined = init.join(
-            grads.withColumn(key, F.expr(f"substring(name, {len(prefix) + 1})")).drop("name"),
+            ns.withColumn(key, F.expr(f"substring(name, {len(prefix) + 1})")).drop("name"),
             key,
             "left",
         )

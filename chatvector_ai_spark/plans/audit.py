@@ -27,6 +27,7 @@ class PlanFacts:
     wholestage_codegen_spans: int = 0
     python_evals: int = 0
     window_ops: int = 0
+    unpartitioned_windows: int = 0
     aggregates: int = 0
 
     def has_pushed_filter(self, fragment: str) -> bool:
@@ -59,5 +60,20 @@ def plan_facts(df: DataFrame) -> PlanFacts:
         for o in ops
     )
     facts.window_ops = sum(o in ("Window", "WindowGroupLimit") for o in ops)
+    # a Window node's Arguments line holds [exprs], [partition spec],
+    # [order spec], with EMPTY specs omitted — so two lists is ambiguous
+    # (partition-only vs order-only). Order-spec items always carry an
+    # ASC/DESC NULLS marker and partition items never do, so a 2-list
+    # window whose second list is an order spec has NO partition: the
+    # move-the-world-to-one-partition shape these audits exist to ban.
+    for m in re.finditer(r"^\(\d+\) Window(?:\n(?!\().*)*", text, re.M):
+        args = re.search(r"Arguments: (.*)", m.group(0))
+        if not args:
+            continue
+        lists = args.group(1).split("], [")
+        if len(lists) < 3 and (
+            len(lists) < 2 or re.search(r"(ASC|DESC) NULLS", lists[1])
+        ):
+            facts.unpartitioned_windows += 1
     facts.aggregates = sum(o in ("HashAggregate", "ObjectHashAggregate", "SortAggregate") for o in ops)
     return facts

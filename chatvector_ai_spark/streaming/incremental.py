@@ -173,6 +173,13 @@ def stream_dedup_docs(
     """Content-hash streaming dedup of interleaved documents: the key is
     an md5 over the ordered span texts + media refs (kind-tagged), i.e.
     exact-duplicate *content* collapses even under different doc_ids."""
+    # each field is null-tagged BEFORE serialization: concat_ws silently
+    # skips NULLs, so (text='x', media_ref=NULL) and (text=NULL,
+    # media_ref='x') would otherwise collide on content_hash and the
+    # dedup would silently drop a distinct document
+    tag = lambda c: F.when(c.isNull(), F.lit("\x00")).otherwise(  # noqa: E731
+        F.concat(F.lit("\x01"), c)
+    )
     keyed = docs.withColumn(
         "content_hash",
         F.md5(
@@ -181,7 +188,10 @@ def stream_dedup_docs(
                 F.transform(
                     "spans",
                     lambda s: F.concat_ws(
-                        "\x1e", s["kind"], s["text"], s["media_ref"]
+                        "\x1e",
+                        tag(s["kind"]),
+                        tag(s["text"]),
+                        tag(s["media_ref"]),
                     ),
                 ),
             )

@@ -1615,7 +1615,10 @@ KG_DUCK_SQL["kg_rel_cooccur"] = f"""
 # (operators/kgtrain.negative_samples): same md5→60-bit-int arithmetic
 # (CAST('0x'||substr(md5(x),1,15) AS BIGINT) == Spark
 # conv(substring(md5(x),1,15),16,10)), same bucketed vocab indexing, same
-# filtered-setting anti-join. n_neg=2, n_buckets=64.
+# filtered-setting anti-join. n_neg=2, n_buckets=64. The `ranked` CTE's
+# row_number() equals the Spark side's join-count rank (bkr = |buckets
+# with smaller bk|) — same values; DuckDB keeps the window form because
+# the single-partition-window scale concern is Spark-only.
 KG_DUCK_SQL["kg_negative_samples"] = f"""
     WITH pos AS (
         SELECT DISTINCT src, rel, dst FROM '{_KG_FIXTURE_DIR}/edges.parquet'
@@ -2748,12 +2751,45 @@ PY_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 
+# The driver's correctness snapshot records the FIRST 50 rows of
+# all_queries() in insertion order. Rotation policy (round 4): the 35
+# graph/KGE analytics added in round 3 were outside round 3's window (its
+# window ended at kg_tenant_counts), so they lead; the remaining 15 slots
+# pin the §2-core relational operators plus the KG ingest/link rows. Rows
+# after position 50 were all driver-green in rounds 1–3 and are unchanged;
+# tools/check_oracle.py still gates every query locally each round.
+_DRIVER_WINDOW_FIRST: list[str] = [
+    # -- round-3 analytics, never driver-checked before this round (35) --
+    "kg_edges", "kg_nodes", "kg_entity_degrees", "kg_cooccurrence",
+    "kg_ego_edges", "kg_relation_counts", "kg_khop", "kg_pagerank",
+    "kg_ppr", "kg_triangles", "kg_components", "kg_kcore", "kg_structsim",
+    "kg_predicate_profile", "kg_metapaths", "kg_rel_cooccur",
+    "kg_negative_samples", "kg_edge_pmi", "kg_consolidated_edges",
+    "kg_inferred_types", "kg_pattern_match", "kg_transe_loss",
+    "kg_transe_step_loss", "kg_transe_link_pred", "kg_transe_eval",
+    "kg_export_ntriples", "kg_entity_summary", "kg_lpa_communities",
+    "kg_conflicts_resolved", "kg_ontology", "kg_edge_diff", "kg_paths",
+    "kg_skew_report", "kg_weighted_pagerank", "kg_constraint_violations",
+    # -- §2-core + KG pipeline representatives (15) --
+    "j1_provenance_join", "a3_rrf_fusion", "t1_topk_per_group",
+    "w1_cosine_topk", "w4_rerank_combined", "u1_union_first_wins",
+    "kg_ingest_chunks", "kg_ingest_chunks_paragraph",
+    "kg_ingest_chunks_semantic", "kg_triples", "kg_linked_mentions",
+    "kg_canonical_entities", "dd_minhash_lsh", "ann_ivf_rerank",
+    "ev_asof_join",
+]
+
+
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    out: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    full: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         name: _mk_sql_query(name) for name in SPARK_SQL
     }
-    out.update(PY_QUERIES)
-    out.update(KG_QUERIES)
+    full.update(PY_QUERIES)
+    full.update(KG_QUERIES)
+    out: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+        name: full.pop(name) for name in _DRIVER_WINDOW_FIRST
+    }
+    out.update(full)
     return out
 
 

@@ -783,3 +783,65 @@ def test_weighted_pagerank_matches_python_and_favors_evidence(spark):
             s_in[b] += (pr[a] * ww) // outw[a]
         pr = {v: tele + (damp * s_in[v]) // 100 for v in nodes}
     assert got == pr
+
+
+def test_match_pattern_repeated_variable_is_self_loop_filter(spark):
+    """A variable repeated WITHIN one triple pattern (("?x","likes","?x"),
+    the SPARQL self-loop shape) must become an src==dst equality filter
+    with a single projected column — not two same-named columns that break
+    later shared-variable joins."""
+    from chatvector_ai_spark.operators.graph import match_pattern
+
+    rows = [
+        ("a", "likes", "a"), ("b", "likes", "c"), ("c", "likes", "c"),
+        ("c", "knows", "d"),
+    ]
+    df = spark.createDataFrame(rows, "src string, rel string, dst string")
+    got = match_pattern(df, [("?x", "likes", "?x")])
+    assert got.columns == ["x"]
+    assert {r["x"] for r in got.collect()} == {"a", "c"}
+    # and it chains: self-loop nodes that also know someone
+    chained = match_pattern(df, [("?x", "likes", "?x"), ("?x", "knows", "?y")])
+    assert sorted(chained.columns) == ["x", "y"]
+    assert {(r["x"], r["y"]) for r in chained.collect()} == {("c", "d")}
+
+
+def test_pagerank_seed_validation(spark):
+    """seeds=[] is a caller error (raise, never ZeroDivisionError); a seed
+    list entirely absent from the edge vocabulary would silently zero every
+    rank, so it raises too. A partially-present seed list still runs."""
+    from chatvector_ai_spark.operators.graph import pagerank
+
+    df = spark.createDataFrame(
+        [("a", "r", "b"), ("b", "r", "c")], "src string, rel string, dst string"
+    )
+    with pytest.raises(ValueError, match="non-empty seed"):
+        pagerank(df, seeds=[])
+    with pytest.raises(ValueError, match="none of the 2 seeds"):
+        pagerank(df, seeds=["nope", "missing"])
+    got = {r["entity"]: r["pr_scaled"] for r in pagerank(df, seeds=["a", "ghost"]).collect()}
+    assert sum(got.values()) > 0  # present seed keeps teleport mass flowing
+
+
+def test_paths_between_default_cap_bounds_dense_fanout(spark, caplog):
+    """On a dense bipartite hub graph the path count grows multiplicatively
+    per hop; the DEFAULT max_frontier must bound per-hop task output (and
+    log when it binds) so a naive caller cannot OOM a hub-heavy graph.
+    max_frontier=None stays available as the explicit exhaustive opt-out."""
+    import logging
+
+    from chatvector_ai_spark.operators.graph import paths_between
+
+    # layered blow-up: s -> 12 mids -> 12 more (144 2-hop paths) -> t
+    rows = (
+        [("s", "r", f"m{i}") for i in range(12)]
+        + [(f"m{i}", "r", f"n{j}") for i in range(12) for j in range(12)]
+        + [(f"n{j}", "r", "t") for j in range(12)]
+    )
+    df = spark.createDataFrame(rows, "src string, rel string, dst string")
+    with caplog.at_level(logging.WARNING, logger="chatvector_ai_spark.operators.graph"):
+        capped = paths_between(df, "s", "t", max_hops=3, max_frontier=10)
+    assert capped.count() <= 10  # ≤ cap paths can reach t through hop-2 frontier
+    assert any("frontier cap" in r.message for r in caplog.records)
+    full = paths_between(df, "s", "t", max_hops=3, max_frontier=None)
+    assert full.count() == 144

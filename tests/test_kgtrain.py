@@ -184,3 +184,47 @@ def test_transe_eval_matches_pure_python_recompute(spark):
     assert got[0]["n_queries"] == len(pos)
     assert got[0]["mrr"] == exp_mrr
     assert got[0]["hits_at_k"] == exp_hits
+
+
+def test_sgd_step_namespaces_entity_and_relation_grads(spark):
+    """An entity and a relation sharing the same surface string ("x") must
+    each receive ONLY their own namespace's gradient: the grads table keys
+    rows as "e:x" / "r:x" and updated() filters by prefix before stripping
+    it. Regression: an unfiltered strip joined BOTH rows into each table,
+    duplicating rows and applying the other namespace's gradient."""
+    df = spark.createDataFrame(
+        [("x", "x", "b"), ("c", "x", "x")], "src string, rel string, dst string"
+    )
+    ents, rels = transe_sgd_step(df, dim=DIM, lr=0.05)
+    e_rows = ents.where(F.col("entity") == "x").collect()
+    r_rows = rels.where(F.col("rel") == "x").collect()
+    assert len(e_rows) == 1 and len(r_rows) == 1  # no duplicate-join blowup
+    # both moved (both participate in active samples at init), but along
+    # DIFFERENT gradients: entity "x" accumulates subject+object terms,
+    # relation "x" only the relation term — cross-pollution made them equal
+    e_init = {
+        r["entity"]: r["emb"] for r in init_entity_embeddings(df, DIM).collect()
+    }["x"]
+    r_init = {
+        r["rel"]: r["emb"] for r in init_relation_embeddings(df, DIM).collect()
+    }["x"]
+    d_e = [a - b for a, b in zip(e_rows[0]["emb"], e_init)]
+    d_r = [a - b for a, b in zip(r_rows[0]["emb"], r_init)]
+    assert any(abs(v) > 1e-12 for v in d_e) or any(abs(v) > 1e-12 for v in d_r)
+    assert d_e != d_r
+    # row counts: every vocab entity / relation exactly once
+    assert ents.count() == ents.select("entity").distinct().count()
+    assert rels.count() == rels.select("rel").distinct().count()
+
+
+def test_negative_sampler_plan_has_no_unpartitioned_window(spark):
+    """The bucket-rank is a join-count over the ≤64-row sizes table — the
+    last unpartitioned window in the engine is gone (VERDICT r03 #3)."""
+    from chatvector_ai_spark.operators.kgtrain import negative_samples
+    from chatvector_ai_spark.plans.audit import plan_facts
+
+    df = spark.createDataFrame(
+        [("a", "r", "b"), ("c", "r", "d")], "src string, rel string, dst string"
+    )
+    facts = plan_facts(negative_samples(df))
+    assert facts.unpartitioned_windows == 0, facts.text[:1500]

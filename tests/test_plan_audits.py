@@ -183,10 +183,10 @@ def test_pagerank_iteration_plan_stays_truncated(spark):
 
 def test_kg_analytics_plans_bounded_windows_no_python(spark):
     """predicate_profile is pure hash-agg (no windows); metapath/structsim
-    windows are all PARTITION BY an entity key; negative_samples' only
-    global window runs over the ≤n_buckets bucket-size aggregate and its
-    dimension joins are broadcast — none of the new analytics ops can move
-    data-scale rows to one partition or drop into Python."""
+    windows are all PARTITION BY an entity key; negative_samples' bucket
+    rank is a join-count over the ≤n_buckets sizes table (no global window
+    at all) and its dimension joins are broadcast — none of the analytics
+    ops can move data-scale rows to one partition or drop into Python."""
     from chatvector_ai_spark.operators.graph import (
         metapath_counts,
         predicate_profile,
@@ -213,8 +213,10 @@ def test_kg_analytics_plans_bounded_windows_no_python(spark):
     assert facts.python_evals == 0
 
     facts = plan_facts(negative_samples(edges))
-    # per-bucket vocab index + ≤n_buckets bucket-rank windows only
-    assert facts.window_ops == 2, facts.text[:1200]
+    # the per-bucket vocab index window only; the bucket rank is a
+    # join-count (zero unpartitioned windows, pinned engine-wide below)
+    assert facts.window_ops == 1, facts.text[:1200]
+    assert facts.unpartitioned_windows == 0
     assert facts.python_evals == 0
     assert facts.broadcast_joins >= 1, facts.text[:1200]  # ranked dim broadcast
 
@@ -275,8 +277,10 @@ def test_transe_scoring_plan_is_shuffle_lean_and_jvm_side(spark):
     )
     facts = plan_facts(transe_margin_loss(edges, dim=4))
     assert facts.python_evals == 0
-    # only the sampler's windows (per-bucket vocab index + bucket rank)
-    assert facts.window_ops == 2, facts.text[:1200]
+    # only the sampler's per-bucket vocab index window (the bucket rank is
+    # a join-count), and nothing unpartitioned
+    assert facts.window_ops == 1, facts.text[:1200]
+    assert facts.unpartitioned_windows == 0
 
     ents, rels = transe_sgd_step(edges, dim=4, lr=0.01)
     assert plan_facts(ents).python_evals == 0
@@ -338,3 +342,21 @@ def test_fusion_and_ontology_windows_are_bounded(spark):
     facts = plan_facts(induce_ontology(edges.select("src", "rel", "dst")))
     assert facts.python_evals == 0
     assert "No Partition Defined" not in facts.text
+
+
+def test_no_unpartitioned_windows_engine_wide(spark):
+    """EVERY suite query plans with ZERO unpartitioned Window operators —
+    the move-everything-to-one-partition shape (WindowExec "No Partition
+    Defined" warning) is banned engine-wide, not just in the queries a
+    dedicated audit happens to cover. Iterative operators (pagerank, CC,
+    LPA, k-core) checkpoint during construction, so this asserts on their
+    final plan; their in-loop shapes have dedicated audits above."""
+    from chatvector_ai_spark.suite import all_queries
+
+    bad: dict[str, int] = {}
+    for name, fn in all_queries().items():
+        df = fn(spark, "/root/testdata/sf0.001")
+        n = plan_facts(df).unpartitioned_windows
+        if n:
+            bad[name] = n
+    assert not bad, f"unpartitioned windows in: {bad}"

@@ -150,3 +150,39 @@ def test_stream_dedup_docs_collapses_content_dups(spark, tmp_path):
     got = spark.sql("SELECT content_hash, doc_id FROM dedup_test").toPandas()
     assert len(got) == 20  # one survivor per distinct content
     assert got["content_hash"].nunique() == 20
+
+
+def test_stream_dedup_docs_distinguishes_null_field_positions(spark, tmp_path):
+    """Null-tagged serialization: a span with (text='x', media_ref=NULL)
+    and one with (text=NULL, media_ref='x') are DIFFERENT content — both
+    documents must survive the content-hash dedup (regression: concat_ws
+    skips NULLs, collapsing the two onto one hash)."""
+    from chatvector_ai_spark.streaming.incremental import stream_dedup_docs
+
+    src = str(tmp_path / "docs_nulls")
+    rows = [
+        ("d1", "t1", [("text", "x", None, 0)]),
+        ("d2", "t1", [("image", None, "x", 0)]),
+        ("d3", "t1", [("text", None, None, 0)]),
+        ("d4", "t1", [("text", "", None, 0)]),  # empty string ≠ NULL
+    ]
+    schema = (
+        "doc_id string, tenant_id string, "
+        "spans array<struct<kind:string,text:string,media_ref:string,offset:int>>"
+    )
+    spark.createDataFrame(rows, schema).withColumn(
+        "ingest_ts", F.lit("2026-01-01 00:00:00").cast("timestamp")
+    ).coalesce(1).write.parquet(src)
+    stream = spark.readStream.schema(schema + ", ingest_ts timestamp").parquet(src)
+    q = (
+        stream_dedup_docs(stream)
+        .writeStream.format("memory")
+        .queryName("dedup_nulls")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT doc_id, content_hash FROM dedup_nulls").toPandas()
+    assert len(got) == 4
+    assert got["content_hash"].nunique() == 4
