@@ -47,8 +47,47 @@ HEADLINE = [
     "ev_asof_join",
 ]
 
+# The 11-segment round-2 headline set, pinned so round-over-round deltas
+# survive query-set growth: BENCH_r02 total 44.17 s, BENCH_r03 total
+# 30.87 s on exactly these segments (the anchor for later rounds).
+COMPARABLE_SUBSET = [
+    "kg_pipeline",
+    "j1_provenance_join",
+    "a3_rrf_fusion",
+    "t1_topk_per_group",
+    "w1_cosine_topk",
+    "ann_ivf_topk",
+    "dd_minhash_lsh",
+    "dd_simhash",
+    "tx_fingerprint",
+    "tx_quality_score",
+    "u4_last_wins_merge",
+]
+
+
+def _refresh_dist() -> None:
+    """Rebuild dist/chatvector_ai_spark.zip from HEAD sources so the
+    README's verified `spark-submit --py-files` claim always matches the
+    benched code (a stale zip was VERDICT r03 missing-item #4)."""
+    import zipfile
+
+    root = os.path.dirname(os.path.abspath(__file__))
+    pkg = os.path.join(root, "chatvector_ai_spark")
+    out = os.path.join(root, "dist", "chatvector_ai_spark.zip")
+    os.makedirs(os.path.dirname(out), exist_ok=True)
+    tmp = out + ".tmp"
+    with zipfile.ZipFile(tmp, "w", zipfile.ZIP_DEFLATED) as zf:
+        for base, dirs, files in sorted(os.walk(pkg)):
+            dirs[:] = sorted(d for d in dirs if d != "__pycache__")
+            for f in sorted(files):
+                if f.endswith(".py"):
+                    p = os.path.join(base, f)
+                    zf.write(p, os.path.relpath(p, root))
+    os.replace(tmp, out)
+
 
 def main() -> int:
+    _refresh_dist()
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     n_docs = int(os.environ.get("CVS_BENCH_DOCS", "20000"))
@@ -126,16 +165,52 @@ def main() -> int:
                 if name not in best or sec < best[name]:
                     best[name] = sec
             print(f"rep {rep}: done", file=sys.stderr)
+
+        # 3) decoupled write layout at speed: the identical pipeline with
+        # files_per_bucket=4 (the 100 TB write posture, config.py
+        # FILES_PER_BUCKET) — timing + the edges table's file-per-bucket
+        # census, recorded OUTSIDE the headline total so `value` stays
+        # comparable round-over-round
+        fpb = int(os.environ.get("CVS_BENCH_FPB", "4"))
+        wh_root = tempfile.mkdtemp(prefix="cvs_bench_fpb_")
+        try:
+            t0 = time.time()
+            run = run_pipeline(
+                spark, Warehouse(wh_root), docs_path=docs_dir,
+                resume=False, files_per_bucket=fpb,
+            )
+            flagship_query(spark, Warehouse(wh_root), run.input_key).collect()
+            fpb_sec = round(time.time() - t0, 3)
+            wh = Warehouse(wh_root)
+            edir = wh._entry_data_dir(wh.latest_entry("edges", run.input_key))  # noqa: SLF001
+            per_bucket = {}
+            for base, _, files in os.walk(edir):
+                pq = [f for f in files if f.endswith(".parquet")]
+                if pq and os.path.basename(base).startswith("bucket="):
+                    per_bucket[os.path.basename(base)] = len(pq)
+            layout = {
+                "files_per_bucket": fpb,
+                "pipeline_sec": fpb_sec,
+                "edges_bucket_dirs": len(per_bucket),
+                "edges_files_min": min(per_bucket.values()) if per_bucket else 0,
+                "edges_files_max": max(per_bucket.values()) if per_bucket else 0,
+            }
+        finally:
+            shutil.rmtree(wh_root, ignore_errors=True)
     finally:
         shutil.rmtree(docs_dir, ignore_errors=True)
 
     timings = {k: round(v, 3) for k, v in best.items()}
     total = round(sum(timings.values()), 3)
+    comparable = round(sum(timings[k] for k in COMPARABLE_SUBSET if k in timings), 3)
     print(json.dumps({
         "metric": "kg_pipeline+headline_queries_total_sec",
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "comparable_subset_total_sec": comparable,
+        "comparable_subset_anchor": {"r02": 44.17, "r03": 30.87},
+        "write_layout_fpb": layout,
         "sf": sf,
         "kg_docs": n_docs,
         "kg_docs_per_sec": round(n_docs / best["kg_pipeline"], 2),

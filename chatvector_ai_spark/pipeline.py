@@ -221,6 +221,7 @@ def run_pipeline(
     overlap: int = CHUNK_OVERLAP,
     resume: bool = True,
     run_id: str | None = None,
+    files_per_bucket: int | None = None,
 ) -> PipelineRun:
     """Run (or resume) the full KG build; returns stage bookkeeping.
 
@@ -329,9 +330,11 @@ def run_pipeline(
         resume,
     )
 
-    # stage 6: materialize nodes/edges bucketed by entity hash
+    # stage 6: materialize nodes/edges bucketed by entity hash;
+    # files_per_bucket (default: config.FILES_PER_BUCKET) decouples write
+    # parallelism from the bucket count — see _bucket_write_layout
     def build_nodes() -> DataFrame:
-        return nodes_from_linked(linked, cmap)
+        return nodes_from_linked(linked, cmap, files_per_bucket)
 
     def _commit_nodes() -> DataFrame:
         return _stage(
@@ -341,7 +344,8 @@ def run_pipeline(
 
     def _commit_edges() -> DataFrame:
         return _stage(
-            warehouse, spark, run, "edges", lambda: edges_from_linked(linked, cmap), resume,
+            warehouse, spark, run, "edges",
+            lambda: edges_from_linked(linked, cmap, files_per_bucket), resume,
             metrics={"n_buckets": N_BUCKETS}, partition_by=["bucket"],
         )
 
