@@ -171,6 +171,36 @@ def png_grid_features(gray: bytes, width: int, height: int, grid: int = 4) -> li
     return feats
 
 
+def resize_gray(
+    gray: bytes, width: int, height: int, out_w: int, out_h: int
+) -> bytes:
+    """Box-filter resample of a row-major 8-bit grayscale grid to
+    ``out_w×out_h``: every output pixel is the integer mean of its source
+    rectangle (``[ox*W//OW, (ox+1)*W//OW)`` × the same on y, widened to at
+    least one source pixel), so up- and down-scaling both work and the
+    result is deterministic across platforms (pure integer arithmetic,
+    floor division — no float rounding mode in play)."""
+    if len(gray) != width * height:
+        raise ValueError(f"expected {width * height} bytes, got {len(gray)}")
+    if out_w <= 0 or out_h <= 0:
+        raise ValueError("output dimensions must be positive")
+    out = bytearray(out_w * out_h)
+    for oy in range(out_h):
+        y0 = oy * height // out_h
+        y1 = max((oy + 1) * height // out_h, y0 + 1)
+        for ox in range(out_w):
+            x0 = ox * width // out_w
+            x1 = max((ox + 1) * width // out_w, x0 + 1)
+            total = 0
+            for y in range(y0, min(y1, height)):
+                row = y * width
+                for x in range(x0, min(x1, width)):
+                    total += gray[row + x]
+            n = (min(y1, height) - y0) * (min(x1, width) - x0)
+            out[oy * out_w + ox] = total // n
+    return bytes(out)
+
+
 # ---------------------------------------------------------------------------
 # WAV — PCM via the stdlib wave module
 # ---------------------------------------------------------------------------

@@ -313,30 +313,65 @@ FRAME_ROW_DDL = (
 
 def resize_images(media: DataFrame, width: int = 32, height: int = 32, backend: str = "fake") -> DataFrame:
     """Image spans → fixed-size thumbnails as binary (the training-data
-    resize step). Fake backend emits a deterministic width×height byte
-    grid derived from the payload hash; a real backend (libjpeg/PIL) plugs
-    into the same mapInPandas signature and schema. Narrow, Arrow-batched,
-    image rows only (JVM-side filter)."""
-    if backend != "fake":
+    resize step). Narrow, Arrow-batched, image rows only (JVM-side filter).
+
+    ``backend='stdlib'``: REAL resize for PNG payloads — decode
+    (functions/codecs.decode_png: inflate + unfilter, collapse to 8-bit
+    grayscale), deterministic integer box-filter resample
+    (codecs.resize_gray), re-encode as a grayscale PNG
+    (``resize_backend='stdlib-png'``). Formats whose pixel decode
+    genuinely needs external codecs (JPEG/GIF entropy/LZW) and corrupt
+    payloads degrade per row to the labeled fake grid
+    ('fake' / 'decode-error') — same dispatch-and-degrade contract as
+    ``decode_media(backend='stdlib')``, so one bad blob in a billion
+    never kills the stage.
+
+    ``backend='fake'``: deterministic width×height byte grid derived from
+    the payload hash — exercises the full distributed path with zero codec
+    work. Anything else raises (libjpeg/PIL not in this environment)."""
+    if backend not in ("fake", "stdlib"):
         raise NotImplementedError(
             f"image resize backend {backend!r} requires codec libraries not "
-            "present in this environment; only 'fake' is available"
+            "present in this environment; 'stdlib' (PNG) and the "
+            "deterministic 'fake' backend are available"
         )
     n_out = width * height
 
+    def fake_row(payload: bytes) -> tuple[bytes, str]:
+        h = hashlib.sha256(payload).digest()
+        return (h * (n_out // len(h) + 1))[:n_out], "fake"
+
     def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from chatvector_ai_spark.functions.codecs import (
+            PNG_MAGIC,
+            decode_png,
+            encode_png,
+            resize_gray,
+        )
+
         for pdf in batches:
             out_rows = []
             for doc_id, span_idx, ref, payload in zip(
                 pdf["doc_id"], pdf["span_idx"], pdf["media_ref"], pdf["payload"]
             ):
-                h = hashlib.sha256(bytes(payload)).digest()
-                grid = (h * (n_out // len(h) + 1))[:n_out]
+                data = bytes(payload)
+                grid, label = None, None
+                if backend == "stdlib" and data.startswith(PNG_MAGIC):
+                    try:
+                        w, h, _ch, gray = decode_png(data)
+                        small = resize_gray(gray, w, h, width, height)
+                        grid = encode_png(width, height, small, color_type=0)
+                        label = "stdlib-png"
+                    except ValueError:
+                        grid, _ = fake_row(data)
+                        label = "decode-error"
+                if grid is None:
+                    grid, label = fake_row(data)
                 out_rows.append(
                     {
                         "doc_id": doc_id, "span_idx": span_idx, "media_ref": ref,
                         "width": width, "height": height,
-                        "resized": grid, "resize_backend": "fake",
+                        "resized": grid, "resize_backend": label,
                     }
                 )
             yield pd.DataFrame(out_rows, columns=[

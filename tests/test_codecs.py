@@ -348,3 +348,65 @@ def test_bmp_dimensions_roundtrip_topdown_and_corruption():
         bmp_dimensions(b"BM" + b"\x00" * 10)  # truncated
     with _pytest.raises(ValueError):
         bmp_dimensions(b"XX" + b"\x00" * 40)
+
+
+def test_resize_gray_box_filter_math():
+    from chatvector_ai_spark.functions.codecs import resize_gray
+
+    # 4x4 quadrant image: each 2x2 output pixel is the exact quadrant mean
+    src = bytes(
+        [0, 0, 100, 100,
+         0, 0, 100, 100,
+         200, 200, 50, 50,
+         200, 200, 50, 50]
+    )
+    assert resize_gray(src, 4, 4, 2, 2) == bytes([0, 100, 200, 50])
+    # non-uniform quadrant: integer mean (floor)
+    src2 = bytes([0, 1, 2, 3])  # 2x2 → 1x1: (0+1+2+3)//4 = 1
+    assert resize_gray(src2, 2, 2, 1, 1) == bytes([1])
+    # upscale replicates source pixels (each output maps to >=1 src pixel)
+    assert resize_gray(bytes([7]), 1, 1, 2, 2) == bytes([7] * 4)
+    assert resize_gray(bytes([10, 30]), 2, 1, 4, 1) == bytes([10, 10, 30, 30])
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        resize_gray(b"\x00" * 5, 2, 2, 1, 1)  # wrong byte count
+    with _pytest.raises(ValueError):
+        resize_gray(b"\x00" * 4, 2, 2, 0, 1)  # degenerate target
+
+
+def test_resize_images_stdlib_resizes_real_png(spark):
+    """resize_images(backend='stdlib') over an actual synthesized PNG:
+    output is a decodable grayscale PNG at the target dims whose content
+    is the box-filtered source (left-black/right-white splits survive);
+    non-PNG payloads degrade to the labeled fake grid."""
+    import pandas as pd
+
+    from chatvector_ai_spark.functions.codecs import decode_png, encode_png
+    from chatvector_ai_spark.operators.multimodal import resize_images
+
+    # 8x8: left half 0, right half 255
+    pixels = bytes((255 if x >= 4 else 0) for _ in range(8) for x in range(8))
+    png = encode_png(8, 8, pixels, color_type=0)
+    media = spark.createDataFrame(pd.DataFrame({
+        "doc_id": ["d0", "d0"],
+        "span_idx": [0, 1],
+        "span_offset": [0, 1],
+        "kind": ["image", "image"],
+        "media_ref": ["m_png", "m_other"],
+        "payload": [png, b"not-an-image"],
+        "content_type": ["image/png", "application/octet-stream"],
+        "n_bytes": [len(png), 12],
+    }))
+    got = {
+        r["media_ref"]: r
+        for r in resize_images(media, width=4, height=4, backend="stdlib").collect()
+    }
+    real = got["m_png"]
+    assert real["resize_backend"] == "stdlib-png"
+    assert (real["width"], real["height"]) == (4, 4)
+    w, h, ch, gray = decode_png(bytes(real["resized"]))
+    assert (w, h, ch) == (4, 4, 1)
+    assert bytes(gray) == bytes((255 if x >= 2 else 0) for _ in range(4) for x in range(4))
+    assert got["m_other"]["resize_backend"] == "fake"
+    assert len(got["m_other"]["resized"]) == 16
