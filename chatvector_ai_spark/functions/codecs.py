@@ -6,10 +6,13 @@ standard library: PNG is zlib-compressed scanlines behind an 8-byte magic
 and chunked container (RFC 2083), WAV is RIFF-framed PCM readable with the
 stdlib ``wave`` module. These codecs make ``decode_media(backend="stdlib")``
 decode actual bytes — real width/height from IHDR, real duration from the
-PCM frame count, features from the decoded samples. JPEG gets a real
-marker-walking header parse (dimensions/components from SOFn) while its
-pixel path stays with the labeled fake backend; formats that genuinely
-need external libraries end-to-end (MP4) stay fully fake.
+PCM frame count, features from the decoded samples. GIF decodes fully too
+(the GIF LZW variant is integer arithmetic, no external codec needed), as
+does uncompressed 24-bit BMP. JPEG gets a real marker-walking header parse
+(dimensions/components from SOFn) while its pixel path stays with the
+labeled fake backend — baseline entropy decode (Huffman+DCT) genuinely
+warrants libjpeg; formats that need external libraries end-to-end (MP4)
+stay fully fake.
 
 Encoders exist so tests and the synthetic fetch stage can fabricate valid
 files deterministically; they are NOT a production write path.
@@ -334,12 +337,195 @@ def encode_jpeg_shell(width: int, height: int, scan: bytes) -> bytes:
 
 
 # ---------------------------------------------------------------------------
-# GIF / BMP — real header parses (dimensions need nothing beyond struct);
-# pixel paths (LZW / palette expansion) stay with the labeled fake backend.
+# GIF — REAL pixel decode: the LZW variant GIF uses (variable code width,
+# clear/EOI codes, 255-byte sub-block framing) needs nothing beyond integer
+# arithmetic, and the palette maps indexes to RGB (GIF89a spec §§20-22).
+# Static single-frame images decode fully, including interlaced ones;
+# animated/multi-frame inputs decode their FIRST frame.
 # ---------------------------------------------------------------------------
 
 GIF_MAGICS = (b"GIF87a", b"GIF89a")
 BMP_MAGIC = b"BM"
+
+
+def _gif_lzw_decode(min_code_size: int, data: bytes, max_pixels: int) -> bytearray:
+    """GIF-flavor LZW: codes start at ``min_code_size+1`` bits, the
+    dictionary grows by one entry per emitted code until 4095, CLEAR
+    (2^mcs) resets it, EOI (CLEAR+1) terminates."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+
+    def fresh() -> list[bytes | None]:
+        return [bytes([i]) for i in range(clear)] + [None, None]
+
+    table = fresh()
+    width = min_code_size + 1
+    acc = nbits = 0
+    out = bytearray()
+    prev: bytes | None = None
+    for byte in data:
+        acc |= byte << nbits
+        nbits += 8
+        while nbits >= width:
+            code = acc & ((1 << width) - 1)
+            acc >>= width
+            nbits -= width
+            if code == clear:
+                table = fresh()
+                width = min_code_size + 1
+                prev = None
+                continue
+            if code == eoi:
+                return out
+            if prev is None:
+                if code >= len(table):
+                    raise ValueError("LZW stream starts with a non-root code")
+                entry = table[code]
+            elif code < len(table):
+                entry = table[code]
+                table.append(prev + entry[:1])
+            elif code == len(table):  # the KwKwK case
+                entry = prev + prev[:1]
+                table.append(entry)
+            else:
+                raise ValueError("LZW code out of range")
+            out.extend(entry)
+            if len(out) > max_pixels:
+                raise ValueError("LZW output exceeds image size")
+            prev = entry
+            if len(table) >= (1 << width) and width < 12:
+                width += 1
+    return out
+
+
+_GIF_INTERLACE_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))
+
+
+def decode_gif_pixels(data: bytes) -> tuple[int, int, bytes]:
+    """→ (width, height, gray_pixels): full decode of the first image —
+    LZW-expand the index stream, map through the active color table,
+    collapse RGB to 8-bit grayscale (mean), de-interlace if flagged."""
+    w, h = gif_dimensions(data)  # validates magic + screen descriptor
+    packed = data[10]
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n = 3 * (2 << (packed & 0x07))
+        gct = data[pos : pos + n]
+        pos += n
+    while pos < len(data):
+        block = data[pos]
+        if block == 0x21:  # extension: label + length-framed sub-blocks
+            pos += 2
+            while pos < len(data) and data[pos] != 0:
+                pos += 1 + data[pos]
+            pos += 1
+        elif block == 0x2C:  # image descriptor
+            if pos + 10 > len(data):
+                raise ValueError("truncated GIF image descriptor")
+            _left, _top, iw, ih = struct.unpack_from("<HHHH", data, pos + 1)
+            ipacked = data[pos + 9]
+            pos += 10
+            ct = gct
+            if ipacked & 0x80:
+                n = 3 * (2 << (ipacked & 0x07))
+                ct = data[pos : pos + n]
+                pos += n
+            if ct is None:
+                raise ValueError("GIF image with no color table")
+            if iw == 0 or ih == 0:
+                raise ValueError("GIF frame with zero dimension")
+            mcs = data[pos]
+            pos += 1
+            if not 2 <= mcs <= 11:
+                raise ValueError(f"bad GIF LZW min code size {mcs}")
+            lzw = bytearray()
+            while pos < len(data) and data[pos] != 0:
+                ln = data[pos]
+                lzw.extend(data[pos + 1 : pos + 1 + ln])
+                pos += 1 + ln
+            idx = _gif_lzw_decode(mcs, bytes(lzw), iw * ih)
+            if len(idx) < iw * ih:
+                raise ValueError(
+                    f"GIF pixel data short: {len(idx)} of {iw * ih}"
+                )
+            n_colors = len(ct) // 3
+            idx = idx[: iw * ih]
+            if max(idx) >= n_colors:
+                raise ValueError("palette index out of range")
+            # translate needs a full 256-byte table; indexes are already
+            # range-checked so the zero padding is never reached
+            gray_lut = bytes(
+                (ct[3 * i] + ct[3 * i + 1] + ct[3 * i + 2]) // 3
+                if i < n_colors else 0
+                for i in range(256)
+            )
+            rows = [
+                bytes(idx[y * iw : (y + 1) * iw]).translate(gray_lut)
+                for y in range(ih)
+            ]
+            if ipacked & 0x40:  # interlaced: 4-pass row shuffle
+                ordered: list[bytes | None] = [None] * ih
+                src = iter(rows)
+                for start, step in _GIF_INTERLACE_PASSES:
+                    for y in range(start, ih, step):
+                        ordered[y] = next(src)
+                rows = ordered  # type: ignore[assignment]
+            return iw, ih, b"".join(rows)
+        elif block == 0x3B:  # trailer
+            break
+        else:
+            raise ValueError(f"unknown GIF block 0x{block:02x}")
+    raise ValueError("GIF contains no image data")
+
+
+def encode_gif(width: int, height: int, gray: bytes) -> bytes:
+    """Single-frame grayscale GIF89a with a 256-entry gray palette and the
+    classic 'uncompressed LZW' emission: every pixel is a root code, with a
+    CLEAR inserted well before the code width would have to grow under
+    EITHER width-change convention (early or deferred) — valid LZW, no
+    compression work. Test/fixture writer, like ``encode_png``."""
+    if len(gray) != width * height:
+        raise ValueError(f"expected {width * height} bytes, got {len(gray)}")
+    header = b"GIF89a" + struct.pack("<HHBBB", width, height, 0xF7, 0, 0)
+    palette = bytes(v for i in range(256) for v in (i, i, i))
+    desc = b"\x2c" + struct.pack("<HHHHB", 0, 0, width, height, 0)
+    mcs = 8
+    clear = 1 << mcs
+    width_bits = mcs + 1
+    acc = nbits = 0
+    emitted: bytearray = bytearray()
+
+    def put(code: int) -> None:
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += width_bits
+        while nbits >= 8:
+            emitted.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    put(clear)
+    count = 0
+    for px in gray:
+        # dictionary grows by one per emitted pixel code; reset long
+        # before the decoder's table could approach the width-10 boundary
+        # (258 + 192 = 450 < 511) under any width-change convention
+        if count == 192:
+            put(clear)
+            count = 0
+        put(px)
+        count += 1
+    put(clear + 1)  # EOI
+    if nbits:
+        emitted.append(acc & 0xFF)
+    framed = bytearray()
+    for i in range(0, len(emitted), 255):
+        chunk = emitted[i : i + 255]
+        framed.append(len(chunk))
+        framed.extend(chunk)
+    framed.append(0)
+    return header + palette + desc + bytes([mcs]) + bytes(framed) + b"\x3b"
 
 
 def gif_dimensions(data: bytes) -> tuple[int, int]:
@@ -376,3 +562,59 @@ def encode_bmp_shell(width: int, height: int) -> bytes:
     info = struct.pack("<IiiHHIIiiII", 40, width, height, 1, 24, 0, 0, 0, 0, 0, 0)
     header = b"BM" + struct.pack("<IHHI", 14 + 40, 0, 0, 14 + 40)
     return header + info
+
+
+def decode_bmp_pixels(data: bytes) -> tuple[int, int, bytes]:
+    """→ (width, height, gray_pixels): REAL decode of uncompressed 24-bit
+    BMPs (BI_RGB) — BGR triples in 4-byte-padded rows, bottom-up unless
+    the header height is negative (top-down). Grayscale = channel mean."""
+    w, h = bmp_dimensions(data)  # validates magic + header length
+    if len(data) < 34:
+        raise ValueError("BMP header too short for pixel decode")
+    (pix_off,) = struct.unpack_from("<I", data, 10)
+    raw_h = struct.unpack_from("<i", data, 22)[0]
+    planes, bpp = struct.unpack_from("<HH", data, 26)
+    (compression,) = struct.unpack_from("<I", data, 30)
+    if bpp != 24 or compression != 0:
+        raise ValueError(
+            f"unsupported BMP shape (bpp={bpp}, compression={compression})"
+        )
+    if planes != 1:
+        raise ValueError(f"bad BMP planes {planes}")
+    stride = (w * 3 + 3) & ~3
+    if pix_off + stride * h > len(data):
+        raise ValueError("truncated BMP pixel array")
+    top_down = raw_h < 0
+    out = bytearray(w * h)
+    for y in range(h):
+        src_row = y if top_down else h - 1 - y
+        base = pix_off + src_row * stride
+        row_off = y * w
+        for x in range(w):
+            b3 = base + 3 * x
+            out[row_off + x] = (
+                data[b3] + data[b3 + 1] + data[b3 + 2]
+            ) // 3
+    return w, h, bytes(out)
+
+
+def encode_bmp(width: int, height: int, gray: bytes, top_down: bool = False) -> bytes:
+    """Uncompressed 24-bit BMP from a grayscale grid (each gray byte
+    becomes an equal BGR triple); rows padded to 4 bytes, bottom-up by
+    default. Test/fixture writer."""
+    if len(gray) != width * height:
+        raise ValueError(f"expected {width * height} bytes, got {len(gray)}")
+    stride = (width * 3 + 3) & ~3
+    pad = b"\x00" * (stride - width * 3)
+    rows = []
+    y_range = range(height) if top_down else range(height - 1, -1, -1)
+    for y in y_range:
+        row = gray[y * width : (y + 1) * width]
+        rows.append(b"".join(bytes((v, v, v)) for v in row) + pad)
+    body = b"".join(rows)
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, width, -height if top_down else height,
+        1, 24, 0, len(body), 0, 0, 0, 0,
+    )
+    header = b"BM" + struct.pack("<IHHI", 14 + 40 + len(body), 0, 0, 14 + 40)
+    return header + info + body

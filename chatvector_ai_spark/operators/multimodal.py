@@ -130,17 +130,20 @@ def fetch_payloads(media: DataFrame, max_bytes: int = 1 << 20) -> DataFrame:
 def decode_media(media: DataFrame, backend: str = "fake") -> DataFrame:
     """Decode payloads → fixed-dim feature vectors + media dims.
 
-    ``backend='stdlib'``: REAL decode for PNG and WAV payloads using the
-    pure-stdlib codecs (functions/codecs.py): width/height parsed from the
-    PNG IHDR and pixels unfiltered+inflated, duration from the WAV PCM
-    frame count, features pooled from the actual decoded content. JPEG
-    payloads get a real marker-walking header parse (width/height/
-    components from SOFn, ``decode_backend='stdlib-jpeg-header'``) with
-    pseudo pixel features — entropy decode needs libjpeg, and the label
-    says so. Other payloads (MP4, …) fall through to the deterministic
-    pseudo-decode with ``decode_backend='fake'`` so the row is still
-    produced (a real deployment would add libjpeg/ffmpeg backends behind
-    the same dispatch).
+    ``backend='stdlib'``: REAL decode for PNG, GIF, BMP and WAV payloads
+    using the pure-stdlib codecs (functions/codecs.py): PNG pixels
+    inflated+unfiltered, GIF pixels LZW-expanded through the palette, BMP
+    BGR rows unpadded, WAV duration from the PCM frame count — features
+    pooled from the actual decoded content. JPEG payloads get a real
+    marker-walking header parse (width/height/components from SOFn,
+    ``decode_backend='stdlib-jpeg-header'``) with pseudo pixel features —
+    baseline entropy decode (Huffman+DCT) genuinely warrants libjpeg, and
+    the label says so; GIF/BMP shapes the pixel path can't express keep
+    their real header parse under the same ``-header`` labeling. Other
+    payloads (MP4, …) fall through to the deterministic pseudo-decode with
+    ``decode_backend='fake'`` so the row is still produced (a real
+    deployment would add libjpeg/ffmpeg backends behind the same
+    dispatch).
 
     ``backend='fake'``: deterministic pseudo-decode (sha-seeded features,
     dims derived from payload) — exercises the full distributed path with
@@ -210,6 +213,8 @@ def _decode_media_stdlib(media: DataFrame) -> DataFrame:
             PNG_MAGIC,
             WAV_MAGIC,
             bmp_dimensions,
+            decode_bmp_pixels,
+            decode_gif_pixels,
             decode_png,
             decode_wav,
             gif_dimensions,
@@ -253,20 +258,35 @@ def _decode_media_stdlib(media: DataFrame) -> DataFrame:
                         backends.append("stdlib-jpeg-header")
                         decoded = True
                     elif data.startswith(GIF_MAGICS):
-                        # REAL logical-screen-descriptor parse; pixel path
-                        # (LZW) stays pseudo, label says so
-                        w, h = gif_dimensions(data)
-                        vec, _ = _fake_feature(data)
-                        feats.append(vec)
+                        # REAL pixel decode (pure-integer GIF LZW +
+                        # palette); shapes the LZW path can't express
+                        # (e.g. descriptor-only shells) degrade to the
+                        # real header parse with the -header label
+                        try:
+                            w, h, gray = decode_gif_pixels(data)
+                            feats.append([float(v) for v in png_grid_features(gray, w, h, grid=4)])
+                            backends.append("stdlib-gif")
+                        except ValueError:
+                            w, h = gif_dimensions(data)
+                            vec, _ = _fake_feature(data)
+                            feats.append(vec)
+                            backends.append("stdlib-gif-header")
                         widths.append(w); heights.append(h); durs.append(None)
-                        backends.append("stdlib-gif-header")
                         decoded = True
                     elif data.startswith(BMP_MAGIC):
-                        w, h = bmp_dimensions(data)
-                        vec, _ = _fake_feature(data)
-                        feats.append(vec)
+                        # REAL pixel decode for uncompressed 24-bit BMPs;
+                        # other bpp/compression shapes keep the header
+                        # parse with the -header label
+                        try:
+                            w, h, gray = decode_bmp_pixels(data)
+                            feats.append([float(v) for v in png_grid_features(gray, w, h, grid=4)])
+                            backends.append("stdlib-bmp")
+                        except ValueError:
+                            w, h = bmp_dimensions(data)
+                            vec, _ = _fake_feature(data)
+                            feats.append(vec)
+                            backends.append("stdlib-bmp-header")
                         widths.append(w); heights.append(h); durs.append(None)
-                        backends.append("stdlib-bmp-header")
                         decoded = True
                 except (ValueError, struct.error):
                     backends_label = "decode-error"
@@ -315,12 +335,13 @@ def resize_images(media: DataFrame, width: int = 32, height: int = 32, backend: 
     """Image spans → fixed-size thumbnails as binary (the training-data
     resize step). Narrow, Arrow-batched, image rows only (JVM-side filter).
 
-    ``backend='stdlib'``: REAL resize for PNG payloads — decode
-    (functions/codecs.decode_png: inflate + unfilter, collapse to 8-bit
-    grayscale), deterministic integer box-filter resample
-    (codecs.resize_gray), re-encode as a grayscale PNG
-    (``resize_backend='stdlib-png'``). Formats whose pixel decode
-    genuinely needs external codecs (JPEG/GIF entropy/LZW) and corrupt
+    ``backend='stdlib'``: REAL resize for PNG, GIF and BMP payloads —
+    decode to an 8-bit grayscale grid (functions/codecs: PNG
+    inflate+unfilter, GIF LZW+palette, BMP row unpadding), deterministic
+    integer box-filter resample (codecs.resize_gray), re-encode as a
+    grayscale PNG (``resize_backend='stdlib-png'/'stdlib-gif'/
+    'stdlib-bmp'``; thumbnails are always PNG). Formats whose pixel
+    decode genuinely needs external codecs (JPEG entropy) and corrupt
     payloads degrade per row to the labeled fake grid
     ('fake' / 'decode-error') — same dispatch-and-degrade contract as
     ``decode_media(backend='stdlib')``, so one bad blob in a billion
@@ -343,11 +364,27 @@ def resize_images(media: DataFrame, width: int = 32, height: int = 32, backend: 
 
     def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from chatvector_ai_spark.functions.codecs import (
+            BMP_MAGIC,
+            GIF_MAGICS,
             PNG_MAGIC,
+            decode_bmp_pixels,
+            decode_gif_pixels,
             decode_png,
             encode_png,
             resize_gray,
         )
+
+        def gray_of(data: bytes) -> tuple[int, int, bytes, str] | None:
+            if data.startswith(PNG_MAGIC):
+                w, h, _ch, gray = decode_png(data)
+                return w, h, gray, "stdlib-png"
+            if data.startswith(GIF_MAGICS):
+                w, h, gray = decode_gif_pixels(data)
+                return w, h, gray, "stdlib-gif"
+            if data.startswith(BMP_MAGIC):
+                w, h, gray = decode_bmp_pixels(data)
+                return w, h, gray, "stdlib-bmp"
+            return None
 
         for pdf in batches:
             out_rows = []
@@ -356,12 +393,13 @@ def resize_images(media: DataFrame, width: int = 32, height: int = 32, backend: 
             ):
                 data = bytes(payload)
                 grid, label = None, None
-                if backend == "stdlib" and data.startswith(PNG_MAGIC):
+                if backend == "stdlib":
                     try:
-                        w, h, _ch, gray = decode_png(data)
-                        small = resize_gray(gray, w, h, width, height)
-                        grid = encode_png(width, height, small, color_type=0)
-                        label = "stdlib-png"
+                        got = gray_of(data)
+                        if got is not None:
+                            w, h, gray, label = got
+                            small = resize_gray(gray, w, h, width, height)
+                            grid = encode_png(width, height, small, color_type=0)
                     except ValueError:
                         grid, _ = fake_row(data)
                         label = "decode-error"

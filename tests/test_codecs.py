@@ -410,3 +410,140 @@ def test_resize_images_stdlib_resizes_real_png(spark):
     assert bytes(gray) == bytes((255 if x >= 2 else 0) for _ in range(4) for x in range(4))
     assert got["m_other"]["resize_backend"] == "fake"
     assert len(got["m_other"]["resized"]) == 16
+
+
+def test_gif_pixel_roundtrip_and_interlace():
+    from chatvector_ai_spark.functions.codecs import decode_gif_pixels, encode_gif
+
+    # plain round-trip, including a >192-pixel image (forces a mid-stream
+    # LZW CLEAR) and non-square shapes
+    for w, h in [(1, 1), (5, 3), (16, 16), (64, 7)]:
+        gray = bytes((x * 37 + y * 11) % 256 for y in range(h) for x in range(w))
+        assert decode_gif_pixels(encode_gif(w, h, gray)) == (w, h, gray)
+
+    # interlaced: encode rows in GIF 4-pass order, flip the interlace bit,
+    # decode must restore natural row order
+    w, h = 2, 8
+    gray = bytes(range(w * h))
+    pass_order = [0, 4, 2, 6, 1, 3, 5, 7]
+    shuffled = b"".join(gray[y * w : (y + 1) * w] for y in pass_order)
+    gif = bytearray(encode_gif(w, h, shuffled))
+    desc_packed = 6 + 7 + 768 + 9  # header + LSD + GCT + descriptor body
+    assert gif[desc_packed] == 0
+    gif[desc_packed] = 0x40  # interlace flag
+    assert decode_gif_pixels(bytes(gif)) == (w, h, gray)
+
+
+def test_gif_lzw_kwkwk_and_corruption():
+    import struct
+
+    from chatvector_ai_spark.functions.codecs import decode_gif_pixels
+
+    # hand-built GIF exercising the KwKwK LZW case: mcs=2, codes
+    # [CLEAR=4, 1, 6, EOI=5] → indexes [1, 1, 1] (entry 6 = prev+prev[0]);
+    # GCT size bits 1 → 4-entry palette (indexes 0..3)
+    header = b"GIF89a" + struct.pack("<HHBBB", 3, 1, 0x81, 0, 0)
+    palette = bytes([0, 0, 0, 90, 90, 90, 180, 180, 180, 255, 255, 255])
+    desc = b"\x2c" + struct.pack("<HHHHB", 0, 0, 3, 1, 0)
+    # pack codes LSB-first at 3 bits: 4, 1, 6, 5
+    acc = 4 | (1 << 3) | (6 << 6) | (5 << 9)
+    lzw = acc.to_bytes(2, "little")
+    body = bytes([2, len(lzw)]) + lzw + b"\x00\x3b"
+    w, h, gray = decode_gif_pixels(header + palette + desc + body)
+    assert (w, h) == (3, 1)
+    assert gray == bytes([90, 90, 90])
+
+    # palette index out of range must raise, not wrap
+    bad_acc = 4 | (3 << 3) | (5 << 6)  # CLEAR, index 3, EOI — then shrink palette
+    bad_header = b"GIF89a" + struct.pack("<HHBBB", 1, 1, 0x80, 0, 0)  # 2-entry GCT
+    bad_palette = bytes([0, 0, 0, 255, 255, 255])
+    bad_desc = b"\x2c" + struct.pack("<HHHHB", 0, 0, 1, 1, 0)
+    bad_lzw = bad_acc.to_bytes(2, "little")
+    bad = bad_header + bad_palette + bad_desc + bytes([2, len(bad_lzw)]) + bad_lzw + b"\x00\x3b"
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        decode_gif_pixels(bad)
+
+
+def test_bmp_pixel_roundtrip_padding_and_unsupported():
+    from chatvector_ai_spark.functions.codecs import (
+        decode_bmp_pixels,
+        encode_bmp,
+        encode_bmp_shell,
+    )
+
+    # w=3 → 9-byte rows padded to 12; both row orders round-trip
+    gray = bytes([10, 20, 30, 40, 50, 60])
+    assert decode_bmp_pixels(encode_bmp(3, 2, gray)) == (3, 2, gray)
+    assert decode_bmp_pixels(encode_bmp(3, 2, gray, top_down=True)) == (3, 2, gray)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        decode_bmp_pixels(encode_bmp_shell(4, 4))  # header only, no pixels
+
+
+def test_decode_media_stdlib_gif_bmp_real_pixels(spark):
+    """decode_media(backend='stdlib') on REAL GIF/BMP pixel payloads:
+    labels flip from -header to full decode and the grid features come
+    from the actual pixel content (left-dark/right-light asymmetry)."""
+    import pandas as pd
+
+    from chatvector_ai_spark.functions.codecs import encode_bmp, encode_gif
+    from chatvector_ai_spark.operators.multimodal import decode_media
+
+    w, h = 8, 8
+    gray = bytes((255 if x >= 4 else 0) for _ in range(h) for x in range(w))
+    media = spark.createDataFrame(pd.DataFrame({
+        "doc_id": ["d0", "d0"],
+        "span_idx": [0, 1],
+        "span_offset": [0, 1],
+        "kind": ["image", "image"],
+        "media_ref": ["m_gif", "m_bmp"],
+        "payload": [encode_gif(w, h, gray), encode_bmp(w, h, gray)],
+        "content_type": ["image/gif", "image/bmp"],
+        "n_bytes": [1, 1],
+    }))
+    got = {r["media_ref"]: r for r in decode_media(media, backend="stdlib").collect()}
+    for ref, label in (("m_gif", "stdlib-gif"), ("m_bmp", "stdlib-bmp")):
+        row = got[ref]
+        assert row["decode_backend"] == label
+        assert (row["width"], row["height"]) == (w, h)
+        f = row["feature"]  # 4x4 grid, row-major: left half 0.0, right 1.0
+        assert f == [0.0, 0.0, 1.0, 1.0] * 4
+
+
+def test_resize_images_stdlib_gif_and_bmp(spark):
+    """stdlib resize dispatches on magic: GIF and BMP payloads decode for
+    real and come back as grayscale PNG thumbnails at the target dims."""
+    import pandas as pd
+
+    from chatvector_ai_spark.functions.codecs import (
+        decode_png,
+        encode_bmp,
+        encode_gif,
+    )
+    from chatvector_ai_spark.operators.multimodal import resize_images
+
+    w, h = 8, 4
+    gray = bytes((y * w + x) * 7 % 256 for y in range(h) for x in range(w))
+    media = spark.createDataFrame(pd.DataFrame({
+        "doc_id": ["d0", "d0"],
+        "span_idx": [0, 1],
+        "span_offset": [0, 1],
+        "kind": ["image", "image"],
+        "media_ref": ["m_gif", "m_bmp"],
+        "payload": [encode_gif(w, h, gray), encode_bmp(w, h, gray)],
+        "content_type": ["image/gif", "image/bmp"],
+        "n_bytes": [1, 1],
+    }))
+    got = {
+        r["media_ref"]: r
+        for r in resize_images(media, width=4, height=2, backend="stdlib").collect()
+    }
+    assert got["m_gif"]["resize_backend"] == "stdlib-gif"
+    assert got["m_bmp"]["resize_backend"] == "stdlib-bmp"
+    # both thumbnails are the SAME content resized → identical PNGs
+    pw, ph, ch, pgray = decode_png(bytes(got["m_gif"]["resized"]))
+    assert (pw, ph, ch) == (4, 2, 1)
+    assert bytes(got["m_gif"]["resized"]) == bytes(got["m_bmp"]["resized"])

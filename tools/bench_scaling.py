@@ -234,8 +234,19 @@ Spark confs: AQE on (skew-join + partition coalescing), Arrow batch
 max(cpus, 8), broadcast threshold 64 MB, shuffle dirs on tmpfs.
 Measured {time.strftime('%Y-%m-%d %H:%M:%S')}.
 """
-    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
-        f.write(md)
+    # hand-maintained sections (measurement-window history, per-stage
+    # decomposition) live BELOW the generated tables and must survive a
+    # re-run: carry everything from the history heading onward forward
+    out_path = os.path.join(REPO, "BENCH", "BASELINE.md")
+    keep = ""
+    if os.path.exists(out_path):
+        with open(out_path) as f:
+            old = f.read()
+        idx = old.find("## Measurement-window history")
+        if idx >= 0:
+            keep = "\n" + old[idx:]
+    with open(out_path, "w") as f:
+        f.write(md + keep)
     print(json.dumps({"calibration_M_hashes_per_s": calib, "ceilings": ceilings,
                       "memcpy_GB_per_s": membw, "bw_ceilings": bw_ceilings,
                       "pairs": results}))
