@@ -31,6 +31,18 @@ def main() -> int:
     ap.add_argument("--master", default=None, help="e.g. local[8]; default = spark-submit's")
     ap.add_argument("--no-resume", action="store_true")
     ap.add_argument("--sf-dir", default=None, help="unused placeholder for driver parity")
+    ap.add_argument(
+        "--docs-path", default=None,
+        help="existing interleaved-documents parquet to ingest (production "
+             "shape); omitted = synthesize --n-docs documents",
+    )
+    ap.add_argument(
+        "--files-per-bucket", type=int, default=None,
+        help="write-layout file groups per entity-hash bucket for the "
+             "nodes/edges commits (default: CVS_FILES_PER_BUCKET config); "
+             "raise at scale so write parallelism decouples from the "
+             "bucket count",
+    )
     args = ap.parse_args()
 
     from chatvector_ai_spark.pipeline import flagship_query, run_pipeline
@@ -41,21 +53,27 @@ def main() -> int:
     wh = Warehouse(args.warehouse)
     t0 = time.time()
     run = run_pipeline(
-        spark, wh, args.n_docs,
+        spark, wh, args.n_docs if args.docs_path is None else None,
+        docs_path=args.docs_path,
         n_entities=args.n_entities,
         strategy=args.strategy,
         resume=not args.no_resume,
+        files_per_bucket=args.files_per_bucket,
     )
     elapsed = time.time() - t0
     top = flagship_query(spark, wh, run.input_key)
     top.show(10, truncate=False)
+    n_docs = (
+        args.n_docs if args.docs_path is None
+        else spark.read.parquet(args.docs_path).count()
+    )
     print(json.dumps({
         "run_id": run.run_id,
         "input_key": run.input_key,
         "stages_run": run.stages_run,
         "stages_skipped": run.stages_skipped,
         "elapsed_sec": round(elapsed, 2),
-        "docs_per_sec": round(args.n_docs / elapsed, 2),
+        "docs_per_sec": round(n_docs / elapsed, 2),
     }))
     return 0
 
