@@ -8,11 +8,11 @@ stdlib ``wave`` module. These codecs make ``decode_media(backend="stdlib")``
 decode actual bytes — real width/height from IHDR, real duration from the
 PCM frame count, features from the decoded samples. GIF decodes fully too
 (the GIF LZW variant is integer arithmetic, no external codec needed), as
-does uncompressed 24-bit BMP. JPEG gets a real marker-walking header parse
-(dimensions/components from SOFn) while its pixel path stays with the
-labeled fake backend — baseline entropy decode (Huffman+DCT) genuinely
-warrants libjpeg; formats that need external libraries end-to-end (MP4)
-stay fully fake.
+does uncompressed 24-bit BMP. Baseline JPEG decodes fully in the sibling
+module ``functions/jpegcodec.py`` (Huffman + dequant + IDCT in pure
+Python); this module keeps the fast marker-walking header parse that the
+dispatch falls back to for non-baseline JPEG shapes. Formats that need
+external libraries end-to-end (MP4) stay fully fake.
 
 Encoders exist so tests and the synthetic fetch stage can fabricate valid
 files deterministically; they are NOT a production write path.
@@ -261,9 +261,9 @@ def wav_band_features(samples: list[int], bands: int = 16) -> list[float]:
 
 # ---------------------------------------------------------------------------
 # JPEG — marker-walking header parse (dimensions/components from SOFn).
-# Entropy decode genuinely needs libjpeg, so the pixel path stays with the
-# labeled fake backend; real dimension extraction is what a filter /
-# resize-planning pass over a 100 TB corpus actually reads.
+# Full baseline pixel decode lives in functions/jpegcodec.py; this parse
+# is the cheap pre-filter (what a resize-planning pass over a 100 TB
+# corpus reads) and the fallback for non-baseline shapes.
 # ---------------------------------------------------------------------------
 
 JPEG_MAGIC = b"\xff\xd8\xff"

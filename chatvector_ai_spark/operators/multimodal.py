@@ -78,10 +78,10 @@ def fetch_payloads(media: DataFrame, max_bytes: int = 1 << 20) -> DataFrame:
 
     def fetch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from chatvector_ai_spark.functions.codecs import (
-            encode_jpeg_shell,
             encode_png,
             encode_wav,
         )
+        from chatvector_ai_spark.functions.jpegcodec import encode_jpeg
 
         for pdf in batches:
             payloads, ctypes, sizes = [], [], []
@@ -108,10 +108,18 @@ def fetch_payloads(media: DataFrame, max_bytes: int = 1 << 20) -> DataFrame:
                         sample_rate=8000,
                     )
                 elif ext == "jpg":
-                    # marker-valid JPEG shell: header chain real (SOI/APP0/
-                    # SOF0/SOS parse under jpeg_dimensions), scan opaque
-                    w, h = 16 + seed[0], 16 + seed[1]
-                    payload = encode_jpeg_shell(w, h, seed * 4)
+                    # a REAL baseline 4:2:0 JPEG (functions/jpegcodec):
+                    # seeded luma content, constant chroma, decodable by
+                    # the stdlib backend end-to-end
+                    w, h = 8 + seed[0] % 16, 8 + seed[1] % 16
+                    px = bytes(
+                        seed[(x * 5 + y * 9 + seed[3]) % len(seed)]
+                        for y in range(h)
+                        for x in range(w)
+                    )
+                    payload = encode_jpeg(
+                        w, h, px, quant=2, chroma=seed[4], restart=0
+                    )
                 else:
                     n = 64 + seed[0]  # deterministic opaque payload
                     payload = (seed * ((n // len(seed)) + 1))[:n]
@@ -130,20 +138,19 @@ def fetch_payloads(media: DataFrame, max_bytes: int = 1 << 20) -> DataFrame:
 def decode_media(media: DataFrame, backend: str = "fake") -> DataFrame:
     """Decode payloads → fixed-dim feature vectors + media dims.
 
-    ``backend='stdlib'``: REAL decode for PNG, GIF, BMP and WAV payloads
-    using the pure-stdlib codecs (functions/codecs.py): PNG pixels
-    inflated+unfiltered, GIF pixels LZW-expanded through the palette, BMP
-    BGR rows unpadded, WAV duration from the PCM frame count — features
-    pooled from the actual decoded content. JPEG payloads get a real
-    marker-walking header parse (width/height/components from SOFn,
-    ``decode_backend='stdlib-jpeg-header'``) with pseudo pixel features —
-    baseline entropy decode (Huffman+DCT) genuinely warrants libjpeg, and
-    the label says so; GIF/BMP shapes the pixel path can't express keep
-    their real header parse under the same ``-header`` labeling. Other
+    ``backend='stdlib'``: REAL decode for PNG, GIF, BMP, baseline JPEG
+    and WAV payloads using the pure-stdlib codecs (functions/codecs.py +
+    functions/jpegcodec.py): PNG pixels inflated+unfiltered, GIF pixels
+    LZW-expanded through the palette, BMP BGR rows unpadded, JPEG
+    Huffman-decoded + dequantized + IDCT'd (gray = luma plane), WAV
+    duration from the PCM frame count — features pooled from the actual
+    decoded content. Shapes outside what each pixel path expresses
+    (progressive/arithmetic/12-bit JPEG, descriptor-only GIF/BMP shells)
+    keep their real header parse under the ``-header`` labels. Other
     payloads (MP4, …) fall through to the deterministic pseudo-decode with
     ``decode_backend='fake'`` so the row is still produced (a real
-    deployment would add libjpeg/ffmpeg backends behind the same
-    dispatch).
+    deployment would register libjpeg/ffmpeg backends behind the same
+    dispatch for throughput).
 
     ``backend='fake'``: deterministic pseudo-decode (sha-seeded features,
     dims derived from payload) — exercises the full distributed path with
@@ -222,6 +229,7 @@ def _decode_media_stdlib(media: DataFrame) -> DataFrame:
             png_grid_features,
             wav_band_features,
         )
+        from chatvector_ai_spark.functions.jpegcodec import decode_jpeg_pixels
 
         import struct
 
@@ -248,14 +256,21 @@ def _decode_media_stdlib(media: DataFrame) -> DataFrame:
                         backends.append("stdlib-wav")
                         decoded = True
                     elif data.startswith(JPEG_MAGIC):
-                        # REAL marker-walk for dimensions; pixel features
-                        # stay pseudo (entropy decode needs libjpeg) and
-                        # the label says exactly that
-                        w, h, _ncomp = jpeg_dimensions(data)
-                        vec, _ = _fake_feature(data)
-                        feats.append(vec)
+                        # REAL baseline decode (functions/jpegcodec:
+                        # Huffman + dequant + IDCT, gray = luma plane);
+                        # shapes outside baseline (progressive,
+                        # arithmetic, 12-bit) keep the real marker-walk
+                        # header parse under the -header label
+                        try:
+                            w, h, gray = decode_jpeg_pixels(data)
+                            feats.append([float(v) for v in png_grid_features(gray, w, h, grid=4)])
+                            backends.append("stdlib-jpeg")
+                        except ValueError:
+                            w, h, _ncomp = jpeg_dimensions(data)
+                            vec, _ = _fake_feature(data)
+                            feats.append(vec)
+                            backends.append("stdlib-jpeg-header")
                         widths.append(w); heights.append(h); durs.append(None)
-                        backends.append("stdlib-jpeg-header")
                         decoded = True
                     elif data.startswith(GIF_MAGICS):
                         # REAL pixel decode (pure-integer GIF LZW +
@@ -335,14 +350,14 @@ def resize_images(media: DataFrame, width: int = 32, height: int = 32, backend: 
     """Image spans → fixed-size thumbnails as binary (the training-data
     resize step). Narrow, Arrow-batched, image rows only (JVM-side filter).
 
-    ``backend='stdlib'``: REAL resize for PNG, GIF and BMP payloads —
-    decode to an 8-bit grayscale grid (functions/codecs: PNG
-    inflate+unfilter, GIF LZW+palette, BMP row unpadding), deterministic
+    ``backend='stdlib'``: REAL resize for PNG, GIF, BMP and baseline JPEG
+    payloads — decode to an 8-bit grayscale grid (functions/codecs: PNG
+    inflate+unfilter, GIF LZW+palette, BMP row unpadding;
+    functions/jpegcodec: Huffman+IDCT, gray = luma), deterministic
     integer box-filter resample (codecs.resize_gray), re-encode as a
     grayscale PNG (``resize_backend='stdlib-png'/'stdlib-gif'/
-    'stdlib-bmp'``; thumbnails are always PNG). Formats whose pixel
-    decode genuinely needs external codecs (JPEG entropy) and corrupt
-    payloads degrade per row to the labeled fake grid
+    'stdlib-bmp'/'stdlib-jpeg'``; thumbnails are always PNG). Corrupt or
+    out-of-profile payloads degrade per row to the labeled fake grid
     ('fake' / 'decode-error') — same dispatch-and-degrade contract as
     ``decode_media(backend='stdlib')``, so one bad blob in a billion
     never kills the stage.
@@ -366,6 +381,7 @@ def resize_images(media: DataFrame, width: int = 32, height: int = 32, backend: 
         from chatvector_ai_spark.functions.codecs import (
             BMP_MAGIC,
             GIF_MAGICS,
+            JPEG_MAGIC,
             PNG_MAGIC,
             decode_bmp_pixels,
             decode_gif_pixels,
@@ -373,6 +389,7 @@ def resize_images(media: DataFrame, width: int = 32, height: int = 32, backend: 
             encode_png,
             resize_gray,
         )
+        from chatvector_ai_spark.functions.jpegcodec import decode_jpeg_pixels
 
         def gray_of(data: bytes) -> tuple[int, int, bytes, str] | None:
             if data.startswith(PNG_MAGIC):
@@ -384,6 +401,9 @@ def resize_images(media: DataFrame, width: int = 32, height: int = 32, backend: 
             if data.startswith(BMP_MAGIC):
                 w, h, gray = decode_bmp_pixels(data)
                 return w, h, gray, "stdlib-bmp"
+            if data.startswith(JPEG_MAGIC):
+                w, h, gray = decode_jpeg_pixels(data)
+                return w, h, gray, "stdlib-jpeg"
             return None
 
         for pdf in batches:

@@ -274,14 +274,16 @@ def test_decode_media_stdlib_jpeg_header_real_dims(spark):
     assert got["feature"].map(len).eq(FEATURE_DIM).all()
 
 
-def test_fetch_payloads_fabricates_parseable_jpeg(spark):
-    """fetch_payloads' jpg branch must emit marker-valid JPEG bytes whose
-    SOF dims match the seed derivation (the png/wav analog)."""
+def test_fetch_payloads_fabricates_decodable_jpeg(spark):
+    """fetch_payloads' jpg branch emits a REAL 4:2:0 baseline JPEG whose
+    SOF dims match the seed derivation AND whose luma fully decodes to the
+    seeded content within the quant=2 tolerance (the png/wav analog)."""
     import hashlib
 
     import pandas as pd
 
     from chatvector_ai_spark.functions.codecs import jpeg_dimensions
+    from chatvector_ai_spark.functions.jpegcodec import decode_jpeg_pixels
     from chatvector_ai_spark.operators.multimodal import fetch_payloads
 
     refs = [f"s3://media/doc-j/{i}.jpg" for i in range(4)]
@@ -297,8 +299,18 @@ def test_fetch_payloads_fabricates_parseable_jpeg(spark):
     got = fetch_payloads(spark.createDataFrame(spans)).toPandas().set_index("media_ref")
     for ref in refs:
         seed = hashlib.sha256(ref.encode()).digest()
-        w, h, ncomp = jpeg_dimensions(bytes(got.loc[ref, "payload"]))
-        assert (w, h, ncomp) == (16 + seed[0], 16 + seed[1], 1)
+        ew, eh = 8 + seed[0] % 16, 8 + seed[1] % 16
+        payload = bytes(got.loc[ref, "payload"])
+        assert jpeg_dimensions(payload) == (ew, eh, 3)
+        w, h, gray = decode_jpeg_pixels(payload)
+        assert (w, h) == (ew, eh)
+        expected = bytes(
+            seed[(x * 5 + y * 9 + seed[3]) % len(seed)]
+            for y in range(eh)
+            for x in range(ew)
+        )
+        err = max(abs(a - b) for a, b in zip(expected, gray))
+        assert err <= 16, err  # quant=2 on non-smooth content
         assert got.loc[ref, "content_type"] == "image/jpeg"
 
 
@@ -547,3 +559,116 @@ def test_resize_images_stdlib_gif_and_bmp(spark):
     pw, ph, ch, pgray = decode_png(bytes(got["m_gif"]["resized"]))
     assert (pw, ph, ch) == (4, 2, 1)
     assert bytes(got["m_gif"]["resized"]) == bytes(got["m_bmp"]["resized"])
+
+
+def test_jpeg_codec_roundtrips_gray_color_restart():
+    """functions/jpegcodec: baseline encode→decode round-trips within ±2
+    at quant=1 for grayscale, 4:2:0 color (luma plane), and restart-marker
+    streams, across non-multiple-of-8 dims."""
+    import random
+
+    from chatvector_ai_spark.functions.jpegcodec import (
+        decode_jpeg_pixels,
+        encode_jpeg,
+    )
+
+    rng = random.Random(11)
+    for w, h in [(8, 8), (17, 9), (5, 3), (32, 24)]:
+        src = bytes((x * 3 + y * 5 + rng.randrange(8)) % 256 for y in range(h) for x in range(w))
+        got = decode_jpeg_pixels(encode_jpeg(w, h, src, quant=1))
+        assert got[0] == w and got[1] == h
+        assert max(abs(a - b) for a, b in zip(src, got[2])) <= 2
+    src = bytes((x * 11 + y * 7) % 256 for y in range(12) for x in range(20))
+    for kwargs in ({"chroma": 190}, {"restart": 3}, {"chroma": 64, "restart": 2}):
+        got = decode_jpeg_pixels(encode_jpeg(20, 12, src, quant=1, **kwargs))
+        assert max(abs(a - b) for a, b in zip(src, got[2])) <= 2, kwargs
+    # flat image at quant=1 is exact
+    flat = bytes([77] * 256)
+    assert decode_jpeg_pixels(encode_jpeg(16, 16, flat))[2] == flat
+
+
+def test_jpeg_decoder_rejects_non_baseline_and_shells():
+    """Progressive (SOF2) and marker-shell scans raise ValueError (the
+    dispatch degrades them to the header backend); truncated streams and
+    garbage raise too."""
+    import pytest as _pytest
+
+    from chatvector_ai_spark.functions.codecs import encode_jpeg_shell
+    from chatvector_ai_spark.functions.jpegcodec import (
+        decode_jpeg_pixels,
+        encode_jpeg,
+    )
+
+    good = encode_jpeg(16, 16, bytes(range(256)))
+    progressive = good.replace(b"\xff\xc0", b"\xff\xc2", 1)
+    with _pytest.raises(ValueError, match="coding process"):
+        decode_jpeg_pixels(progressive)
+    with _pytest.raises(ValueError):
+        decode_jpeg_pixels(encode_jpeg_shell(10, 10, b"opaque"))
+    with _pytest.raises(ValueError):
+        decode_jpeg_pixels(good[:40])
+    with _pytest.raises(ValueError):
+        decode_jpeg_pixels(b"\x00\x01")
+
+
+def test_decode_media_stdlib_jpeg_real_pixels(spark):
+    """A real baseline JPEG through the distributed stdlib backend gets
+    the full-decode label and content-derived features; a progressive
+    variant of the SAME bytes degrades to the header parse."""
+    import pandas as pd
+
+    from chatvector_ai_spark.functions.jpegcodec import encode_jpeg
+    from chatvector_ai_spark.operators.multimodal import decode_media
+
+    w, h = 16, 16
+    gray = bytes((255 if x >= 8 else 0) for _ in range(h) for x in range(w))
+    good = encode_jpeg(w, h, gray, quant=1, chroma=128)
+    progressive = good.replace(b"\xff\xc0", b"\xff\xc2", 1)
+    media = spark.createDataFrame(pd.DataFrame({
+        "doc_id": ["d0", "d0"],
+        "span_idx": [0, 1],
+        "span_offset": [0, 1],
+        "kind": ["image", "image"],
+        "media_ref": ["m_base", "m_prog"],
+        "payload": [good, progressive],
+        "content_type": ["image/jpeg"] * 2,
+        "n_bytes": [len(good), len(progressive)],
+    }))
+    got = {r["media_ref"]: r for r in decode_media(media, backend="stdlib").collect()}
+    base = got["m_base"]
+    assert base["decode_backend"] == "stdlib-jpeg"
+    assert (base["width"], base["height"]) == (w, h)
+    f = base["feature"]  # 4x4 grid: left half dark, right half bright
+    assert all(v < 0.05 for i, v in enumerate(f) if i % 4 < 2)
+    assert all(v > 0.95 for i, v in enumerate(f) if i % 4 >= 2)
+    assert got["m_prog"]["decode_backend"] == "stdlib-jpeg-header"
+    assert (got["m_prog"]["width"], got["m_prog"]["height"]) == (w, h)
+
+
+def test_resize_images_stdlib_jpeg(spark):
+    """stdlib resize decodes baseline JPEG payloads for real and emits a
+    grayscale PNG thumbnail whose content is the box-filtered luma."""
+    import pandas as pd
+
+    from chatvector_ai_spark.functions.codecs import decode_png
+    from chatvector_ai_spark.functions.jpegcodec import encode_jpeg
+    from chatvector_ai_spark.operators.multimodal import resize_images
+
+    w, h = 16, 8
+    gray = bytes((255 if x >= 8 else 0) for _ in range(h) for x in range(w))
+    media = spark.createDataFrame(pd.DataFrame({
+        "doc_id": ["d0"],
+        "span_idx": [0],
+        "span_offset": [0],
+        "kind": ["image"],
+        "media_ref": ["m_jpg"],
+        "payload": [encode_jpeg(w, h, gray, quant=1)],
+        "content_type": ["image/jpeg"],
+        "n_bytes": [1],
+    }))
+    row = resize_images(media, width=4, height=2, backend="stdlib").collect()[0]
+    assert row["resize_backend"] == "stdlib-jpeg"
+    pw, ph, ch, small = decode_png(bytes(row["resized"]))
+    assert (pw, ph, ch) == (4, 2, 1)
+    # halves survive the resize within jpeg quantization tolerance
+    assert all(v <= 2 for v in small[0:2]) and all(v >= 253 for v in small[2:4])
