@@ -564,6 +564,81 @@ def encode_bmp_shell(width: int, height: int) -> bytes:
     return header + info
 
 
+# ---------------------------------------------------------------------------
+# MP4 — real ISO BMFF box walk for the movie-header duration (the metadata
+# a frame-sampling planner reads); sample decode genuinely needs ffmpeg and
+# stays with the labeled fake backend.
+# ---------------------------------------------------------------------------
+
+
+def is_mp4(data: bytes) -> bool:
+    return len(data) >= 8 and data[4:8] == b"ftyp"
+
+
+def _walk_boxes(data: bytes, start: int, end: int):
+    pos = start
+    while pos + 8 <= end:
+        (size,) = struct.unpack_from(">I", data, pos)
+        tag = data[pos + 4 : pos + 8]
+        body = pos + 8
+        if size == 1:  # 64-bit largesize
+            if pos + 16 > end:
+                raise ValueError("truncated MP4 largesize box")
+            (size,) = struct.unpack_from(">Q", data, pos + 8)
+            body = pos + 16
+        elif size == 0:  # box runs to EOF
+            size = end - pos
+        if size < 8 or pos + size > end:
+            raise ValueError(f"bad MP4 box size at {pos}")
+        yield tag, body, pos + size
+        pos += size
+
+
+def mp4_duration_ms(data: bytes) -> int:
+    """Movie duration in ms from moov/mvhd (version 0 or 1)."""
+    if not is_mp4(data):
+        raise ValueError("not an MP4 (missing ftyp)")
+    for tag, body, box_end in _walk_boxes(data, 0, len(data)):
+        if tag != b"moov":
+            continue
+        for tag2, b2, _ in _walk_boxes(data, body, box_end):
+            if tag2 != b"mvhd":
+                continue
+            version = data[b2]
+            if version == 0:
+                if b2 + 20 > len(data):
+                    raise ValueError("truncated mvhd")
+                timescale, duration = struct.unpack_from(">II", data, b2 + 12)
+            elif version == 1:
+                if b2 + 32 > len(data):
+                    raise ValueError("truncated mvhd")
+                (timescale,) = struct.unpack_from(">I", data, b2 + 20)
+                (duration,) = struct.unpack_from(">Q", data, b2 + 24)
+            else:
+                raise ValueError(f"unknown mvhd version {version}")
+            if timescale == 0:
+                raise ValueError("mvhd timescale is zero")
+            return int(round(duration * 1000 / timescale))
+        raise ValueError("moov without mvhd")
+    raise ValueError("MP4 contains no moov box")
+
+
+def encode_mp4_shell(duration_ms: int, timescale: int = 1000) -> bytes:
+    """Minimal valid ftyp + moov(mvhd v0) container for fixtures; the
+    duration round-trips through ``mp4_duration_ms``."""
+    ftyp = struct.pack(">I", 16) + b"ftypisom" + struct.pack(">I", 0)
+    duration = int(round(duration_ms * timescale / 1000))
+    mvhd_body = (
+        b"\x00\x00\x00\x00"  # version 0 + flags
+        + struct.pack(">II", 0, 0)  # ctime, mtime
+        + struct.pack(">II", timescale, duration)
+        + b"\x00" * 80  # rate/volume/matrix/predefined/next_track (zeroed)
+    )
+    mvhd = struct.pack(">I", 8 + len(mvhd_body)) + b"mvhd" + mvhd_body
+    moov = struct.pack(">I", 8 + len(mvhd)) + b"moov" + mvhd
+    return ftyp + moov
+
+
 def decode_bmp_pixels(data: bytes) -> tuple[int, int, bytes]:
     """→ (width, height, gray_pixels): REAL decode of uncompressed 24-bit
     BMPs (BI_RGB) — BGR triples in 4-byte-padded rows, bottom-up unless

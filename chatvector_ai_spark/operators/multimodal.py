@@ -225,7 +225,9 @@ def _decode_media_stdlib(media: DataFrame) -> DataFrame:
             decode_png,
             decode_wav,
             gif_dimensions,
+            is_mp4,
             jpeg_dimensions,
+            mp4_duration_ms,
             png_grid_features,
             wav_band_features,
         )
@@ -303,6 +305,16 @@ def _decode_media_stdlib(media: DataFrame) -> DataFrame:
                             backends.append("stdlib-bmp-header")
                         widths.append(w); heights.append(h); durs.append(None)
                         decoded = True
+                    elif is_mp4(data):
+                        # REAL movie duration from the moov/mvhd box walk;
+                        # sample decode needs ffmpeg, label says so
+                        duration_ms = mp4_duration_ms(data)
+                        vec, _ = _fake_feature(data)
+                        feats.append(vec)
+                        widths.append(None); heights.append(None)
+                        durs.append(duration_ms)
+                        backends.append("stdlib-mp4-header")
+                        decoded = True
                 except (ValueError, struct.error):
                     backends_label = "decode-error"
                 else:
@@ -342,7 +354,8 @@ RESIZED_ROW_DDL = (
 
 FRAME_ROW_DDL = (
     "doc_id string, span_idx int, media_ref string, "
-    "frame_idx int, frame_ms int, frame_feature array<float>"
+    "frame_idx int, frame_ms int, frame_feature array<float>, "
+    "frame_backend string"
 )
 
 
@@ -442,41 +455,95 @@ def resize_images(media: DataFrame, width: int = 32, height: int = 32, backend: 
 
 def sample_frames(media: DataFrame, every_ms: int = 1000, max_frames: int = 8, backend: str = "fake") -> DataFrame:
     """Video/audio spans → one row per sampled frame (1-to-N UDTF shape)
-    with a per-frame feature vector. Fake backend derives a deterministic
-    duration and per-frame features from the payload hash; sampling times
-    are every_ms apart, capped at max_frames — the exact batching/row-
-    explosion contract a real ffmpeg-backed sampler would implement."""
-    if backend != "fake":
+    with a per-frame feature vector; sampling times are every_ms apart,
+    capped at max_frames.
+
+    ``backend='stdlib'``: REAL timing and, for WAV, REAL content — the
+    duration comes from the PCM frame count and each sampled frame's
+    feature is the band-RMS envelope of ITS OWN sample window
+    (``frame_backend='stdlib-wav'``). MP4 payloads get the REAL movie
+    duration from the moov/mvhd box (so the frame *grid* is real) with
+    pseudo per-frame features — sample decode genuinely needs ffmpeg —
+    labeled ``'stdlib-mp4-header'``. Other/corrupt payloads degrade to
+    the deterministic fake ('fake' / 'decode-error'), never failing the
+    stage.
+
+    ``backend='fake'``: duration and features derived from the payload
+    hash — the exact batching/row-explosion contract with zero codec
+    work. Anything else raises (ffmpeg is not in this environment)."""
+    if backend not in ("fake", "stdlib"):
         raise NotImplementedError(
             f"frame sampling backend {backend!r} requires codec libraries "
-            "not present in this environment; only 'fake' is available"
+            "not present in this environment; 'stdlib' (WAV/MP4 timing) "
+            "and the deterministic 'fake' backend are available"
         )
 
+    def fake_frames(payload: bytes, label: str, duration_ms: int | None = None):
+        h = hashlib.sha256(payload).digest()
+        if duration_ms is None:
+            duration_ms = 1000 + int.from_bytes(h[2:4], "big")
+        n_frames = min(max_frames, max(1, duration_ms // every_ms))
+        out = []
+        for i in range(n_frames):
+            fh = hashlib.sha256(h + i.to_bytes(4, "big")).digest()
+            vec = np.frombuffer(
+                (fh * (FEATURE_DIM // len(fh) + 1))[:FEATURE_DIM], dtype=np.uint8
+            ).astype(np.float32)
+            norm = float(np.linalg.norm(vec))
+            out.append((i, (vec / norm if norm else vec).tolist(), label))
+        return out
+
     def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from chatvector_ai_spark.functions.codecs import (
+            WAV_MAGIC,
+            decode_wav,
+            is_mp4,
+            mp4_duration_ms,
+            wav_band_features,
+        )
+
         for pdf in batches:
             rows = []
             for doc_id, span_idx, ref, payload in zip(
                 pdf["doc_id"], pdf["span_idx"], pdf["media_ref"], pdf["payload"]
             ):
-                h = hashlib.sha256(bytes(payload)).digest()
-                duration_ms = 1000 + int.from_bytes(h[2:4], "big")
-                n_frames = min(max_frames, max(1, duration_ms // every_ms))
-                for i in range(n_frames):
-                    fh = hashlib.sha256(h + i.to_bytes(4, "big")).digest()
-                    vec = np.frombuffer(
-                        (fh * (FEATURE_DIM // len(fh) + 1))[:FEATURE_DIM], dtype=np.uint8
-                    ).astype(np.float32)
-                    norm = float(np.linalg.norm(vec))
+                data = bytes(payload)
+                frames = None
+                if backend == "stdlib":
+                    try:
+                        if data.startswith(WAV_MAGIC):
+                            rate, duration_ms, samples = decode_wav(data)
+                            n = min(max_frames, max(1, duration_ms // every_ms))
+                            win = max(1, rate * every_ms // 1000)
+                            frames = []
+                            for i in range(n):
+                                seg = samples[i * win : (i + 1) * win]
+                                feat = wav_band_features(seg, bands=FEATURE_DIM)
+                                frames.append(
+                                    (i, [float(v) for v in feat], "stdlib-wav")
+                                )
+                        elif is_mp4(data):
+                            # real frame GRID (mvhd duration), pseudo
+                            # features — sample decode needs ffmpeg
+                            frames = fake_frames(
+                                data, "stdlib-mp4-header",
+                                duration_ms=mp4_duration_ms(data),
+                            )
+                    except ValueError:
+                        frames = fake_frames(data, "decode-error")
+                if frames is None:
+                    frames = fake_frames(data, "fake")
+                for i, feat, label in frames:
                     rows.append(
                         {
                             "doc_id": doc_id, "span_idx": span_idx, "media_ref": ref,
                             "frame_idx": i, "frame_ms": i * every_ms,
-                            "frame_feature": (vec / norm if norm else vec).tolist(),
+                            "frame_feature": feat, "frame_backend": label,
                         }
                     )
             yield pd.DataFrame(rows, columns=[
                 "doc_id", "span_idx", "media_ref", "frame_idx", "frame_ms",
-                "frame_feature",
+                "frame_feature", "frame_backend",
             ])
 
     return media.where(F.col("kind").isin("audio", "video")).mapInPandas(

@@ -672,3 +672,94 @@ def test_resize_images_stdlib_jpeg(spark):
     assert (pw, ph, ch) == (4, 2, 1)
     # halves survive the resize within jpeg quantization tolerance
     assert all(v <= 2 for v in small[0:2]) and all(v >= 253 for v in small[2:4])
+
+
+def test_mp4_duration_box_walk():
+    import struct as _struct
+
+    import pytest as _pytest
+
+    from chatvector_ai_spark.functions.codecs import (
+        encode_mp4_shell,
+        mp4_duration_ms,
+    )
+
+    assert mp4_duration_ms(encode_mp4_shell(3500)) == 3500
+    assert mp4_duration_ms(encode_mp4_shell(90000, timescale=600)) == 90000
+    # version-1 mvhd (64-bit times)
+    mvhd1 = (
+        b"\x01\x00\x00\x00" + b"\x00" * 16  # version 1, ctime/mtime u64
+        + _struct.pack(">I", 1000) + _struct.pack(">Q", 2750) + b"\x00" * 80
+    )
+    moov = _struct.pack(">I", 16 + len(mvhd1)) + b"moov" + _struct.pack(
+        ">I", 8 + len(mvhd1)
+    ) + b"mvhd" + mvhd1
+    ftyp = _struct.pack(">I", 16) + b"ftypisom" + _struct.pack(">I", 0)
+    assert mp4_duration_ms(ftyp + moov) == 2750
+    with _pytest.raises(ValueError):
+        mp4_duration_ms(b"\x00\x00\x00\x08free")  # no ftyp
+    with _pytest.raises(ValueError):
+        mp4_duration_ms(ftyp)  # no moov
+    with _pytest.raises(ValueError):
+        mp4_duration_ms(ftyp + b"\x00\x00\x00\x03bad")  # bad box size
+
+
+def test_decode_media_stdlib_mp4_real_duration(spark):
+    import pandas as pd
+
+    from chatvector_ai_spark.functions.codecs import encode_mp4_shell
+    from chatvector_ai_spark.operators.multimodal import decode_media
+
+    good = encode_mp4_shell(4321)
+    corrupt = good[:8] + b"\x00\x00\x00\x03bad"
+    media = spark.createDataFrame(pd.DataFrame({
+        "doc_id": ["d0", "d0"],
+        "span_idx": [0, 1],
+        "span_offset": [0, 1],
+        "kind": ["video", "video"],
+        "media_ref": ["m_mp4", "m_bad"],
+        "payload": [good, corrupt],
+        "content_type": ["video/mp4"] * 2,
+        "n_bytes": [len(good), len(corrupt)],
+    }))
+    got = {r["media_ref"]: r for r in decode_media(media, backend="stdlib").collect()}
+    assert got["m_mp4"]["decode_backend"] == "stdlib-mp4-header"
+    assert got["m_mp4"]["duration_ms"] == 4321
+    assert got["m_bad"]["decode_backend"] == "decode-error"
+
+
+def test_sample_frames_stdlib_real_wav_windows_and_mp4_grid(spark):
+    """stdlib frame sampling: WAV frames carry REAL per-window band-RMS
+    features (loud first second, silent second second → feature energy
+    differs), and MP4 rows get the REAL mvhd duration as the frame grid."""
+    import pandas as pd
+
+    from chatvector_ai_spark.functions.codecs import encode_mp4_shell, encode_wav
+    from chatvector_ai_spark.operators.multimodal import sample_frames
+
+    rate = 8000
+    loud = [20000] * rate          # second 0: full-scale-ish
+    quiet = [0] * rate             # second 1: silence
+    wav = encode_wav(loud + quiet, sample_rate=rate)
+    mp4 = encode_mp4_shell(3500)
+    media = spark.createDataFrame(pd.DataFrame({
+        "doc_id": ["d0", "d0"],
+        "span_idx": [0, 1],
+        "span_offset": [0, 1],
+        "kind": ["audio", "video"],
+        "media_ref": ["m_wav", "m_mp4"],
+        "payload": [wav, mp4],
+        "content_type": ["audio/wav", "video/mp4"],
+        "n_bytes": [len(wav), len(mp4)],
+    }))
+    got = sample_frames(media, every_ms=1000, max_frames=8, backend="stdlib").toPandas()
+    w = got[got["media_ref"] == "m_wav"].sort_values("frame_idx")
+    assert list(w["frame_backend"].unique()) == ["stdlib-wav"]
+    assert len(w) == 2  # 2000 ms / 1000 ms
+    f0, f1 = list(w["frame_feature"])
+    assert all(abs(v - 20000 / 32768.0) < 1e-6 for v in f0)  # real RMS
+    assert all(v == 0.0 for v in f1)                          # real silence
+    m = got[got["media_ref"] == "m_mp4"]
+    assert list(m["frame_backend"].unique()) == ["stdlib-mp4-header"]
+    assert len(m) == 3  # real mvhd 3500 ms / 1000 ms
+    assert list(m.sort_values("frame_idx")["frame_ms"]) == [0, 1000, 2000]
