@@ -124,6 +124,20 @@ def edges_from_linked(
     return _bucket_write_layout(agg, "src", files_per_bucket)
 
 
+# projection of a triples_raw snapshot that forms the good-triples view
+_TRIPLE_COLS = [
+    "doc_id", "chunk_id", "chunk_index", "span_idx", "span_offset",
+    "subj", "pred", "obj", "subj_start", "subj_end", "obj_start",
+    "obj_end", "conf", "tenant_id", "embedding",
+]
+# projection of a triples_raw snapshot that forms the quarantine (DLQ) view
+_QUARANTINE_COLS = [
+    "doc_id", "chunk_id", "'extract' AS stage",
+    "_error_code AS error_code", "_retryable AS retryable",
+    "_attempts AS attempts", "_error AS message",
+]
+
+
 @dataclass
 class PipelineRun:
     run_id: str
@@ -295,25 +309,15 @@ def run_pipeline(
         resume,
         partition_by=["ok"],
     )
-    triple_cols = [
-        "doc_id", "chunk_id", "chunk_index", "span_idx", "span_offset",
-        "subj", "pred", "obj", "subj_start", "subj_end", "obj_start",
-        "obj_end", "conf", "tenant_id", "embedding",
-    ]
     triples = _view_stage(
         warehouse, spark, run, "triples",
         parent_table="triples_raw", partition_filter={"ok": 1},
-        select=triple_cols, resume=resume,
+        select=_TRIPLE_COLS, resume=resume,
     )
     _view_stage(
         warehouse, spark, run, "quarantine",
         parent_table="triples_raw", partition_filter={"ok": 0},
-        select=[
-            "doc_id", "chunk_id", "'extract' AS stage",
-            "_error_code AS error_code", "_retryable AS retryable",
-            "_attempts AS attempts", "_error AS message",
-        ],
-        resume=resume,
+        select=_QUARANTINE_COLS, resume=resume,
     )
 
     # stage 4: entity linking (broadcast dictionary join + top-1 window)
@@ -352,6 +356,159 @@ def run_pipeline(
     # nodes + edges both derive from (linked, cmap) — independent, run
     # concurrently like triples/quarantine above
     nodes, edges = _parallel_stages(_commit_nodes, _commit_edges)
+    _ = (nodes, edges)
+    return run
+
+
+def incremental_update(
+    spark: SparkSession,
+    warehouse: Warehouse,
+    base_input_key: str,
+    new_docs_path: str,
+    *,
+    strategy: str = "fixed",
+    chunk_size: int = CHUNK_SIZE,
+    overlap: int = CHUNK_OVERLAP,
+    resume: bool = True,
+    run_id: str | None = None,
+    files_per_bucket: int | None = None,
+) -> PipelineRun:
+    """Fold NEW documents into an already-built KG without reprocessing the
+    corpus — the engine-side form of the reference's per-document ingest
+    (each upload appends its own chunks, sqlalchemy_service.py:237-273;
+    our batch analog appends a document BATCH).
+
+    Cost shape at 10^12 docs, the reason this exists:
+
+    - **chunks** and **triples_raw** — the Arrow-UDF stages that dominate
+      pipeline cost — run over the NEW documents only and commit as
+      APPEND DELTAS (``Warehouse.commit(delta_of=...)``): compute AND
+      write I/O are ∝ the delta, and reads union the snapshot chain.
+      The good-triples / quarantine views re-commit as metadata over the
+      chained raw table — still zero-copy.
+    - **linked_mentions / canonical_map / nodes / edges** recompute over
+      the chained union and commit full snapshots: linking is one
+      broadcast join (cheap at any corpus size relative to extraction),
+      and canonicalization is a GLOBAL fixpoint — new mentions can merge
+      previously-distinct components, so any "incremental CC" shortcut
+      risks wrong canonical ids; correctness wins. (At extreme scale the
+      CC input can be restricted to components touched by new aliases;
+      the committed tables make that a future read-side optimization,
+      not a format change.)
+
+    ``base_input_key`` names the run to extend — the initial build's key
+    or a previous incremental's — so updates chain. Equivalence contract
+    (pinned by tests/test_incremental.py): the resulting chunks, triples,
+    canonical_map, nodes and edges tables are ROW-IDENTICAL to a fresh
+    full build over the union corpus.
+    """
+    import uuid
+
+    base_chunks = warehouse.latest_entry("chunks", base_input_key)
+    base_raw = warehouse.latest_entry("triples_raw", base_input_key)
+    base_alias = warehouse.latest_entry("alias_dict", base_input_key)
+    if base_chunks is None or base_raw is None or base_alias is None:
+        raise FileNotFoundError(
+            f"incremental_update: no completed base run under {base_input_key!r}"
+        )
+    run = PipelineRun(
+        run_id=run_id or f"inc-{uuid.uuid4().hex[:8]}",
+        input_key=f"{base_input_key}+delta:{new_docs_path}",
+    )
+
+    # alias dictionary: zero-copy re-key (an unfiltered metadata view of
+    # the base dimension snapshot) so reads under the new key resolve
+    if resume and warehouse.is_done("alias_dict", run.input_key):
+        run.stages_skipped.append("alias_dict")
+    else:
+        warehouse.commit_view(
+            "alias_dict", parent_table="alias_dict", run_id=run.run_id,
+            stage="alias_dict", input_key=run.input_key, partition_filter={},
+            parent_input_key=base_input_key,
+        )
+        run.stages_run.append("alias_dict")
+    aliases = warehouse.read(spark, "alias_dict", run.input_key)
+
+    def _delta(table: str, base_snapshot: str, build, partition_by=None) -> None:
+        import time
+
+        if resume and warehouse.is_done(table, run.input_key):
+            run.stages_skipped.append(table)
+            return
+        t0 = time.time()
+        warehouse.commit(
+            build(), table, run_id=run.run_id, stage=table,
+            input_key=run.input_key, partition_by=partition_by,
+            delta_of=base_snapshot,
+        )
+        run.stage_secs[table] = round(time.time() - t0, 2)
+        run.stages_run.append(table)
+
+    _delta(
+        "chunks", base_chunks["snapshot"],
+        lambda: ingest_chunks(
+            spark.read.parquet(new_docs_path),
+            strategy=strategy, size=chunk_size, overlap=overlap,
+            embed_dim=EMBEDDING_DIM,
+        ),
+    )
+    new_chunks = warehouse.read(spark, "chunks", run.input_key)  # chained
+
+    amb_surfaces = {
+        r["alias"]
+        for r in aliases.groupBy("alias").count().where(F.col("count") > 1).collect()
+    }
+    # extract over the NEW chunks only: re-read the delta snapshot alone
+    # (the chained read above is for downstream stages)
+    delta_chunks_entry = warehouse.latest_entry("chunks", run.input_key)
+    if delta_chunks_entry is not None and delta_chunks_entry.get("delta_of"):
+        delta_chunks = spark.read.parquet(
+            warehouse._entry_data_dir(delta_chunks_entry)  # noqa: SLF001
+        )
+    else:  # resume path where chunks was already a full snapshot
+        delta_chunks = new_chunks
+    _delta(
+        "triples_raw", base_raw["snapshot"],
+        lambda: extract_triples_df(
+            delta_chunks, keep_embedding=False, embed_if_surface_in=amb_surfaces
+        ).withColumn("ok", F.col("_error").isNull().cast("int")),
+        partition_by=["ok"],
+    )
+    triples = _view_stage(
+        warehouse, spark, run, "triples",
+        parent_table="triples_raw", partition_filter={"ok": 1},
+        select=_TRIPLE_COLS, resume=resume,
+    )
+    _view_stage(
+        warehouse, spark, run, "quarantine",
+        parent_table="triples_raw", partition_filter={"ok": 0},
+        select=_QUARANTINE_COLS, resume=resume,
+    )
+
+    # global stages over the chained union — identical code path to the
+    # full build from here on
+    linked = _stage(
+        warehouse, spark, run, "linked_mentions",
+        lambda: link_mentions(mentions_from_triples(triples), aliases),
+        resume,
+    )
+    cmap = _stage(
+        warehouse, spark, run, "canonical_map",
+        lambda: canonical_map(linked, aliases),
+        resume,
+    )
+    nodes, edges = _parallel_stages(
+        lambda: _stage(
+            warehouse, spark, run, "nodes",
+            lambda: nodes_from_linked(linked, cmap, files_per_bucket), resume,
+            metrics={"n_buckets": N_BUCKETS}, partition_by=["bucket"],
+        ),
+        lambda: _stage(
+            warehouse, spark, run, "edges",
+            lambda: edges_from_linked(linked, cmap, files_per_bucket), resume,
+            metrics={"n_buckets": N_BUCKETS}, partition_by=["bucket"],
+        ),
+    )
     _ = (nodes, edges)
     return run
 

@@ -138,13 +138,24 @@ class Warehouse:
         input_key: str,
         metrics: dict[str, Any] | None = None,
         partition_by: list[str] | None = None,
+        delta_of: str | None = None,
     ) -> str:
         """Write *df* as a new snapshot of *table* and commit it atomically.
 
         Returns the snapshot id. Per-partition row counts (the "lineage rows
         + triple-count metrics" of the north rule) are computed in the same
         Spark job graph and stored in the manifest entry.
+
+        ``delta_of=<snapshot id>`` commits an APPEND delta: only the new
+        rows are written (I/O ∝ the delta), and reads of this entry union
+        the base snapshot's chain with this directory — the Iceberg
+        append-snapshot shape. The lineage row's counts cover the delta
+        alone, so per-commit row accounting stays exact.
         """
+        if delta_of is not None and not any(
+            e["snapshot"] == delta_of for e in self._load(table)
+        ):
+            raise ValueError(f"delta_of references unknown snapshot {delta_of!r}")
         snap = f"snap-{uuid.uuid4().hex[:12]}"
         data_dir = os.path.join(self.root, table, snap)
         writer = df.write.mode("errorifexists")
@@ -168,10 +179,35 @@ class Warehouse:
             "metrics": metrics or {},
             "committed_at": time.time(),
         }
+        if delta_of is not None:
+            entry["delta_of"] = delta_of
         entries = self._load(table)
         entries.append(entry)
         self._store(table, entries)
         return snap
+
+    def _chain_dirs(self, table: str, entry: dict[str, Any]) -> list[str]:
+        """Data directories for *entry*, base-first: a plain snapshot is
+        one dir; a delta entry walks its ``delta_of`` links back to the
+        base. Raises if a link is dangling (manifest corruption)."""
+        by_snap = {e["snapshot"]: e for e in self._load(table)}
+        chain: list[dict[str, Any]] = []
+        cur: dict[str, Any] | None = entry
+        while cur is not None:
+            chain.append(cur)
+            parent = cur.get("delta_of")
+            if parent is None:
+                cur = None
+            else:
+                cur = by_snap.get(parent)
+                if cur is None:
+                    raise ValueError(
+                        f"delta chain of {entry['snapshot']!r} references "
+                        f"missing snapshot {parent!r}"
+                    )
+        return [
+            os.path.join(self.root, table, e["snapshot"]) for e in reversed(chain)
+        ]
 
     def commit_view(
         self,
@@ -184,6 +220,7 @@ class Warehouse:
         partition_filter: dict[str, Any],
         select: list[str] | None = None,
         metrics: dict[str, Any] | None = None,
+        parent_input_key: str | None = None,
     ) -> str:
         """Commit *table* as a METADATA-ONLY filtered view of the newest
         committed snapshot of *parent_table* (same input_key) — the Iceberg
@@ -202,11 +239,12 @@ class Warehouse:
         commit: splitting one written snapshot into N views is free, while
         re-materializing each split re-pays the full write.
         """
-        parent = self.latest_entry(parent_table, input_key)
+        pkey = input_key if parent_input_key is None else parent_input_key
+        parent = self.latest_entry(parent_table, pkey)
         if parent is None:
             raise FileNotFoundError(
                 f"commit_view({table!r}): no committed parent snapshot "
-                f"for {parent_table!r} ({input_key=})"
+                f"for {parent_table!r} (input_key={pkey!r})"
             )
         frags = {f"{k}={_hive_value(v)}" for k, v in partition_filter.items()}
         part_counts = [
@@ -238,18 +276,45 @@ class Warehouse:
         self._store(table, entries)
         return entry["snapshot"]
 
+    def _entry_data_dirs(self, entry: dict[str, Any]) -> list[str]:
+        """All data directories an entry's read must union, base-first: a
+        view resolves to its PARENT entry's chain (so a view over a delta
+        table covers base + deltas); a delta entry resolves its own chain."""
+        view = entry.get("view")
+        if view is not None:
+            parent_table = view["parent_table"]
+            parent = next(
+                (
+                    e
+                    for e in self._load(parent_table)
+                    if e["snapshot"] == view["parent_snapshot"]
+                ),
+                None,
+            )
+            if parent is None:
+                # parent manifest row gone (superseded + swept): dangle
+                return [os.path.join(self.root, parent_table, view["parent_snapshot"])]
+            return self._chain_dirs(parent_table, parent)
+        return self._chain_dirs(entry["table"], entry)
+
     def _entry_data_dir(self, entry: dict[str, Any]) -> str:
+        """Primary (newest) data directory — the single-snapshot accessor
+        layout tools use; chained reads go through ``_entry_data_dirs``."""
         view = entry.get("view")
         if view is not None:
             return os.path.join(self.root, view["parent_table"], view["parent_snapshot"])
         return os.path.join(self.root, entry["table"], entry["snapshot"])
 
     def latest_entry(self, table: str, input_key: str | None = None) -> dict[str, Any] | None:
-        """Newest committed entry whose (own or parent) snapshot dir is live."""
+        """Newest committed entry whose full data-dir chain is live."""
         for entry in reversed(self._load(table)):
             if input_key is not None and entry["input_key"] != input_key:
                 continue
-            if os.path.isdir(self._entry_data_dir(entry)):
+            try:
+                dirs = self._entry_data_dirs(entry)
+            except ValueError:
+                continue
+            if all(os.path.isdir(d) for d in dirs):
                 return entry
         return None
 
@@ -301,7 +366,13 @@ class Warehouse:
             entry = self.latest_entry(table, input_key)
         if entry is None:
             raise FileNotFoundError(f"no committed snapshot for {table!r} ({input_key=}, {snapshot=})")
-        df = spark.read.parquet(self._entry_data_dir(entry))
+        # a delta chain unions one read per snapshot dir (each dir is its
+        # own hive root, so per-dir partition discovery stays correct —
+        # a single multi-root read would mistake snap dirs for partitions)
+        dirs = self._entry_data_dirs(entry)
+        df = spark.read.parquet(dirs[0])
+        for d in dirs[1:]:
+            df = df.unionByName(spark.read.parquet(d))
         view = entry.get("view")
         if view is not None:
             from pyspark.sql import functions as F

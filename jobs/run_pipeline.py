@@ -43,23 +43,44 @@ def main() -> int:
              "raise at scale so write parallelism decouples from the "
              "bucket count",
     )
+    ap.add_argument(
+        "--append-to", default=None, metavar="INPUT_KEY",
+        help="incremental mode: fold --docs-path documents into the "
+             "already-built run named by this input_key (chunks/extract "
+             "run on the new docs only and commit append deltas; the "
+             "graph stages recompute over the chained union)",
+    )
     args = ap.parse_args()
+    if args.append_to is not None and args.docs_path is None:
+        ap.error("--append-to requires --docs-path (the new documents)")
 
-    from chatvector_ai_spark.pipeline import flagship_query, run_pipeline
+    from chatvector_ai_spark.pipeline import (
+        flagship_query,
+        incremental_update,
+        run_pipeline,
+    )
     from chatvector_ai_spark.session import get_spark
     from chatvector_ai_spark.warehouse import Warehouse
 
     spark = get_spark(master=args.master)
     wh = Warehouse(args.warehouse)
     t0 = time.time()
-    run = run_pipeline(
-        spark, wh, args.n_docs if args.docs_path is None else None,
-        docs_path=args.docs_path,
-        n_entities=args.n_entities,
-        strategy=args.strategy,
-        resume=not args.no_resume,
-        files_per_bucket=args.files_per_bucket,
-    )
+    if args.append_to is not None:
+        run = incremental_update(
+            spark, wh, args.append_to, args.docs_path,
+            strategy=args.strategy,
+            resume=not args.no_resume,
+            files_per_bucket=args.files_per_bucket,
+        )
+    else:
+        run = run_pipeline(
+            spark, wh, args.n_docs if args.docs_path is None else None,
+            docs_path=args.docs_path,
+            n_entities=args.n_entities,
+            strategy=args.strategy,
+            resume=not args.no_resume,
+            files_per_bucket=args.files_per_bucket,
+        )
     elapsed = time.time() - t0
     top = flagship_query(spark, wh, run.input_key)
     top.show(10, truncate=False)

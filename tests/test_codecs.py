@@ -763,3 +763,39 @@ def test_sample_frames_stdlib_real_wav_windows_and_mp4_grid(spark):
     assert list(m["frame_backend"].unique()) == ["stdlib-mp4-header"]
     assert len(m) == 3  # real mvhd 3500 ms / 1000 ms
     assert list(m.sort_values("frame_idx")["frame_ms"]) == [0, 1000, 2000]
+
+
+def test_jpeg_property_roundtrip():
+    """Property: any (w, h, pixels, quant≤2, chroma?) round-trips within
+    the quantization error bound through encode_jpeg → decode_jpeg_pixels."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from chatvector_ai_spark.functions.jpegcodec import (
+        decode_jpeg_pixels,
+        encode_jpeg,
+    )
+
+    @settings(max_examples=30, deadline=None)
+    @given(
+        w=st.integers(min_value=1, max_value=24),
+        h=st.integers(min_value=1, max_value=24),
+        seed=st.integers(min_value=0, max_value=2**32 - 1),
+        quant=st.integers(min_value=1, max_value=2),
+        chroma=st.one_of(st.none(), st.integers(min_value=0, max_value=255)),
+    )
+    def check(w, h, seed, quant, chroma):
+        import random
+
+        rng = random.Random(seed)
+        src = bytes(rng.randrange(256) for _ in range(w * h))
+        gw, gh, got = decode_jpeg_pixels(
+            encode_jpeg(w, h, src, quant=quant, chroma=chroma)
+        )
+        assert (gw, gh) == (w, h)
+        # per-pixel worst case: 64 coefficients each off by quant/2,
+        # basis product ≤ 1/4 → bound 8·quant; use it exactly
+        bound = 8 * quant
+        assert max(abs(a - b) for a, b in zip(src, got)) <= bound
+
+    check()

@@ -1,0 +1,98 @@
+"""Incremental document append (pipeline.incremental_update +
+Warehouse delta-chain commits): folding new documents into a built KG must
+be ROW-IDENTICAL to a fresh full build over the union corpus, while the
+expensive Arrow stages (chunks, triples_raw) write only delta-sized
+snapshots. The reference's own semantics are per-document incremental
+(each upload appends its chunks, sqlalchemy_service.py:237-273); this is
+the batch-engine analog."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from chatvector_ai_spark import datagen as dg
+from chatvector_ai_spark.pipeline import incremental_update, run_pipeline
+from chatvector_ai_spark.warehouse import Warehouse
+
+N_BASE, N_NEW = 40, 20
+
+
+def _rows(spark, wh, table, key):
+    df = wh.read(spark, table, key)
+    return sorted(map(tuple, df.collect())), df.columns
+
+
+@pytest.fixture(scope="module")
+def corpus(spark, tmp_path_factory):
+    d = tmp_path_factory.mktemp("inc_corpus")
+    full = dg.documents_df(spark, N_BASE + N_NEW)
+    base_ids = [dg.doc_id_of(i) for i in range(N_BASE)]
+    full.where(F.col("doc_id").isin(base_ids)).write.parquet(str(d / "base"))
+    full.where(~F.col("doc_id").isin(base_ids)).write.parquet(str(d / "new"))
+    full.write.parquet(str(d / "full"))
+    return d
+
+
+@pytest.fixture(scope="module")
+def built(spark, corpus, tmp_path_factory):
+    wh = Warehouse(str(tmp_path_factory.mktemp("inc_wh")))
+    base = run_pipeline(spark, wh, docs_path=str(corpus / "base"), resume=False)
+    inc = incremental_update(spark, wh, base.input_key, str(corpus / "new"))
+    full_wh = Warehouse(str(tmp_path_factory.mktemp("full_wh")))
+    full = run_pipeline(spark, full_wh, docs_path=str(corpus / "full"), resume=False)
+    return wh, base, inc, full_wh, full
+
+
+def test_incremental_matches_fresh_full_build(spark, built):
+    wh, _base, inc, full_wh, full = built
+    for table in ("chunks", "triples", "quarantine", "canonical_map", "nodes", "edges"):
+        got, gcols = _rows(spark, wh, table, inc.input_key)
+        want, wcols = _rows(spark, full_wh, table, full.input_key)
+        assert gcols == wcols, table
+        assert got == want, f"{table}: {len(got)} vs {len(want)} rows"
+
+
+def test_incremental_stages_write_delta_sized_snapshots(spark, built):
+    """The chunks/triples_raw commits of the incremental run must cover
+    ONLY the new documents (delta I/O), while their chained reads cover
+    the full corpus."""
+    wh, base, inc, _fw, _f = built
+    for table in ("chunks", "triples_raw"):
+        delta = wh.latest_entry(table, inc.input_key)
+        b = wh.latest_entry(table, base.input_key)
+        assert delta["delta_of"] == b["snapshot"]
+        chained = wh.read(spark, table, inc.input_key).count()
+        assert delta["row_count"] < chained  # lineage counts the delta only
+        assert delta["row_count"] + b["row_count"] == chained
+    # per-doc proof: the delta snapshot contains no base doc_ids
+    delta_dir = wh._entry_data_dir(wh.latest_entry("chunks", inc.input_key))  # noqa: SLF001
+    delta_docs = {r["doc_id"] for r in spark.read.parquet(delta_dir).select("doc_id").distinct().collect()}
+    base_ids = {dg.doc_id_of(i) for i in range(N_BASE)}
+    assert delta_docs and not (delta_docs & base_ids)
+
+
+def test_incremental_resume_is_idempotent(spark, built):
+    wh, base, inc, _fw, _f = built
+    before, _ = _rows(spark, wh, "edges", inc.input_key)
+    n_snaps = len(wh.snapshots("edges", inc.input_key))
+    new_docs_path = inc.input_key.split("+delta:", 1)[1]
+    again = incremental_update(spark, wh, base.input_key, new_docs_path)
+    assert again.input_key == inc.input_key
+    assert not again.stages_run, again.stages_run  # everything skipped
+    assert len(wh.snapshots("edges", inc.input_key)) == n_snaps
+    after, _ = _rows(spark, wh, "edges", inc.input_key)
+    assert after == before
+
+
+def test_delta_chain_liveness_and_orphan_safety(spark, built, tmp_path):
+    """Delta entries whose base dir is gone are not served (latest_entry
+    skips them); sweep_orphans never removes a dir a delta chain needs."""
+    wh, base, inc, _fw, _f = built
+    removed = wh.sweep_orphans()
+    # every live chain dir still present after a sweep
+    for table in ("chunks", "triples_raw"):
+        entry = wh.latest_entry(table, inc.input_key)
+        for d in wh._entry_data_dirs(entry):  # noqa: SLF001
+            assert os.path.isdir(d), (table, d, removed)
+    assert wh.read(spark, "chunks", inc.input_key).count() > 0
