@@ -94,6 +94,9 @@ def main() -> int:
     repeats = int(os.environ.get("CVS_BENCH_REPEATS", "3"))
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or "0.1"
 
+    from pyspark.sql import functions as F
+
+    from chatvector_ai_spark.datagen import doc_id_of as dg_doc_id
     from chatvector_ai_spark.datagen import documents_df
     from chatvector_ai_spark.pipeline import flagship_query, run_pipeline
     from chatvector_ai_spark.session import get_spark
@@ -195,6 +198,31 @@ def main() -> int:
                 "edges_files_min": min(per_bucket.values()) if per_bucket else 0,
                 "edges_files_max": max(per_bucket.values()) if per_bucket else 0,
             }
+
+            # 4) incremental fold: append 10% fresh documents into THIS
+            # built warehouse (Arrow stages delta-only, graph stages
+            # recomputed) — the update-latency story, outside the total
+            from chatvector_ai_spark.pipeline import incremental_update
+
+            n_inc = max(100, n_docs // 10)
+            inc_dir = tempfile.mkdtemp(prefix="cvs_bench_inc_")
+            try:
+                documents_df(
+                    spark, n_docs + n_inc
+                ).where(F.col("doc_id") > dg_doc_id(n_docs - 1)).write.mode(
+                    "overwrite"
+                ).parquet(inc_dir)
+                t0 = time.time()
+                incremental_update(spark, Warehouse(wh_root), run.input_key, inc_dir)
+                inc_sec = round(time.time() - t0, 3)
+                incremental = {
+                    "new_docs": n_inc,
+                    "update_sec": inc_sec,
+                    "new_docs_per_sec": round(n_inc / inc_sec, 2),
+                    "full_rebuild_sec": round(best["kg_pipeline"], 3),
+                }
+            finally:
+                shutil.rmtree(inc_dir, ignore_errors=True)
         finally:
             shutil.rmtree(wh_root, ignore_errors=True)
     finally:
@@ -211,6 +239,7 @@ def main() -> int:
         "comparable_subset_total_sec": comparable,
         "comparable_subset_anchor": {"r02": 44.17, "r03": 30.87},
         "write_layout_fpb": layout,
+        "incremental_fold": incremental,
         "sf": sf,
         "kg_docs": n_docs,
         "kg_docs_per_sec": round(n_docs / best["kg_pipeline"], 2),
