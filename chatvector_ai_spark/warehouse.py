@@ -276,26 +276,41 @@ class Warehouse:
         self._store(table, entries)
         return entry["snapshot"]
 
-    def _entry_data_dirs(self, entry: dict[str, Any]) -> list[str]:
-        """All data directories an entry's read must union, base-first: a
-        view resolves to its PARENT entry's chain (so a view over a delta
-        table covers base + deltas); a delta entry resolves its own chain."""
-        view = entry.get("view")
-        if view is not None:
-            parent_table = view["parent_table"]
-            parent = next(
+    def _resolve_entry(
+        self, entry: dict[str, Any]
+    ) -> tuple[list[str], list[dict[str, Any]]]:
+        """(data dirs base-first, view specs innermost-first) for an entry:
+        view entries dereference through their parents — including views of
+        views (e.g. a re-keyed dimension view atop a filtered view) — down
+        to a data entry, whose delta chain supplies the directories. The
+        returned specs apply in order (closest-to-data first) so nested
+        filters/projections compose exactly as committed."""
+        specs: list[dict[str, Any]] = []
+        cur = entry
+        while cur.get("view") is not None:
+            v = cur["view"]
+            specs.append(v)
+            nxt = next(
                 (
                     e
-                    for e in self._load(parent_table)
-                    if e["snapshot"] == view["parent_snapshot"]
+                    for e in self._load(v["parent_table"])
+                    if e["snapshot"] == v["parent_snapshot"]
                 ),
                 None,
             )
-            if parent is None:
-                # parent manifest row gone (superseded + swept): dangle
-                return [os.path.join(self.root, parent_table, view["parent_snapshot"])]
-            return self._chain_dirs(parent_table, parent)
-        return self._chain_dirs(entry["table"], entry)
+            if nxt is None:
+                # parent manifest row gone (superseded + swept): dangle so
+                # liveness checks reject this entry
+                return (
+                    [os.path.join(self.root, v["parent_table"], v["parent_snapshot"])],
+                    [],
+                )
+            cur = nxt
+        return self._chain_dirs(cur["table"], cur), list(reversed(specs))
+
+    def _entry_data_dirs(self, entry: dict[str, Any]) -> list[str]:
+        """All data directories an entry's read must union, base-first."""
+        return self._resolve_entry(entry)[0]
 
     def _entry_data_dir(self, entry: dict[str, Any]) -> str:
         """Primary (newest) data directory — the single-snapshot accessor
@@ -369,18 +384,18 @@ class Warehouse:
         # a delta chain unions one read per snapshot dir (each dir is its
         # own hive root, so per-dir partition discovery stays correct —
         # a single multi-root read would mistake snap dirs for partitions)
-        dirs = self._entry_data_dirs(entry)
+        dirs, specs = self._resolve_entry(entry)
         df = spark.read.parquet(dirs[0])
         for d in dirs[1:]:
             df = df.unionByName(spark.read.parquet(d))
-        view = entry.get("view")
-        if view is not None:
+        if specs:
             from pyspark.sql import functions as F
 
-            for col, val in view["partition_filter"].items():
-                df = df.where(F.col(col) == F.lit(val))  # pruned at planning time
-            if view["select"]:
-                df = df.selectExpr(*view["select"])
+            for view in specs:  # innermost first — nested views compose
+                for col, val in view["partition_filter"].items():
+                    df = df.where(F.col(col) == F.lit(val))  # pruned at planning
+                if view["select"]:
+                    df = df.selectExpr(*view["select"])
         return df
 
     # -- lineage / maintenance --------------------------------------------

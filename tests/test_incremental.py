@@ -96,3 +96,43 @@ def test_delta_chain_liveness_and_orphan_safety(spark, built, tmp_path):
         for d in wh._entry_data_dirs(entry):  # noqa: SLF001
             assert os.path.isdir(d), (table, d, removed)
     assert wh.read(spark, "chunks", inc.input_key).count() > 0
+
+
+def test_second_increment_chains_and_delete_supersedes(spark, corpus, tmp_path_factory):
+    """Two successive folds build a 3-snapshot chain that still matches a
+    fresh full build; a cascading delete AFTER appends supersedes the
+    chain correctly (reads reflect the deletion, chains stay live)."""
+    from chatvector_ai_spark.operators.delete import delete_documents
+
+    d = tmp_path_factory.mktemp("inc2_corpus")
+    full = dg.documents_df(spark, N_BASE + N_NEW + 10)
+    ids = [dg.doc_id_of(i) for i in range(N_BASE + N_NEW + 10)]
+    full.where(F.col("doc_id").isin(ids[:N_BASE])).write.parquet(str(d / "a"))
+    full.where(F.col("doc_id").isin(ids[N_BASE:N_BASE + N_NEW])).write.parquet(str(d / "b"))
+    full.where(F.col("doc_id").isin(ids[N_BASE + N_NEW:])).write.parquet(str(d / "c"))
+    full.write.parquet(str(d / "all"))
+
+    wh = Warehouse(str(tmp_path_factory.mktemp("inc2_wh")))
+    base = run_pipeline(spark, wh, docs_path=str(d / "a"), resume=False)
+    inc1 = incremental_update(spark, wh, base.input_key, str(d / "b"))
+    inc2 = incremental_update(spark, wh, inc1.input_key, str(d / "c"))
+    # 3-dir chain on the Arrow tables
+    entry = wh.latest_entry("chunks", inc2.input_key)
+    assert len(wh._entry_data_dirs(entry)) == 3  # noqa: SLF001
+
+    full_wh = Warehouse(str(tmp_path_factory.mktemp("inc2_full")))
+    fres = run_pipeline(spark, full_wh, docs_path=str(d / "all"), resume=False)
+    for table in ("chunks", "triples", "canonical_map", "nodes", "edges"):
+        got, _ = _rows(spark, wh, table, inc2.input_key)
+        want, _ = _rows(spark, full_wh, table, fres.input_key)
+        assert got == want, table
+
+    # cascading delete of one appended doc supersedes the chained tables
+    victim = dg.doc_id_of(N_BASE + N_NEW)  # lives in the second delta
+    delete_documents(spark, wh, [victim], input_key=inc2.input_key)
+    chunks_after = wh.read(spark, "chunks", inc2.input_key)
+    assert chunks_after.where(F.col("doc_id") == victim).count() == 0
+    survivors = {r["doc_id"] for r in chunks_after.select("doc_id").distinct().collect()}
+    assert survivors == set(ids) - {victim}
+    edges_after = wh.read(spark, "edges", inc2.input_key)
+    assert edges_after.where(F.col("doc_id") == victim).count() == 0
