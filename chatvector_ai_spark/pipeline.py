@@ -364,8 +364,10 @@ def incremental_update(
     spark: SparkSession,
     warehouse: Warehouse,
     base_input_key: str,
-    new_docs_path: str,
+    new_docs_path: str | None = None,
     *,
+    new_docs: DataFrame | None = None,
+    new_input_key: str | None = None,
     strategy: str = "fixed",
     chunk_size: int = CHUNK_SIZE,
     overlap: int = CHUNK_OVERLAP,
@@ -397,13 +399,21 @@ def incremental_update(
       not a format change.)
 
     ``base_input_key`` names the run to extend — the initial build's key
-    or a previous incremental's — so updates chain. Equivalence contract
+    or a previous incremental's — so updates chain. New documents come
+    either from ``new_docs_path`` (a parquet directory) or ``new_docs``
+    (a DataFrame — the Structured Streaming foreachBatch shape; pass
+    ``new_input_key`` to name the result, e.g. an epoch key, since a
+    DataFrame has no path to derive one from). Equivalence contract
     (pinned by tests/test_incremental.py): the resulting chunks, triples,
     canonical_map, nodes and edges tables are ROW-IDENTICAL to a fresh
     full build over the union corpus.
     """
     import uuid
 
+    if (new_docs_path is None) == (new_docs is None):
+        raise ValueError("pass exactly one of new_docs_path / new_docs")
+    if new_docs is not None and new_input_key is None:
+        raise ValueError("new_docs (DataFrame input) requires new_input_key")
     base_chunks = warehouse.latest_entry("chunks", base_input_key)
     base_raw = warehouse.latest_entry("triples_raw", base_input_key)
     base_alias = warehouse.latest_entry("alias_dict", base_input_key)
@@ -413,7 +423,9 @@ def incremental_update(
         )
     run = PipelineRun(
         run_id=run_id or f"inc-{uuid.uuid4().hex[:8]}",
-        input_key=f"{base_input_key}+delta:{new_docs_path}",
+        input_key=new_input_key
+        if new_input_key is not None
+        else f"{base_input_key}+delta:{new_docs_path}",
     )
 
     # alias dictionary: zero-copy re-key (an unfiltered metadata view of
@@ -447,7 +459,7 @@ def incremental_update(
     _delta(
         "chunks", base_chunks["snapshot"],
         lambda: ingest_chunks(
-            spark.read.parquet(new_docs_path),
+            new_docs if new_docs is not None else spark.read.parquet(new_docs_path),
             strategy=strategy, size=chunk_size, overlap=overlap,
             embed_dim=EMBEDDING_DIM,
         ),

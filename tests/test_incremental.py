@@ -136,3 +136,57 @@ def test_second_increment_chains_and_delete_supersedes(spark, corpus, tmp_path_f
     assert survivors == set(ids) - {victim}
     edges_after = wh.read(spark, "edges", inc2.input_key)
     assert edges_after.where(F.col("doc_id") == victim).count() == 0
+
+
+def test_stream_kg_updates_folds_microbatches(spark, tmp_path_factory):
+    """Structured Streaming front-end: two file drops fold as two
+    micro-batch epochs, and the chain head's tables are row-identical to
+    a fresh full build over base + both drops. Epoch keys are
+    deterministic in the batch id (the exactly-once replay contract)."""
+    from chatvector_ai_spark.streaming.kgstream import (
+        latest_epoch_key,
+        stream_kg_updates,
+    )
+
+    n_base, n_b1, n_b2 = 24, 8, 8
+    total = n_base + n_b1 + n_b2
+    d = tmp_path_factory.mktemp("kgstream")
+    full = dg.documents_df(spark, total)
+    ids = [dg.doc_id_of(i) for i in range(total)]
+    full.where(F.col("doc_id").isin(ids[:n_base])).write.parquet(str(d / "base"))
+    stream_dir = d / "drops"
+    stream_dir.mkdir()
+    full.where(F.col("doc_id").isin(ids[n_base:n_base + n_b1])).coalesce(1).write.parquet(
+        str(stream_dir / "drop1")
+    )
+    full.where(F.col("doc_id").isin(ids[n_base + n_b1:])).coalesce(1).write.parquet(
+        str(stream_dir / "drop2")
+    )
+    full.write.parquet(str(d / "all"))
+
+    wh = Warehouse(str(tmp_path_factory.mktemp("kgstream_wh")))
+    base = run_pipeline(spark, wh, docs_path=str(d / "base"), resume=False)
+    q = stream_kg_updates(
+        spark, wh, f"{stream_dir}/*/", base.input_key,
+        str(d / "ckpt"), max_files_per_trigger=1, available_now=True,
+    )
+    q.awaitTermination(300)
+
+    head = latest_epoch_key(wh, base.input_key)
+    assert head != base.input_key and "#epoch=" in head
+    # two epochs committed, chain depth 3 on the Arrow tables
+    entry = wh.latest_entry("chunks", head)
+    assert len(wh._entry_data_dirs(entry)) == 3  # noqa: SLF001
+
+    full_wh = Warehouse(str(tmp_path_factory.mktemp("kgstream_full")))
+    fres = run_pipeline(spark, full_wh, docs_path=str(d / "all"), resume=False)
+    for table in ("chunks", "triples", "canonical_map", "nodes", "edges"):
+        got, _ = _rows(spark, wh, table, head)
+        want, _ = _rows(spark, full_wh, table, fres.input_key)
+        assert got == want, table
+
+    # the `below` bound: a replay of the LAST batch must chain onto the
+    # previous epoch, not onto its own commits
+    m = int(head.rsplit("=", 1)[1])
+    prev = latest_epoch_key(wh, base.input_key, below=m)
+    assert prev != head and (prev == base.input_key or "#epoch=" in prev)
