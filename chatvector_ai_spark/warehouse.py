@@ -364,6 +364,36 @@ class Warehouse:
             if input_key is None or e["input_key"] == input_key
         ]
 
+    def compact(
+        self,
+        spark: SparkSession,
+        table: str,
+        input_key: str,
+        *,
+        run_id: str = "compact",
+    ) -> str | None:
+        """Rewrite *table*'s delta chain (under *input_key*) into ONE full
+        snapshot — the Iceberg rewrite-data-files analog. Append folds keep
+        update latency low but each read unions the whole chain; compaction
+        bounds chain length (run it every N folds). Returns the new
+        snapshot id, or None if the newest entry is not a delta (nothing to
+        compact). The superseded chain dirs stay on disk for time-travel
+        until ``sweep_orphans`` after their manifest rows are pruned —
+        reads switch atomically at the manifest rename."""
+        entry = self.latest_entry(table, input_key)
+        if entry is None or entry.get("delta_of") is None:
+            return None
+        df = self.read(spark, table, input_key)
+        return self.commit(
+            df,
+            table,
+            run_id=run_id,
+            stage=f"compact:{table}",
+            input_key=input_key,
+            metrics=dict(entry.get("metrics", {}), compacted_from=entry["snapshot"]),
+            partition_by=entry.get("partition_by") or None,
+        )
+
     def read(
         self,
         spark: SparkSession,

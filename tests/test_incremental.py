@@ -190,3 +190,28 @@ def test_stream_kg_updates_folds_microbatches(spark, tmp_path_factory):
     m = int(head.rsplit("=", 1)[1])
     prev = latest_epoch_key(wh, base.input_key, below=m)
     assert prev != head and (prev == base.input_key or "#epoch=" in prev)
+
+
+def test_compact_collapses_chain_preserving_rows(spark, built):
+    """Warehouse.compact rewrites a delta chain into one snapshot: reads
+    return identical rows from a single directory, lineage records the
+    compaction source, and the old chain stays readable via time-travel
+    until swept."""
+    wh, _base, inc, _fw, _f = built
+    before, cols = _rows(spark, wh, "chunks", inc.input_key)
+    old_entry = wh.latest_entry("chunks", inc.input_key)
+    assert old_entry.get("delta_of")  # chain exists pre-compaction
+
+    snap = wh.compact(spark, "chunks", inc.input_key)
+    assert snap is not None
+    entry = wh.latest_entry("chunks", inc.input_key)
+    assert entry["snapshot"] == snap and entry.get("delta_of") is None
+    assert len(wh._entry_data_dirs(entry)) == 1  # noqa: SLF001
+    assert entry["metrics"]["compacted_from"] == old_entry["snapshot"]
+    after, cols2 = _rows(spark, wh, "chunks", inc.input_key)
+    assert cols2 == cols and after == before
+    # idempotent: a second compact is a no-op
+    assert wh.compact(spark, "chunks", inc.input_key) is None
+    # time-travel to the pre-compaction delta still works
+    tt = wh.read(spark, "chunks", inc.input_key, snapshot=old_entry["snapshot"])
+    assert sorted(map(tuple, tt.collect())) == before
