@@ -215,3 +215,19 @@ def test_compact_collapses_chain_preserving_rows(spark, built):
     # time-travel to the pre-compaction delta still works
     tt = wh.read(spark, "chunks", inc.input_key, snapshot=old_entry["snapshot"])
     assert sorted(map(tuple, tt.collect())) == before
+
+
+def test_chained_view_read_keeps_partition_pruning(spark, built):
+    """Reading the good-triples view over a delta chain unions one scan
+    per snapshot dir — and EVERY leg must keep the ok=1 partition filter
+    (a chained read that scans quarantined rows too would double I/O at
+    scale)."""
+    from chatvector_ai_spark.plans.audit import plan_facts
+
+    wh, _base, inc, _fw, _f = built
+    facts = plan_facts(wh.read(spark, "triples", inc.input_key))
+    import re
+
+    legs = re.findall(r"PartitionFilters: \[([^\]]*)\]", facts.text)
+    ok_legs = [f for f in legs if "ok" in f and "= 1" in f]
+    assert len(ok_legs) >= 2, facts.text[:2000]  # base + delta both pruned
