@@ -1060,3 +1060,259 @@ def weighted_pagerank(
             .localCheckpoint(eager=True)
         )
     return pr.withColumnRenamed("pr", "pr_scaled")
+
+
+def link_prediction_cn(
+    edges: DataFrame,
+    max_neighbors: int = 64,
+    min_common: int = 2,
+) -> DataFrame:
+    """Common-neighbor link prediction: score non-adjacent entity pairs by
+    how many neighbors they share (Liben-Nowell & Kleinberg 2003), plus an
+    integer-ppm Jaccard of their neighbor sets — the classic structural
+    complement to the TransE link predictor (operators/kgtrain.py). Pairs
+    already connected by an edge are anti-joined away, so every output row
+    is a genuinely *predicted* link.
+
+    Scale shape: pairs are generated per shared neighbor (the blocking
+    key), and each hub's neighbor list is capped at ``max_neighbors``
+    (deterministic smallest-entity order) so a hub with degree d emits at
+    most max_neighbors² pairs, not d². Jaccard uses the TRUE (uncapped)
+    neighbor-set sizes; all math is integer (ppm = parts-per-million via
+    integer DIV), so the result is aggregation-order-independent and
+    exactly twinned in DuckDB. The only window is PARTITION BY entity."""
+    from pyspark.sql import Window
+
+    sym = (
+        edges.where(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+        .unionByName(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct()
+    )
+    deg = sym.groupBy(F.col("src").alias("entity")).agg(
+        F.count("*").alias("degree")
+    )
+    w = Window.partitionBy("src").orderBy("dst")
+    capped = (
+        sym.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= max_neighbors)
+        .select(F.col("src").alias("z"), F.col("dst").alias("entity"))
+    )
+    a, b = capped.alias("a"), capped.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.z") == F.col("b.z")) & (F.col("a.entity") < F.col("b.entity")))
+        .groupBy(
+            F.col("a.entity").alias("entity_a"),
+            F.col("b.entity").alias("entity_b"),
+        )
+        .agg(F.count("*").alias("common_neighbors"))
+        .where(F.col("common_neighbors") >= min_common)
+    )
+    # drop pairs that are already edges (either direction is in sym)
+    pairs = pairs.join(
+        sym.select(F.col("src").alias("entity_a"), F.col("dst").alias("entity_b")),
+        ["entity_a", "entity_b"],
+        "left_anti",
+    )
+    return (
+        pairs.join(deg.withColumnRenamed("entity", "entity_a").withColumnRenamed("degree", "deg_a"), "entity_a")
+        .join(deg.withColumnRenamed("entity", "entity_b").withColumnRenamed("degree", "deg_b"), "entity_b")
+        .select(
+            "entity_a",
+            "entity_b",
+            "common_neighbors",
+            F.expr(
+                "(1000000 * common_neighbors) DIV (deg_a + deg_b - common_neighbors)"
+            ).cast("bigint").alias("jaccard_ppm"),
+        )
+    )
+
+
+def mine_rules(
+    edges: DataFrame,
+    max_fanout: int = 32,
+    min_support: int = 2,
+    min_conf_ppm: int = 100_000,
+) -> DataFrame:
+    """AMIE-lite horn-rule mining: find 2-hop composition rules
+    r1(x, y) ∧ r2(y, z) ⇒ r3(x, z) with their support (number of distinct
+    (x, z) body instances for which the head edge exists) and standard
+    confidence (support / body instances, integer ppm) — Galárraga et al.
+    2013 restricted to length-2 closed rules, the ontology-induction step
+    the reference's flat RAG store has no analog for.
+
+    Scale shape: the body join reuses the metapath capping discipline —
+    per-middle-entity in/out lists are each capped at ``max_fanout``
+    (deterministic (rel, endpoint) order; a hub contributes ≤ max_fanout²
+    body instances). The head probe is one equi-join on (x, z) against the
+    distinct edge set, aggregation is a hash-agg on (r1, r2, r3), and all
+    confidence math is integer DIV — order-independent, exact DuckDB twin.
+    The only windows are PARTITION BY entity."""
+    from pyspark.sql import Window
+
+    dedup = edges.select("src", "rel", "dst").where(F.col("src") != F.col("dst")).distinct()
+    w_in = Window.partitionBy("dst").orderBy("rel", "src")
+    ins = (
+        dedup.withColumn("rk", F.row_number().over(w_in))
+        .where(F.col("rk") <= max_fanout)
+        .select(F.col("src").alias("x"), F.col("rel").alias("r1"), F.col("dst").alias("mid"))
+    )
+    w_out = Window.partitionBy("src").orderBy("rel", "dst")
+    outs = (
+        dedup.withColumn("rk", F.row_number().over(w_out))
+        .where(F.col("rk") <= max_fanout)
+        .select(F.col("src").alias("mid"), F.col("rel").alias("r2"), F.col("dst").alias("z"))
+    )
+    body = (
+        ins.join(outs, "mid")
+        .where(F.col("x") != F.col("z"))
+        .select("r1", "r2", "x", "z")
+        .distinct()
+    )
+    body_n = body.groupBy("r1", "r2").agg(F.count("*").alias("n_body"))
+    heads = dedup.select(
+        F.col("src").alias("x"), F.col("rel").alias("r3"), F.col("dst").alias("z")
+    )
+    support = (
+        body.join(heads, ["x", "z"])
+        .groupBy("r1", "r2", "r3")
+        .agg(F.count("*").alias("support"))
+        .where(F.col("support") >= min_support)
+    )
+    return (
+        support.join(body_n, ["r1", "r2"])
+        .select(
+            "r1",
+            "r2",
+            "r3",
+            "support",
+            F.expr("(1000000 * support) DIV n_body").cast("bigint").alias("conf_ppm"),
+        )
+        .where(F.col("conf_ppm") >= min_conf_ppm)
+    )
+
+
+def relation_properties(edges: DataFrame) -> DataFrame:
+    """Per-relation algebraic property induction: for every relation,
+    integer-ppm scores for symmetry (fraction of edges whose reverse also
+    holds), functionality (1 / mean out-fanout per subject), and inverse
+    functionality (1 / mean in-fanout per object) — the schema signals
+    OWL-style reasoners ingest (owl:SymmetricProperty,
+    owl:FunctionalProperty), induced from data as in AMIE/RDF2Vec
+    pipelines. Complements induce_ontology (domain/range) with algebraic
+    axioms.
+
+    Scale shape: one self-equi-join on (rel, src, dst)↔(rel, dst, src) for
+    symmetry and two hash-aggs for functionality — every key is
+    relation-scoped; no windows, no driver state; integer DIV only, exact
+    DuckDB twin."""
+    dedup = edges.select("src", "rel", "dst").where(F.col("src") != F.col("dst")).distinct()
+    rev = dedup.select(
+        F.col("dst").alias("src"), F.col("rel").alias("rel"), F.col("src").alias("dst")
+    )
+    sym_n = (
+        dedup.join(rev, ["src", "rel", "dst"], "left_semi")
+        .groupBy("rel")
+        .agg(F.count("*").alias("n_sym"))
+    )
+    base = dedup.groupBy("rel").agg(
+        F.count("*").alias("n_edges"),
+        F.countDistinct("src").alias("n_subjects"),
+        F.countDistinct("dst").alias("n_objects"),
+    )
+    return (
+        base.join(sym_n, "rel", "left")
+        .select(
+            "rel",
+            "n_edges",
+            F.expr("(1000000 * coalesce(n_sym, 0)) DIV n_edges").cast("bigint").alias("symmetric_ppm"),
+            F.expr("(1000000 * n_subjects) DIV n_edges").cast("bigint").alias("functional_ppm"),
+            F.expr("(1000000 * n_objects) DIV n_edges").cast("bigint").alias("inv_functional_ppm"),
+        )
+    )
+
+
+def inverse_relations(edges: DataFrame, min_overlap: int = 2) -> DataFrame:
+    """Inverse-relation detection: ordered relation pairs (r1, r2) where
+    r1(x, y) frequently co-occurs with r2(y, x) — the owl:inverseOf
+    induction signal (e.g. acquired_by / acquirer_of). Score is the
+    overlap count and an integer-ppm fraction of r1's edges whose reverse
+    appears under r2; r1 == r2 rows are the symmetry diagonal and are
+    excluded (relation_properties covers them).
+
+    Scale shape: one equi-join of the distinct edge set against its
+    reversal on (src, dst) — relation pair aggregation is schema-scale."""
+    dedup = edges.select("src", "rel", "dst").where(F.col("src") != F.col("dst")).distinct()
+    n1 = dedup.groupBy("rel").agg(F.count("*").alias("n_r1"))
+    rev = dedup.select(
+        F.col("dst").alias("src"), F.col("rel").alias("rel2"), F.col("src").alias("dst")
+    )
+    return (
+        dedup.join(rev, ["src", "dst"])
+        .where(F.col("rel") != F.col("rel2"))
+        .groupBy(F.col("rel").alias("r1"), F.col("rel2").alias("r2"))
+        .agg(F.count("*").alias("n_overlap"))
+        .where(F.col("n_overlap") >= min_overlap)
+        .join(n1.withColumnRenamed("rel", "r1"), "r1")
+        .select(
+            "r1",
+            "r2",
+            "n_overlap",
+            F.expr("(1000000 * n_overlap) DIV n_r1").cast("bigint").alias("inverse_ppm"),
+        )
+    )
+
+
+def closeness(
+    edges: DataFrame,
+    seeds: list[str],
+    max_hops: int = 4,
+    max_frontier: int | None = 100_000,
+) -> DataFrame:
+    """Landmark closeness centrality: per seed entity, BFS out to
+    ``max_hops`` (undirected) and report the reached-set size, the sum of
+    first-reach distances, and harmonic-style closeness as integer ppm
+    ((n_reached - 1) DIV-scaled by sum of distances) — the bounded-radius
+    landmark estimator (Eppstein & Wang 2004) used when exact all-pairs
+    closeness is infeasible at graph scale.
+
+    Scale shape: multi-source BFS — the frontier carries (seed, entity)
+    so one pass serves all landmarks; each hop is one shuffle join +
+    distinct with the same ``max_frontier`` cap discipline as khop/
+    paths_between (deterministic smallest-(seed, entity) order, logged
+    when it binds). Landmarks are a small explicit list (driver
+    broadcast-scale), never the full node set."""
+    if not seeds:
+        raise ValueError("closeness needs a non-empty seed list")
+    spark = edges.sparkSession
+    sym = (
+        edges.where(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+        .unionByName(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct()
+    )
+    visited = spark.createDataFrame(
+        [(s, s, 0) for s in seeds], "seed string, entity string, hop int"
+    )
+    frontier = visited.select("seed", "entity")
+    for hop in range(1, max_hops + 1):
+        nxt = (
+            sym.join(frontier.withColumnRenamed("entity", "src"), "src")
+            .select("seed", F.col("dst").alias("entity"))
+            .distinct()
+            .join(visited.select("seed", "entity"), ["seed", "entity"], "left_anti")
+        )
+        if max_frontier is not None:
+            nxt = nxt.orderBy("seed", "entity").limit(max_frontier)
+        nxt = nxt.withColumn("hop", F.lit(hop)).localCheckpoint(eager=True)
+        if nxt.isEmpty():
+            break
+        visited = visited.unionByName(nxt)
+        frontier = nxt.select("seed", "entity")
+    return visited.groupBy("seed").agg(
+        (F.count("*") - F.lit(1)).cast("bigint").alias("n_reached"),
+        F.sum("hop").cast("bigint").alias("sum_dist"),
+        F.expr(
+            "CASE WHEN sum(hop) > 0 THEN (1000000 * (count(*) - 1)) DIV sum(hop) ELSE 0 END"
+        ).cast("bigint").alias("closeness_ppm"),
+    )

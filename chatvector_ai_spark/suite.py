@@ -2159,6 +2159,164 @@ KG_DUCK_SQL["kg_components"] = f"""
     SELECT a AS entity, min(b) AS component FROM reach GROUP BY a
 """
 
+# Common-neighbor link prediction (graph.link_prediction_cn): identical
+# per-hub neighbor cap (row_number PARTITION BY src ORDER BY dst ≤ 64),
+# true-degree Jaccard, integer-ppm // math — exact value twin.
+KG_DUCK_SQL["kg_link_prediction"] = f"""
+    WITH sym AS (
+        SELECT DISTINCT src, dst FROM (
+            SELECT src, dst FROM '{_KG_FIXTURE_DIR}/edges.parquet' WHERE src <> dst
+            UNION ALL
+            SELECT dst AS src, src AS dst FROM '{_KG_FIXTURE_DIR}/edges.parquet' WHERE src <> dst
+        )
+    ),
+    deg AS (SELECT src AS entity, count(*) AS degree FROM sym GROUP BY src),
+    capped AS (
+        SELECT src AS z, dst AS entity FROM (
+            SELECT src, dst,
+                   row_number() OVER (PARTITION BY src ORDER BY dst) AS rk
+            FROM sym) t
+        WHERE rk <= 64
+    ),
+    pairs AS (
+        SELECT a.entity AS entity_a, b.entity AS entity_b,
+               count(*) AS common_neighbors
+        FROM capped a JOIN capped b
+          ON a.z = b.z AND a.entity < b.entity
+        GROUP BY 1, 2
+        HAVING count(*) >= 2
+    ),
+    nonedge AS (
+        SELECT p.* FROM pairs p
+        WHERE NOT EXISTS (
+            SELECT 1 FROM sym s
+            WHERE s.src = p.entity_a AND s.dst = p.entity_b)
+    )
+    SELECT n.entity_a, n.entity_b, n.common_neighbors,
+           CAST((1000000 * n.common_neighbors)
+                // (da.degree + db.degree - n.common_neighbors) AS BIGINT)
+               AS jaccard_ppm
+    FROM nonedge n
+    JOIN deg da ON da.entity = n.entity_a
+    JOIN deg db ON db.entity = n.entity_b
+"""
+
+# AMIE-lite 2-hop horn rules (graph.mine_rules): same per-middle-entity
+# in/out caps (row_number ≤ 32 by (rel, endpoint)), head probe on the
+# distinct edge set, integer-ppm standard confidence.
+KG_DUCK_SQL["kg_rules"] = f"""
+    WITH dedup AS (
+        SELECT DISTINCT src, rel, dst
+        FROM '{_KG_FIXTURE_DIR}/edges.parquet' WHERE src <> dst
+    ),
+    ins AS (
+        SELECT src AS x, rel AS r1, dst AS mid FROM (
+            SELECT src, rel, dst,
+                   row_number() OVER (PARTITION BY dst ORDER BY rel, src) AS rk
+            FROM dedup) t
+        WHERE rk <= 32
+    ),
+    outs AS (
+        SELECT src AS mid, rel AS r2, dst AS z FROM (
+            SELECT src, rel, dst,
+                   row_number() OVER (PARTITION BY src ORDER BY rel, dst) AS rk
+            FROM dedup) t
+        WHERE rk <= 32
+    ),
+    body AS (
+        SELECT DISTINCT r1, r2, x, z
+        FROM ins JOIN outs USING (mid)
+        WHERE x <> z
+    ),
+    body_n AS (SELECT r1, r2, count(*) AS n_body FROM body GROUP BY r1, r2),
+    support AS (
+        SELECT b.r1, b.r2, h.rel AS r3, count(*) AS support
+        FROM body b JOIN dedup h ON h.src = b.x AND h.dst = b.z
+        GROUP BY b.r1, b.r2, h.rel
+        HAVING count(*) >= 1
+    )
+    SELECT s.r1, s.r2, s.r3, s.support,
+           CAST((1000000 * s.support) // n.n_body AS BIGINT) AS conf_ppm
+    FROM support s JOIN body_n n ON s.r1 = n.r1 AND s.r2 = n.r2
+"""
+
+# Algebraic relation properties (graph.relation_properties): symmetry via
+# reverse-edge semi-join, functionality from distinct endpoint counts.
+KG_DUCK_SQL["kg_relation_properties"] = f"""
+    WITH dedup AS (
+        SELECT DISTINCT src, rel, dst
+        FROM '{_KG_FIXTURE_DIR}/edges.parquet' WHERE src <> dst
+    ),
+    sym_n AS (
+        SELECT d.rel, count(*) AS n_sym
+        FROM dedup d
+        WHERE EXISTS (
+            SELECT 1 FROM dedup r
+            WHERE r.src = d.dst AND r.rel = d.rel AND r.dst = d.src)
+        GROUP BY d.rel
+    ),
+    base AS (
+        SELECT rel, count(*) AS n_edges,
+               count(DISTINCT src) AS n_subjects,
+               count(DISTINCT dst) AS n_objects
+        FROM dedup GROUP BY rel
+    )
+    SELECT b.rel, b.n_edges,
+           CAST((1000000 * coalesce(s.n_sym, 0)) // b.n_edges AS BIGINT) AS symmetric_ppm,
+           CAST((1000000 * b.n_subjects) // b.n_edges AS BIGINT) AS functional_ppm,
+           CAST((1000000 * b.n_objects) // b.n_edges AS BIGINT) AS inv_functional_ppm
+    FROM base b LEFT JOIN sym_n s ON b.rel = s.rel
+"""
+
+# owl:inverseOf induction (graph.inverse_relations): distinct edge set
+# joined to its reversal on (src, dst), off-diagonal relation pairs.
+KG_DUCK_SQL["kg_inverse_relations"] = f"""
+    WITH dedup AS (
+        SELECT DISTINCT src, rel, dst
+        FROM '{_KG_FIXTURE_DIR}/edges.parquet' WHERE src <> dst
+    ),
+    n1 AS (SELECT rel AS r1, count(*) AS n_r1 FROM dedup GROUP BY rel),
+    ov AS (
+        SELECT a.rel AS r1, b.rel AS r2, count(*) AS n_overlap
+        FROM dedup a JOIN dedup b ON b.src = a.dst AND b.dst = a.src
+        WHERE a.rel <> b.rel
+        GROUP BY a.rel, b.rel
+        HAVING count(*) >= 1
+    )
+    SELECT ov.r1, ov.r2, ov.n_overlap,
+           CAST((1000000 * ov.n_overlap) // n1.n_r1 AS BIGINT) AS inverse_ppm
+    FROM ov JOIN n1 USING (r1)
+"""
+
+# Landmark closeness (graph.closeness): per-seed BFS first-reach depths
+# via recursive CTE min(hop) — identical to the multi-source frontier.
+_KG_CLOSENESS_SEEDS = "'E000000', 'E000001', 'E000002', 'E000003'"
+KG_DUCK_SQL["kg_closeness"] = f"""
+    WITH RECURSIVE sym AS (
+        SELECT src, dst FROM '{_KG_FIXTURE_DIR}/edges.parquet' WHERE src <> dst
+        UNION
+        SELECT dst AS src, src AS dst FROM '{_KG_FIXTURE_DIR}/edges.parquet' WHERE src <> dst
+    ),
+    reach(seed, entity, hop) AS (
+        SELECT seed, seed AS entity, 0 AS hop
+        FROM (SELECT unnest([{_KG_CLOSENESS_SEEDS}]) AS seed)
+        UNION ALL
+        SELECT r.seed, s.dst, r.hop + 1
+        FROM reach r JOIN sym s ON s.src = r.entity
+        WHERE r.hop < 3
+    ),
+    first_reach AS (
+        SELECT seed, entity, min(hop) AS hop FROM reach GROUP BY seed, entity
+    )
+    SELECT seed,
+           CAST(count(*) - 1 AS BIGINT) AS n_reached,
+           CAST(sum(hop) AS BIGINT) AS sum_dist,
+           CAST(CASE WHEN sum(hop) > 0
+                THEN (1000000 * (count(*) - 1)) // sum(hop)
+                ELSE 0 END AS BIGINT) AS closeness_ppm
+    FROM first_reach GROUP BY seed
+"""
+
 
 def _kg_docs(spark: SparkSession):
     from chatvector_ai_spark.datagen import documents_df
@@ -2655,6 +2813,55 @@ def kg_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
     return negative_samples(kg_edges(spark, sf_dir))
 
 
+def kg_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Common-neighbor + Jaccard-ppm link prediction over the canonical
+    graph — the structural complement to kg_transe_link_pred
+    (operators/graph.link_prediction_cn)."""
+    from chatvector_ai_spark.operators.graph import link_prediction_cn
+
+    return link_prediction_cn(kg_edges(spark, sf_dir))
+
+
+def kg_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AMIE-lite 2-hop horn rules r1(x,y) ∧ r2(y,z) ⇒ r3(x,z) with
+    support and integer-ppm confidence (operators/graph.mine_rules).
+    Fixture-scale thresholds (support ≥ 1, conf ≥ 0) so the sparse oracle
+    graph yields rule rows; production defaults are stricter."""
+    from chatvector_ai_spark.operators.graph import mine_rules
+
+    return mine_rules(kg_edges(spark, sf_dir), min_support=1, min_conf_ppm=0)
+
+
+def kg_relation_properties(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-relation symmetry / functionality axiom induction
+    (operators/graph.relation_properties)."""
+    from chatvector_ai_spark.operators.graph import relation_properties
+
+    return relation_properties(kg_edges(spark, sf_dir))
+
+
+def kg_inverse_relations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """owl:inverseOf candidate pairs (operators/graph.inverse_relations).
+    min_overlap=1 at fixture scale; production default is stricter."""
+    from chatvector_ai_spark.operators.graph import inverse_relations
+
+    return inverse_relations(kg_edges(spark, sf_dir), min_overlap=1)
+
+
+def kg_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Landmark closeness centrality from four seed hubs, 3-hop radius
+    (operators/graph.closeness — multi-source BFS). max_frontier=None:
+    the fixture graph is small; the default stays capped for callers."""
+    from chatvector_ai_spark.operators.graph import closeness
+
+    return closeness(
+        kg_edges(spark, sf_dir),
+        ["E000000", "E000001", "E000002", "E000003"],
+        max_hops=3,
+        max_frontier=None,
+    )
+
+
 KG_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_ingest_chunks": kg_ingest_chunks,
     "kg_ingest_chunks_paragraph": _kg_chunks_query("paragraph"),
@@ -2699,6 +2906,11 @@ KG_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_skew_report": kg_skew_report,
     "kg_weighted_pagerank": kg_weighted_pagerank,
     "kg_constraint_violations": kg_constraint_violations,
+    "kg_link_prediction": kg_link_prediction,
+    "kg_rules": kg_rules,
+    "kg_relation_properties": kg_relation_properties,
+    "kg_inverse_relations": kg_inverse_relations,
+    "kg_closeness": kg_closeness,
 }
 
 

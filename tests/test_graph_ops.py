@@ -845,3 +845,90 @@ def test_paths_between_default_cap_bounds_dense_fanout(spark, caplog):
     assert any("frontier cap" in r.message for r in caplog.records)
     full = paths_between(df, "s", "t", max_hops=3, max_frontier=None)
     assert full.count() == 144
+
+
+def _e(spark, rows):
+    return spark.createDataFrame(rows, "src string, rel string, dst string")
+
+
+def test_link_prediction_cn_path_and_triangle(spark):
+    from chatvector_ai_spark.operators.graph import link_prediction_cn
+
+    # path a-b-c: (a, c) share exactly one neighbor and are not adjacent
+    path = _e(spark, [("a", "r", "b"), ("b", "r", "c")])
+    got = link_prediction_cn(path, min_common=1).collect()
+    assert len(got) == 1
+    row = got[0]
+    assert (row.entity_a, row.entity_b, row.common_neighbors) == ("a", "c", 1)
+    # |N(a) ∪ N(c)| = {b} → jaccard = 1.0 → 1_000_000 ppm
+    assert row.jaccard_ppm == 1_000_000
+    # triangle: every co-neighbor pair is already an edge → nothing predicted
+    tri = _e(spark, [("a", "r", "b"), ("b", "r", "c"), ("c", "r", "a")])
+    assert link_prediction_cn(tri, min_common=1).count() == 0
+
+
+def test_link_prediction_cn_respects_neighbor_cap(spark):
+    from chatvector_ai_spark.operators.graph import link_prediction_cn
+
+    # star: hub h with leaves l0..l5; cap=2 keeps only (l0, l1) per hub
+    star = _e(spark, [("h", "r", f"l{i}") for i in range(6)])
+    got = link_prediction_cn(star, max_neighbors=2, min_common=1).collect()
+    assert {(r.entity_a, r.entity_b) for r in got} == {("l0", "l1")}
+    # uncapped: C(6,2) = 15 predicted pairs
+    assert link_prediction_cn(star, min_common=1).count() == 15
+
+
+def test_mine_rules_finds_composition_rule(spark):
+    from chatvector_ai_spark.operators.graph import mine_rules
+
+    g = _e(
+        spark,
+        [
+            ("a", "p", "b"), ("b", "q", "c"), ("a", "r", "c"),
+            ("d", "p", "e"), ("e", "q", "f"), ("d", "r", "f"),
+        ],
+    )
+    rules = {(r.r1, r.r2, r.r3): (r.support, r.conf_ppm)
+             for r in mine_rules(g, min_support=2, min_conf_ppm=0).collect()}
+    # p(x,y) ∧ q(y,z) ⇒ r(x,z) holds for both (a,c) and (d,f): conf = 2/2
+    assert rules[("p", "q", "r")] == (2, 1_000_000)
+
+
+def test_relation_properties_symmetry_and_functionality(spark):
+    from chatvector_ai_spark.operators.graph import relation_properties
+
+    g = _e(
+        spark,
+        [
+            ("a", "s", "b"), ("b", "s", "a"),          # fully symmetric
+            ("a", "f", "x"), ("c", "f", "x"),          # 2 subjects -> 1 object
+        ],
+    )
+    props = {r.rel: r for r in relation_properties(g).collect()}
+    assert props["s"].symmetric_ppm == 1_000_000
+    assert props["f"].symmetric_ppm == 0
+    assert props["f"].functional_ppm == 1_000_000       # 2 subjects / 2 edges
+    assert props["f"].inv_functional_ppm == 500_000     # 1 object / 2 edges
+
+
+def test_inverse_relations_detects_owl_inverse(spark):
+    from chatvector_ai_spark.operators.graph import inverse_relations
+
+    g = _e(spark, [("a", "owns", "b"), ("b", "owned_by", "a")])
+    got = {(r.r1, r.r2): (r.n_overlap, r.inverse_ppm)
+           for r in inverse_relations(g, min_overlap=1).collect()}
+    assert got[("owns", "owned_by")] == (1, 1_000_000)
+    assert got[("owned_by", "owns")] == (1, 1_000_000)
+
+
+def test_closeness_path_graph_and_absent_seed(spark):
+    from chatvector_ai_spark.operators.graph import closeness
+
+    g = _e(spark, [("a", "r", "b"), ("b", "r", "c"), ("c", "r", "d")])
+    got = {r.seed: r for r in closeness(g, ["a", "zzz"], max_hops=3).collect()}
+    # from a: b@1, c@2, d@3 -> n=3, sum=6, closeness = 3e6 // 6
+    assert (got["a"].n_reached, got["a"].sum_dist, got["a"].closeness_ppm) == (3, 6, 500_000)
+    # a seed absent from the edge set reaches nothing and scores 0
+    assert (got["zzz"].n_reached, got["zzz"].closeness_ppm) == (0, 0)
+    with pytest.raises(ValueError):
+        closeness(g, [])
