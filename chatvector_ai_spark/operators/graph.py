@@ -1316,3 +1316,26 @@ def closeness(
             "CASE WHEN sum(hop) > 0 THEN (1000000 * (count(*) - 1)) DIV sum(hop) ELSE 0 END"
         ).cast("bigint").alias("closeness_ppm"),
     )
+
+
+def triple_evidence(edges: DataFrame) -> DataFrame:
+    """Knowledge-Vault-style evidence aggregation (Dong et al. 2014): per
+    distinct (src, rel, dst) fact, the mention count, distinct supporting
+    documents and chunks, and the max / sum of extraction confidences as
+    integer ppm — the feature vector a downstream truth-discovery or
+    calibration model consumes (resolve_conflicts uses the same signals
+    to pick winners; this exposes them per fact).
+
+    Scale shape: one hash-agg keyed on the fact triple — partial
+    aggregation collapses duplicate mentions map-side before the shuffle;
+    confidence math is integer (round(conf·10⁶) per row, then max/sum),
+    so the result is aggregation-order-independent with an exact DuckDB
+    twin."""
+    conf_ppm = F.round(F.col("conf") * 1_000_000).cast("bigint")
+    return edges.groupBy("src", "rel", "dst").agg(
+        F.count("*").alias("n_mentions"),
+        F.countDistinct("doc_id").alias("n_docs"),
+        F.countDistinct("chunk_id").alias("n_chunks"),
+        F.max(conf_ppm).alias("max_conf_ppm"),
+        F.sum(conf_ppm).alias("sum_conf_ppm"),
+    )

@@ -440,3 +440,45 @@ def transe_eval(
             F.avg((F.col("rank") <= hits_k).cast("double")), 6
         ).alias("hits_at_k"),
     )
+
+
+def _dot3(a: F.Column, b: F.Column, c: F.Column) -> F.Column:
+    """DistMult trilinear score sum_i a_i * b_i * c_i as one JVM
+    expression (index-order left fold — matches DuckDB's list_sum over
+    the same index order, so the twin is bit-compatible before the
+    6-decimal rounding)."""
+    prod = F.zip_with(F.zip_with(a, b, lambda x, y: x * y), c, lambda x, y: x * y)
+    return F.aggregate(prod, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def distmult_margin_loss(
+    edges: DataFrame, dim: int = 16, n_neg: int = 2, gamma: float = 1.0
+) -> DataFrame:
+    """Per-relation filtered-setting margin loss for a DistMult scorer
+    (Yang et al. 2015: s(h, r, t) = <e_h, w_r, e_t>, HIGHER is better —
+    hinge = max(0, gamma - s_pos + s_neg)) at the deterministic hash
+    initialization. Demonstrates the KGE layer is scorer-pluggable: the
+    sampler, inline-embedding trick, and shuffle shape are shared with
+    TransE; only the scoring expression differs. Distinct init prefixes
+    ("de:"/"dr:") keep the model's parameter space separate from TransE's.
+
+    Scale shape: identical to transe_margin_loss — embeddings computed
+    inline per row (no embedding join), one bucketed sampler join, one
+    final hash-agg on rel."""
+    samples = negative_samples(edges, n_neg=n_neg)
+    es = _emb_expr("de:", F.col("src"), dim)
+    rr = _emb_expr("dr:", F.col("rel"), dim)
+    eo = _emb_expr("de:", F.col("dst"), dim)
+    en = _emb_expr("de:", F.col("neg_dst"), dim)
+    hinge = F.greatest(
+        F.lit(0.0), F.lit(gamma) - _dot3(es, rr, eo) + _dot3(es, rr, en)
+    )
+    return (
+        samples.withColumn("hinge", hinge)
+        .groupBy("rel")
+        .agg(
+            F.count("*").alias("n_samples"),
+            F.sum((F.col("hinge") > 0).cast("bigint")).alias("n_active"),
+            F.round(F.avg("hinge"), 6).alias("avg_loss"),
+        )
+    )

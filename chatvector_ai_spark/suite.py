@@ -1683,6 +1683,53 @@ def _duck_l1(a: str, b: str, c: str, dim: int = _TRANSE_DIM) -> str:
     )
 
 
+def _duck_dot3(a: str, b: str, c: str, dim: int = _TRANSE_DIM) -> str:
+    return (
+        f"list_sum(list_transform(range(0, {dim}), i -> "
+        f"{a}[i + 1] * {b}[i + 1] * {c}[i + 1]))"
+    )
+
+
+# DistMult margin loss (operators/kgtrain.distmult_margin_loss): same
+# sampler and md5-embedding arithmetic as the TransE twin, trilinear
+# score with HIGHER-is-better hinge, distinct "de:"/"dr:" init prefixes.
+KG_DUCK_SQL["kg_distmult_loss"] = f"""
+    WITH samples AS (
+        SELECT * FROM ({KG_DUCK_SQL["kg_negative_samples"]})
+    ),
+    emb AS (
+        SELECT rel,
+               {_duck_emb("de:", "src")} AS es,
+               {_duck_emb("dr:", "rel")} AS rr,
+               {_duck_emb("de:", "dst")} AS eo,
+               {_duck_emb("de:", "neg_dst")} AS en
+        FROM samples
+    ),
+    scored AS (
+        SELECT rel,
+               greatest(0.0, 1.0 - {_duck_dot3("es", "rr", "eo")}
+                              + {_duck_dot3("es", "rr", "en")}) AS hinge
+        FROM emb
+    )
+    SELECT rel, count(*) AS n_samples,
+           CAST(sum(CASE WHEN hinge > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_active,
+           round(avg(hinge), 6) AS avg_loss
+    FROM scored GROUP BY rel
+"""
+
+# Knowledge-Vault-style per-fact evidence aggregation
+# (operators/graph.triple_evidence): integer-ppm confidence math.
+KG_DUCK_SQL["kg_triple_evidence"] = f"""
+    SELECT src, rel, dst,
+           count(*) AS n_mentions,
+           count(DISTINCT doc_id) AS n_docs,
+           count(DISTINCT chunk_id) AS n_chunks,
+           max(CAST(round(conf * 1000000) AS BIGINT)) AS max_conf_ppm,
+           sum(CAST(round(conf * 1000000) AS BIGINT)) AS sum_conf_ppm
+    FROM '{_KG_FIXTURE_DIR}/edges.parquet'
+    GROUP BY src, rel, dst
+"""
+
 KG_DUCK_SQL["kg_transe_loss"] = f"""
     WITH samples AS (
         SELECT * FROM ({KG_DUCK_SQL["kg_negative_samples"]})
@@ -2848,6 +2895,23 @@ def kg_inverse_relations(spark: SparkSession, sf_dir: str) -> DataFrame:
     return inverse_relations(kg_edges(spark, sf_dir), min_overlap=1)
 
 
+def kg_distmult_loss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-relation DistMult margin loss at the deterministic init —
+    the scorer-pluggability proof for the KGE layer
+    (operators/kgtrain.distmult_margin_loss; dim=16, n_neg=2, gamma=1)."""
+    from chatvector_ai_spark.operators.kgtrain import distmult_margin_loss
+
+    return distmult_margin_loss(kg_edges(spark, sf_dir), dim=_TRANSE_DIM)
+
+
+def kg_triple_evidence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-fact evidence aggregation: mentions, distinct docs/chunks, and
+    integer-ppm confidence stats (operators/graph.triple_evidence)."""
+    from chatvector_ai_spark.operators.graph import triple_evidence
+
+    return triple_evidence(kg_edges(spark, sf_dir))
+
+
 def kg_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Landmark closeness centrality from four seed hubs, 3-hop radius
     (operators/graph.closeness — multi-source BFS). max_frontier=None:
@@ -2911,6 +2975,8 @@ KG_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_relation_properties": kg_relation_properties,
     "kg_inverse_relations": kg_inverse_relations,
     "kg_closeness": kg_closeness,
+    "kg_distmult_loss": kg_distmult_loss,
+    "kg_triple_evidence": kg_triple_evidence,
 }
 
 

@@ -932,3 +932,24 @@ def test_closeness_path_graph_and_absent_seed(spark):
     assert (got["zzz"].n_reached, got["zzz"].closeness_ppm) == (0, 0)
     with pytest.raises(ValueError):
         closeness(g, [])
+
+
+def test_triple_evidence_aggregates_mentions_and_confidence(spark):
+    from chatvector_ai_spark.operators.graph import triple_evidence
+
+    rows = [
+        ("a", "r", "b", "d1", "c1", 0.5),
+        ("a", "r", "b", "d1", "c2", 0.25),
+        ("a", "r", "b", "d2", "c3", 0.75),
+        ("x", "q", "y", "d1", "c1", 1.0),
+    ]
+    e = spark.createDataFrame(
+        rows, "src string, rel string, dst string, doc_id string, chunk_id string, conf float"
+    )
+    got = {(r.src, r.rel, r.dst): r for r in triple_evidence(e).collect()}
+    ab = got[("a", "r", "b")]
+    assert (ab.n_mentions, ab.n_docs, ab.n_chunks) == (3, 2, 3)
+    assert ab.max_conf_ppm == 750_000
+    assert ab.sum_conf_ppm == 1_500_000
+    xy = got[("x", "q", "y")]
+    assert (xy.n_mentions, xy.max_conf_ppm, xy.sum_conf_ppm) == (1, 1_000_000, 1_000_000)

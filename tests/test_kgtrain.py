@@ -228,3 +228,43 @@ def test_negative_sampler_plan_has_no_unpartitioned_window(spark):
     )
     facts = plan_facts(negative_samples(df))
     assert facts.unpartitioned_windows == 0, facts.text[:1500]
+
+
+def _py_emb(prefix: str, name: str, dim: int) -> list[float]:
+    # python replica of kgtrain._emb_expr (md5 uniform hash-init)
+    import hashlib
+
+    scale = 6.0 / dim ** 0.5
+    return [
+        (int(hashlib.md5(f"{prefix}{name}:{i}".encode()).hexdigest()[:15], 16)
+         / float(1 << 60) * 2 - 1) * scale
+        for i in range(dim)
+    ]
+
+
+def test_distmult_loss_shares_sampler_and_matches_python(ring):
+    from chatvector_ai_spark.operators.kgtrain import (
+        distmult_margin_loss,
+        negative_samples,
+    )
+
+    got = {r.rel: r for r in distmult_margin_loss(ring, dim=DIM).collect()}
+    te = {r.rel: r for r in transe_margin_loss(ring, dim=DIM).collect()}
+    # same filtered sampler → identical per-relation sample counts
+    assert {k: v.n_samples for k, v in got.items()} == {
+        k: v.n_samples for k, v in te.items()
+    }
+
+    # pure-python recompute of the trilinear hinge over the same samples
+    samples = negative_samples(ring).collect()
+    agg: dict[str, list[float]] = {}
+    for s in samples:
+        es, rr = _py_emb("de:", s.src, DIM), _py_emb("dr:", s.rel, DIM)
+        eo, en = _py_emb("de:", s.dst, DIM), _py_emb("de:", s.neg_dst, DIM)
+        pos = sum(es[i] * rr[i] * eo[i] for i in range(DIM))
+        neg = sum(es[i] * rr[i] * en[i] for i in range(DIM))
+        agg.setdefault(s.rel, []).append(max(0.0, 1.0 - pos + neg))
+    for rel, hinges in agg.items():
+        assert got[rel].n_samples == len(hinges)
+        assert abs(got[rel].avg_loss - sum(hinges) / len(hinges)) <= 1e-6
+        assert got[rel].n_active == sum(1 for h in hinges if h > 0)
