@@ -1339,3 +1339,192 @@ def triple_evidence(edges: DataFrame) -> DataFrame:
         F.max(conf_ppm).alias("max_conf_ppm"),
         F.sum(conf_ppm).alias("sum_conf_ppm"),
     )
+
+
+def neighborhood_function(
+    edges: DataFrame, max_hops: int = 2, n_registers: int = 16
+) -> DataFrame:
+    """ANF / neighborhood function (Palmer, Gibbons & Faloutsos, KDD 2002;
+    the HyperANF idea of Boldi & Vigna 2011 with Flajolet-Martin bitmask
+    counters): per entity and hop t, estimate |{y : dist(x, y) <= t}| on
+    the undirected graph without ever materializing the balls. Each node
+    carries ``n_registers`` 48-bit FM bitmasks; one hop = OR-ing every
+    neighbor's masks into your own, so the ball's distinct-count survives
+    arbitrary duplication — the whole reason this beats iterated
+    ``distinct`` at graph scale (a hub's hop-2 ball can be the entire
+    graph; here it is still n_registers BIGINTs).
+
+    Determinism: register r of entity x sets bit
+    ``trailing_zeros(md5_60("anf:{r}:" || x))`` (capped at 47), and both
+    the propagation (bit_or) and the readout (``r_sum`` = sum over
+    registers of the lowest-zero-bit position) are pure integer ops, so
+    the result is aggregation-order-independent with an exact DuckDB twin.
+    ``nf_est`` applies the FM estimator 2^(r_sum/R)/0.77351 (rounded to 4
+    decimals so double ulp noise cannot flip the comparison).
+
+    Scale shape: one shuffle per hop (edges ⋈ masks → hash-agg bit_or on
+    dst → join back onto the node set); state per node is R*8 bytes
+    regardless of ball size; localCheckpoint truncates the per-hop
+    lineage. Reference analog: none (no graph layer) — this is the
+    standard "how big is each entity's h-hop neighborhood / effective
+    diameter" diagnostic for the materialized KG.
+    """
+    R = n_registers
+    sym = (
+        edges.where(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+        .unionByName(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct()
+    )
+    nodes = sym.select(F.col("src").alias("entity")).distinct()
+
+    def h60(expr: str) -> str:
+        return f"CAST(conv(substring(md5({expr}), 1, 15), 16, 10) AS BIGINT)"
+
+    init = []
+    for r in range(R):
+        h = h60(f"concat('anf:{r}:', entity)")
+        init.append(
+            f"shiftleft(CAST(1 AS BIGINT), least(bit_count({h} ^ ({h} - 1)) - 1, 47)) AS m{r}"
+        )
+    masks = nodes.selectExpr("entity", *init).localCheckpoint(eager=True)
+    lz_sum = " + ".join(f"(bit_count(m{r} ^ (m{r} + 1)) - 1)" for r in range(R))
+    snapshots = []
+    for hop in range(1, max_hops + 1):
+        agg = (
+            sym.join(masks.withColumnRenamed("entity", "src"), "src")
+            .groupBy(F.col("dst").alias("entity"))
+            .agg(*[F.expr(f"bit_or(m{r})").alias(f"a{r}") for r in range(R)])
+        )
+        masks = (
+            masks.join(agg, "entity", "left")
+            .selectExpr(
+                "entity",
+                *[f"(m{r} | coalesce(a{r}, CAST(0 AS BIGINT))) AS m{r}" for r in range(R)],
+            )
+            .localCheckpoint(eager=True)
+        )
+        snapshots.append(
+            masks.selectExpr(
+                "entity",
+                f"CAST({hop} AS INT) AS hop",
+                f"CAST({lz_sum} AS BIGINT) AS r_sum",
+                f"round(pow(2.0, ({lz_sum}) / {float(R)}) / 0.77351, 4) AS nf_est",
+            )
+        )
+    out = snapshots[0]
+    for s in snapshots[1:]:
+        out = out.unionByName(s)
+    return out
+
+
+def hits(edges: DataFrame, iterations: int = 2, scale: int = 1_000_000) -> DataFrame:
+    """HITS hubs & authorities (Kleinberg 1999) over the distinct (src,
+    dst) digraph in **scaled integer arithmetic**: authority(y) = sum of
+    hub scores over in-edges, hub(x) = sum of authority scores over
+    out-edges, each renormalized per iteration by its global max via
+    integer ``DIV`` (L-infinity norm — exact, unlike the usual L2 float
+    norm) so partial-agg order cannot flip a bit and the DuckDB twin is
+    value-exact.
+
+    Scale shape: per iteration, one shuffle join edges ⋈ scores + one
+    hash-agg per direction; the normalizer is a single global max — a
+    scalar agg (AllTuples exchange of one row per partition), not a
+    driver-side collect of data-scale rows. Same skew posture as
+    pagerank: hub keys are AQE skew-join territory; node state is one
+    BIGINT per direction."""
+    e = edges.select("src", "dst").where(F.col("src") != F.col("dst")).distinct()
+    nodes = (
+        e.select(F.col("src").alias("entity"))
+        .unionByName(e.select(F.col("dst").alias("entity")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    auth = nodes.withColumn("a", F.lit(scale).cast("bigint"))
+    hub = nodes.withColumn("h", F.lit(scale).cast("bigint"))
+
+    def _renorm(df: DataFrame, col: str) -> DataFrame:
+        mx = df.agg(F.max(col)).collect()[0][0] or 1
+        return df.selectExpr("entity", f"({col} * {scale}) DIV {mx} AS {col}")
+
+    for _ in range(iterations):
+        h_raw = (
+            e.join(auth.withColumnRenamed("entity", "dst"), "dst")
+            .groupBy(F.col("src").alias("entity"))
+            .agg(F.sum("a").alias("h"))
+        )
+        hub = _renorm(
+            nodes.join(h_raw, "entity", "left").selectExpr(
+                "entity", "coalesce(h, CAST(0 AS BIGINT)) AS h"
+            ),
+            "h",
+        ).localCheckpoint(eager=True)
+        a_raw = (
+            e.join(hub.withColumnRenamed("entity", "src"), "src")
+            .groupBy(F.col("dst").alias("entity"))
+            .agg(F.sum("h").alias("a"))
+        )
+        auth = _renorm(
+            nodes.join(a_raw, "entity", "left").selectExpr(
+                "entity", "coalesce(a, CAST(0 AS BIGINT)) AS a"
+            ),
+            "a",
+        ).localCheckpoint(eager=True)
+    return (
+        hub.join(auth, "entity")
+        .selectExpr("entity", "h AS hub_scaled", "a AS auth_scaled")
+    )
+
+
+def random_walks(
+    edges: DataFrame, n_walks: int = 2, length: int = 3
+) -> DataFrame:
+    """Deterministic DeepWalk-style random-walk corpus (Perozzi et al.
+    2014): ``n_walks`` walks of up to ``length`` steps from every node of
+    the distinct (src, dst) digraph, where step t from node v on walk
+    (start, w) moves to the neighbor ranked
+    ``md5_60("rw:" || start || ":" || w || ":" || t || ":" || v) mod
+    out_degree(v)`` in dst-sorted order — a hash-seeded pseudo-random
+    choice that is reproducible across engines and cluster sizes (no RNG
+    state, no driver coordination). Walks stop early at sinks.
+
+    Output is the exploded corpus (start, walk_id, step, entity) a
+    downstream skip-gram trainer consumes. Scale shape: neighbor ranks
+    are one partitioned window over src; each step is one shuffle join
+    frontier ⋈ ranked-neighbors on (entity, rank); rows are bounded by
+    nodes x n_walks x (length+1). Reference analog: none — this is the
+    graph-embedding training-corpus generator for the materialized KG."""
+    from pyspark.sql import Window
+
+    e = edges.select("src", "dst").where(F.col("src") != F.col("dst")).distinct()
+    nbr = e.withColumn(
+        "rank", F.row_number().over(Window.partitionBy("src").orderBy("dst"))
+    )
+    deg = e.groupBy("src").agg(F.count("*").alias("out_deg"))
+    nodes = (
+        e.select(F.col("src").alias("entity"))
+        .unionByName(e.select(F.col("dst").alias("entity")))
+        .distinct()
+    )
+    cur = nodes.select(
+        F.col("entity").alias("start"),
+        F.explode(F.sequence(F.lit(0), F.lit(n_walks - 1))).alias("walk_id"),
+        F.col("entity"),
+    )
+    out = cur.withColumn("step", F.lit(0).cast("int"))
+    for t in range(1, length + 1):
+        choice = F.expr(
+            "CAST(conv(substring(md5(concat('rw:', start, ':', walk_id, ':', "
+            f"{t}, ':', entity)), 1, 15), 16, 10) AS BIGINT)"
+        )
+        cur = (
+            cur.join(deg.withColumnRenamed("src", "entity"), "entity")
+            .withColumn("rank", (choice % F.col("out_deg") + 1).cast("int"))
+            .join(
+                nbr.withColumnRenamed("src", "entity"), ["entity", "rank"]
+            )
+            .select("start", "walk_id", F.col("dst").alias("entity"))
+            .localCheckpoint(eager=True)
+        )
+        out = out.unionByName(cur.withColumn("step", F.lit(t).cast("int")))
+    return out.select("start", "walk_id", "step", "entity")

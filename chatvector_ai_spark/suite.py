@@ -1241,6 +1241,60 @@ _q(
     """,
 )
 
+# Benchmark-contamination screen (the GPT-3 appendix-C / PaLM "n-gram
+# collision" check a training-data pipeline runs before every release):
+# hold out one source block ('src0') as the benchmark set, shingle both
+# sides into word-8-grams, and flag every (train doc, benchmark doc) pair
+# sharing >= 5 distinct 8-grams, with contamination_ppm = shared / train
+# doc's total distinct shingles. Scale shape: the join key is a 60-bit
+# md5 shingle hash (narrow, uniformly distributed — no raw-text shuffle),
+# the join is a plain equi-join on that hash, and both counts come from
+# hash-aggs; at 100 TB this is the standard shingle-hash contamination
+# sweep, benchmark side small enough to broadcast.
+_SPARK_SH8 = (
+    "array_distinct(transform(sequence(1, size(tk) - 7), i -> "
+    "CAST(conv(substring(md5(concat_ws(' ', slice(tk, i, 8))), 1, 15), 16, 10) AS BIGINT)))"
+)
+_DUCK_SH8 = (
+    "list_distinct(list_transform(generate_series(1, len(tk) - 7), i -> "
+    "CAST('0x' || substr(md5(list_aggregate(tk[i:i+7], 'string_agg', ' ')), 1, 15) AS BIGINT)))"
+)
+_q(
+    "tx_contamination",
+    f"""
+    WITH toks AS (SELECT doc_id, source, {_SPARK_TOK.format(c='text')} AS tk FROM documents),
+    sh AS (SELECT doc_id, source, explode({_SPARK_SH8}) AS g
+           FROM toks WHERE size(tk) >= 8),
+    shared AS (
+        SELECT t.doc_id AS train_id, b.doc_id AS bench_id, count(*) AS n_shared
+        FROM sh t JOIN sh b ON t.g = b.g
+        WHERE t.source <> 'src0' AND b.source = 'src0'
+        GROUP BY t.doc_id, b.doc_id
+    ),
+    tot AS (SELECT doc_id, count(*) AS n_shingles FROM sh WHERE source <> 'src0' GROUP BY doc_id)
+    SELECT s.train_id, s.bench_id, s.n_shared,
+           CAST((1000000 * s.n_shared) DIV t.n_shingles AS BIGINT) AS contamination_ppm
+    FROM shared s JOIN tot t ON s.train_id = t.doc_id
+    WHERE s.n_shared >= 5
+    """,
+    f"""
+    WITH toks AS (SELECT doc_id, source, {_DUCK_TOK.format(c='text')} AS tk FROM documents),
+    sh AS (SELECT doc_id, source, unnest({_DUCK_SH8}) AS g
+           FROM toks WHERE len(tk) >= 8),
+    shared AS (
+        SELECT t.doc_id AS train_id, b.doc_id AS bench_id, count(*) AS n_shared
+        FROM sh t JOIN sh b ON t.g = b.g
+        WHERE t.source <> 'src0' AND b.source = 'src0'
+        GROUP BY t.doc_id, b.doc_id
+    ),
+    tot AS (SELECT doc_id, count(*) AS n_shingles FROM sh WHERE source <> 'src0' GROUP BY doc_id)
+    SELECT s.train_id, s.bench_id, s.n_shared,
+           CAST((1000000 * s.n_shared) // t.n_shingles AS BIGINT) AS contamination_ppm
+    FROM shared s JOIN tot t ON s.train_id = t.doc_id
+    WHERE s.n_shared >= 5
+    """,
+)
+
 
 # ---------------------------------------------------------------------------
 # KG pipeline queries (synthesized interleaved documents). The DuckDB twins
@@ -2365,6 +2419,139 @@ KG_DUCK_SQL["kg_closeness"] = f"""
 """
 
 
+def _kg_anf_oracle_sql(max_hops: int = 2, n_registers: int = 16) -> str:
+    """Unrolled twin of operators/graph.neighborhood_function: identical
+    md5 register init (trailing-zeros bit position capped at 47),
+    bit_or propagation per hop, and integer r_sum readout; nf_est rounds
+    the FM estimate to 4 decimals on both sides."""
+    R = n_registers
+    edges = f"'{_KG_FIXTURE_DIR}/edges.parquet'"
+
+    def h(r: str) -> str:
+        return f"CAST('0x' || substr(md5('anf:{r}:' || entity), 1, 15) AS BIGINT)"
+
+    init = ", ".join(
+        f"(CAST(1 AS BIGINT) << least(bit_count(xor({h(str(r))}, {h(str(r))} - 1)) - 1, 47)) AS m{r}"
+        for r in range(R)
+    )
+    lz_sum = " + ".join(f"(bit_count(xor(m{r}, m{r} + 1)) - 1)" for r in range(R))
+    parts = [
+        f"""
+    WITH e AS (
+        SELECT src, dst FROM {edges} WHERE src <> dst
+        UNION
+        SELECT dst AS src, src AS dst FROM {edges} WHERE src <> dst
+    ),
+    nodes AS (SELECT DISTINCT src AS entity FROM e),
+    m0 AS (SELECT entity, {init} FROM nodes)"""
+    ]
+    for t in range(1, max_hops + 1):
+        ors = ", ".join(f"bit_or(p2.m{r}) AS a{r}" for r in range(R))
+        mix = ", ".join(f"(p.m{r} | coalesce(a.a{r}, 0)) AS m{r}" for r in range(R))
+        parts.append(
+            f""",
+    m{t} AS (
+        SELECT p.entity, {mix}
+        FROM m{t - 1} p LEFT JOIN (
+            SELECT e.dst AS entity, {ors}
+            FROM e JOIN m{t - 1} p2 ON e.src = p2.entity
+            GROUP BY e.dst
+        ) a ON p.entity = a.entity
+    )"""
+        )
+    reads = [
+        f"""SELECT entity, CAST({t} AS INT) AS hop, CAST({lz_sum} AS BIGINT) AS r_sum,
+           round(pow(2.0, ({lz_sum}) / {float(R)}) / 0.77351, 4) AS nf_est FROM m{t}"""
+        for t in range(1, max_hops + 1)
+    ]
+    parts.append("\n    " + "\n    UNION ALL\n    ".join(reads))
+    return "".join(parts)
+
+
+KG_DUCK_SQL["kg_anf"] = _kg_anf_oracle_sql()
+
+
+def _kg_hits_oracle_sql(iterations: int = 2, scale: int = 1_000_000) -> str:
+    """Unrolled twin of operators/graph.hits: scaled-integer hub/authority
+    sums with per-iteration L-infinity renormalization via integer `//`,
+    normalizer = greatest(max, 1) exactly as the operator's `or 1`."""
+    edges = f"'{_KG_FIXTURE_DIR}/edges.parquet'"
+    parts = [
+        f"""
+    WITH e AS (SELECT DISTINCT src, dst FROM {edges} WHERE src <> dst),
+    nodes AS (SELECT src AS entity FROM e UNION SELECT dst AS entity FROM e),
+    a0 AS (SELECT entity, CAST({scale} AS BIGINT) AS a FROM nodes)"""
+    ]
+    for k in range(1, iterations + 1):
+        parts.append(
+            f""",
+    hraw{k} AS (
+        SELECT nd.entity, coalesce(s.h, 0) AS h
+        FROM nodes nd LEFT JOIN (
+            SELECT e.src AS entity, sum(a.a) AS h
+            FROM e JOIN a{k - 1} a ON e.dst = a.entity GROUP BY e.src
+        ) s ON nd.entity = s.entity
+    ),
+    h{k} AS (SELECT entity, (h * {scale}) // (SELECT greatest(max(h), 1) FROM hraw{k}) AS h FROM hraw{k}),
+    araw{k} AS (
+        SELECT nd.entity, coalesce(s.a, 0) AS a
+        FROM nodes nd LEFT JOIN (
+            SELECT e.dst AS entity, sum(h.h) AS a
+            FROM e JOIN h{k} h ON e.src = h.entity GROUP BY e.dst
+        ) s ON nd.entity = s.entity
+    ),
+    a{k} AS (SELECT entity, (a * {scale}) // (SELECT greatest(max(a), 1) FROM araw{k}) AS a FROM araw{k})"""
+        )
+    parts.append(
+        f"""
+    SELECT h.entity, CAST(h.h AS BIGINT) AS hub_scaled, CAST(a.a AS BIGINT) AS auth_scaled
+    FROM h{iterations} h JOIN a{iterations} a ON h.entity = a.entity"""
+    )
+    return "".join(parts)
+
+
+KG_DUCK_SQL["kg_hits"] = _kg_hits_oracle_sql()
+
+
+def _kg_walks_oracle_sql(n_walks: int = 2, length: int = 3) -> str:
+    """Unrolled twin of operators/graph.random_walks: identical dst-sorted
+    neighbor ranks (row_number over a per-src partition) and md5-seeded
+    modular choice, sinks truncate the walk."""
+    edges = f"'{_KG_FIXTURE_DIR}/edges.parquet'"
+    parts = [
+        f"""
+    WITH e AS (SELECT DISTINCT src, dst FROM {edges} WHERE src <> dst),
+    nbr AS (SELECT src, dst, row_number() OVER (PARTITION BY src ORDER BY dst) AS rank FROM e),
+    deg AS (SELECT src, count(*) AS out_deg FROM e GROUP BY src),
+    nodes AS (SELECT src AS entity FROM e UNION SELECT dst AS entity FROM e),
+    w0 AS (SELECT entity AS start, w.walk_id, entity
+           FROM nodes, (SELECT unnest(range(0, {n_walks})) AS walk_id) w)"""
+    ]
+    for t in range(1, length + 1):
+        choice = (
+            f"CAST('0x' || substr(md5('rw:' || c.start || ':' || c.walk_id || "
+            f"':' || {t} || ':' || c.entity), 1, 15) AS BIGINT)"
+        )
+        parts.append(
+            f""",
+    w{t} AS (
+        SELECT c.start, c.walk_id, n.dst AS entity
+        FROM w{t - 1} c
+        JOIN deg d ON c.entity = d.src
+        JOIN nbr n ON n.src = c.entity AND n.rank = ({choice} % d.out_deg) + 1
+    )"""
+        )
+    reads = [
+        f"SELECT start, CAST(walk_id AS INT) AS walk_id, CAST({t} AS INT) AS step, entity FROM w{t}"
+        for t in range(0, length + 1)
+    ]
+    parts.append("\n    " + "\n    UNION ALL\n    ".join(reads))
+    return "".join(parts)
+
+
+KG_DUCK_SQL["kg_random_walks"] = _kg_walks_oracle_sql()
+
+
 def _kg_docs(spark: SparkSession):
     from chatvector_ai_spark.datagen import documents_df
 
@@ -2912,6 +3099,31 @@ def kg_triple_evidence(spark: SparkSession, sf_dir: str) -> DataFrame:
     return triple_evidence(kg_edges(spark, sf_dir))
 
 
+def kg_anf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANF neighborhood function: per-entity 1- and 2-hop ball-size
+    estimates from 16 deterministic FM bitmask registers
+    (operators/graph.neighborhood_function)."""
+    from chatvector_ai_spark.operators.graph import neighborhood_function
+
+    return neighborhood_function(kg_edges(spark, sf_dir), max_hops=2, n_registers=16)
+
+
+def kg_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs & authorities, 2 scaled-integer iterations with exact
+    L-infinity renormalization (operators/graph.hits)."""
+    from chatvector_ai_spark.operators.graph import hits
+
+    return hits(kg_edges(spark, sf_dir))
+
+
+def kg_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic DeepWalk corpus: 2 hash-seeded walks of up to 3 steps
+    from every entity (operators/graph.random_walks)."""
+    from chatvector_ai_spark.operators.graph import random_walks
+
+    return random_walks(kg_edges(spark, sf_dir), n_walks=2, length=3)
+
+
 def kg_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Landmark closeness centrality from four seed hubs, 3-hop radius
     (operators/graph.closeness — multi-source BFS). max_frontier=None:
@@ -2977,6 +3189,9 @@ KG_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_closeness": kg_closeness,
     "kg_distmult_loss": kg_distmult_loss,
     "kg_triple_evidence": kg_triple_evidence,
+    "kg_anf": kg_anf,
+    "kg_hits": kg_hits,
+    "kg_random_walks": kg_random_walks,
 }
 
 

@@ -953,3 +953,129 @@ def test_triple_evidence_aggregates_mentions_and_confidence(spark):
     assert ab.sum_conf_ppm == 1_500_000
     xy = got[("x", "q", "y")]
     assert (xy.n_mentions, xy.max_conf_ppm, xy.sum_conf_ppm) == (1, 1_000_000, 1_000_000)
+
+
+def _py_anf_rsum(edges, max_hops, n_registers):
+    """Pure-python replica of neighborhood_function's integer state:
+    same md5 register init, same OR propagation; returns
+    {(entity, hop): r_sum}."""
+    import hashlib
+
+    sym = set()
+    for s, d in edges:
+        if s != d:
+            sym.add((s, d))
+            sym.add((d, s))
+    nodes = {s for s, _ in sym} | {d for _, d in sym}
+
+    def tz(h):
+        if h == 0:
+            return 47
+        n = 0
+        while h % 2 == 0:
+            h //= 2
+            n += 1
+        return min(n, 47)
+
+    def lz(m):
+        n = 0
+        while m % 2 == 1:
+            m //= 2
+            n += 1
+        return n
+
+    masks = {
+        x: [
+            1 << tz(int(hashlib.md5(f"anf:{r}:{x}".encode()).hexdigest()[:15], 16))
+            for r in range(n_registers)
+        ]
+        for x in nodes
+    }
+    out = {}
+    for hop in range(1, max_hops + 1):
+        nxt = {x: list(m) for x, m in masks.items()}
+        for s, d in sym:
+            for r in range(n_registers):
+                nxt[d][r] |= masks[s][r]
+        masks = nxt
+        for x in nodes:
+            out[(x, hop)] = sum(lz(m) for m in masks[x])
+    return out
+
+
+def test_neighborhood_function_matches_python_replica(spark):
+    from chatvector_ai_spark.operators.graph import neighborhood_function
+
+    edges = [("a", "b"), ("b", "c"), ("c", "d"), ("x", "y"), ("y", "a")]
+    e = spark.createDataFrame(
+        [(s, "r", d) for s, d in edges], "src string, rel string, dst string"
+    )
+    got = {
+        (r.entity, r.hop): r.r_sum
+        for r in neighborhood_function(e, max_hops=3, n_registers=8).collect()
+    }
+    assert got == _py_anf_rsum(edges, 3, 8)
+
+
+def test_neighborhood_function_monotone_and_deterministic(graph):
+    from chatvector_ai_spark.operators.graph import neighborhood_function
+
+    _, edges = graph
+    nf = neighborhood_function(edges, max_hops=2, n_registers=8)
+    rows = nf.collect()
+    by_hop = {}
+    for r in rows:
+        by_hop[(r.entity, r.hop)] = r.r_sum
+        assert r.nf_est > 0
+    for (ent, hop), rs in by_hop.items():
+        if hop == 2:
+            assert rs >= by_hop[(ent, 1)]
+    again = {(r.entity, r.hop): r.r_sum for r in neighborhood_function(
+        edges, max_hops=2, n_registers=8).collect()}
+    assert again == by_hop
+
+
+def test_hits_separates_hubs_from_authorities(spark):
+    from chatvector_ai_spark.operators.graph import hits
+
+    e = spark.createDataFrame(
+        [("x1", "r", "y"), ("x2", "r", "y"), ("x3", "r", "y"), ("y", "r", "z")],
+        "src string, rel string, dst string",
+    )
+    got = {r.entity: (r.hub_scaled, r.auth_scaled) for r in hits(e).collect()}
+    # x1-x3 are pure hubs pointing at the dominant authority y
+    assert got["y"][1] == 1_000_000  # max authority
+    assert got["x1"][0] == got["x2"][0] == got["x3"][0] == 1_000_000  # max hubs
+    assert got["y"][1] > got["z"][1]
+    assert got["x1"][0] > got["y"][0]
+    assert got["z"] == (0, got["z"][1])  # z has no out-edges: zero hub
+
+
+def test_random_walks_follow_edges_and_truncate_at_sinks(spark):
+    from chatvector_ai_spark.operators.graph import random_walks
+
+    edge_list = [("a", "b"), ("b", "c"), ("b", "d"), ("c", "a"), ("d", "e")]
+    e = spark.createDataFrame(
+        [(s, "r", d) for s, d in edge_list], "src string, rel string, dst string"
+    )
+    rows = random_walks(e, n_walks=2, length=4).collect()
+    eset = set(edge_list)
+    walks = {}
+    for r in rows:
+        walks.setdefault((r.start, r.walk_id), {})[r.step] = r.entity
+    starts = {s for s, _ in edge_list} | {d for _, d in edge_list}
+    assert {k[0] for k in walks} == starts
+    assert all(len({w for s, w in walks if s == st}) == 2 for st in starts)
+    for (start, _), path in walks.items():
+        assert path[0] == start
+        steps = sorted(path)
+        assert steps == list(range(len(steps)))  # contiguous, truncation only at end
+        for t in steps[1:]:
+            assert (path[t - 1], path[t]) in eset
+    # 'e' is a sink: every walk from e is just the start row
+    assert all(len(p) == 1 for (s, _), p in walks.items() if s == "e")
+    # deterministic: second run identical
+    again = {}
+    for r in random_walks(e, n_walks=2, length=4).collect():
+        again.setdefault((r.start, r.walk_id), {})[r.step] = r.entity
+    assert again == walks
