@@ -1528,3 +1528,161 @@ def random_walks(
         )
         out = out.unionByName(cur.withColumn("step", F.lit(t).cast("int")))
     return out.select("start", "walk_id", "step", "entity")
+
+
+def community_supergraph(edges: DataFrame, iterations: int = 4) -> DataFrame:
+    """Graph summarization by community rollup: run label propagation,
+    then collapse the edge multiset to one row per (source community,
+    destination community) with edge and relation counts — the
+    "supergraph" view (Navlakha et al. 2008 summarization shape) an
+    analyst reads when the KG itself is too big to look at, and the input
+    to coarse-grained layout / skew planning.
+
+    Scale shape: LPA's per-round shuffle (see label_propagation) + two
+    label-map joins on the entity keys + one hash-agg keyed on the
+    community pair; output cardinality is |communities|², typically
+    orders of magnitude below |E|. Mention multiplicity is preserved
+    (raw edge rows, not distinct), so n_edges weights the rollup the way
+    evidence counts weight the KG."""
+    labels = label_propagation(edges, iterations=iterations)
+    e = edges.select("src", "rel", "dst").where(F.col("src") != F.col("dst"))
+    return (
+        e.join(
+            labels.select(F.col("entity").alias("src"), F.col("label").alias("c_src")),
+            "src",
+        )
+        .join(
+            labels.select(F.col("entity").alias("dst"), F.col("label").alias("c_dst")),
+            "dst",
+        )
+        .groupBy("c_src", "c_dst")
+        .agg(
+            F.count("*").alias("n_edges"),
+            F.countDistinct("rel").alias("n_rels"),
+        )
+    )
+
+
+def degree_histogram(edges: DataFrame) -> DataFrame:
+    """Log2-bucketed degree distribution over the raw edge multiset — the
+    first diagnostic read on any new graph (power-law check, hub census,
+    shuffle-partition sizing input). Bucket b holds entities with total
+    degree in [2^b, 2^(b+1)); the boundary is computed as
+    length(bin(degree)) - 1, an integer bit-length, so no float log can
+    disagree across engines. One hash-agg after the degrees() joins."""
+    return (
+        degrees(edges)
+        .withColumn("bucket", (F.length(F.bin(F.col("degree"))) - 1).cast("int"))
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n_entities"),
+            F.min("degree").cast("bigint").alias("min_degree"),
+            F.max("degree").cast("bigint").alias("max_degree"),
+            F.sum("degree").cast("bigint").alias("sum_degree"),
+        )
+    )
+
+
+def node2vec_walks(
+    edges: DataFrame,
+    n_walks: int = 2,
+    length: int = 3,
+    w_return: int = 25,
+    w_near: int = 100,
+    w_far: int = 50,
+) -> DataFrame:
+    """Deterministic node2vec walks (Grover & Leskovec 2016): like
+    random_walks, but from step 2 onward the neighbor choice is biased by
+    where the walk just came from — weight ``w_return`` for stepping back
+    to the previous node (1/p), ``w_near`` for a neighbor the previous
+    node also points to (distance 1 — BFS-ish), ``w_far`` otherwise
+    (1/q — DFS-ish). Defaults encode p=4, q=2. Weights are integers and
+    the pick is ``md5_60(state) mod total_weight`` resolved against an
+    integer cumulative sum over the dst-sorted neighbor list, so the walk
+    is bit-reproducible in any engine — no RNG state.
+
+    Scale shape: per step, one shuffle join frontier ⋈ out-edges, one
+    broadcast-scale left join marking prev→candidate edges, and two
+    windows PARTITIONED by (start, walk_id) — each partition is one
+    walk-state's neighbor list, bounded by the max out-degree (hub
+    neighbor lists are the usual salting/cap territory; document before
+    walking a celebrity graph). Output rows bounded by
+    nodes × n_walks × (length+1)."""
+    from pyspark.sql import Window
+
+    e = edges.select("src", "dst").where(F.col("src") != F.col("dst")).distinct()
+    nbr = e.withColumn(
+        "rank", F.row_number().over(Window.partitionBy("src").orderBy("dst"))
+    )
+    deg = e.groupBy("src").agg(F.count("*").alias("out_deg"))
+    nodes = (
+        e.select(F.col("src").alias("entity"))
+        .unionByName(e.select(F.col("dst").alias("entity")))
+        .distinct()
+    )
+    cur = nodes.select(
+        F.col("entity").alias("start"),
+        F.explode(F.sequence(F.lit(0), F.lit(n_walks - 1))).alias("walk_id"),
+        F.col("entity").alias("prev"),  # placeholder; unused at step 1
+        F.col("entity"),
+    )
+    out = cur.select(
+        "start", "walk_id", F.lit(0).cast("int").alias("step"), "entity"
+    )
+    for t in range(1, length + 1):
+        if t == 1:
+            choice = F.expr(
+                "CAST(conv(substring(md5(concat('rw:', start, ':', walk_id, ':', "
+                f"{t}, ':', entity)), 1, 15), 16, 10) AS BIGINT)"
+            )
+            cur = (
+                cur.join(deg.withColumnRenamed("src", "entity"), "entity")
+                .withColumn("rank", (choice % F.col("out_deg") + 1).cast("int"))
+                .join(nbr.withColumnRenamed("src", "entity"), ["entity", "rank"])
+                .select(
+                    "start", "walk_id",
+                    F.col("entity").alias("prev"),
+                    F.col("dst").alias("entity"),
+                )
+                .localCheckpoint(eager=True)
+            )
+        else:
+            near = e.select(
+                F.col("src").alias("prev"), F.col("dst").alias("x"), F.lit(1).alias("near")
+            )
+            cand = (
+                cur.join(e.withColumnRenamed("src", "entity"), "entity")
+                .withColumnRenamed("dst", "x")
+                .join(near, ["prev", "x"], "left")
+                .withColumn(
+                    "w",
+                    F.when(F.col("x") == F.col("prev"), F.lit(w_return))
+                    .when(F.col("near").isNotNull(), F.lit(w_near))
+                    .otherwise(F.lit(w_far))
+                    .cast("bigint"),
+                )
+            )
+            wk = Window.partitionBy("start", "walk_id")
+            cum_w = wk.orderBy("x").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            r = F.expr(
+                "CAST(conv(substring(md5(concat('n2v:', start, ':', walk_id, ':', "
+                f"{t}, ':', entity)), 1, 15), 16, 10) AS BIGINT)"
+            )
+            cand = (
+                cand.withColumn("cum", F.sum("w").over(cum_w))
+                .withColumn("tot", F.sum("w").over(wk))
+                .withColumn("r", r % F.col("tot"))
+            )
+            cur = (
+                cand.where((F.col("r") >= F.col("cum") - F.col("w")) & (F.col("r") < F.col("cum")))
+                .select(
+                    "start", "walk_id",
+                    F.col("entity").alias("prev"),
+                    F.col("x").alias("entity"),
+                )
+                .localCheckpoint(eager=True)
+            )
+        out = out.unionByName(
+            cur.select("start", "walk_id", F.lit(t).cast("int").alias("step"), "entity")
+        )
+    return out.select("start", "walk_id", "step", "entity")

@@ -1937,7 +1937,7 @@ KG_DUCK_SQL["kg_edge_pmi"] = f"""
 _LPA_ITERS = 4
 
 
-def _lpa_sql(iters: int) -> str:
+def _lpa_sql(iters: int, extra_parts: list[str] | None = None, tail: str | None = None) -> str:
     parts = [
         f"""sym AS (
         SELECT DISTINCT src AS entity, dst AS nbr
@@ -1969,7 +1969,11 @@ def _lpa_sql(iters: int) -> str:
             WHERE rk = 1) b ON b.entity = n.entity
     )"""
         )
-    return "WITH " + ",\n    ".join(parts) + f"\n    SELECT entity, label FROM l{iters}"
+    if extra_parts:
+        parts.extend(extra_parts)
+    if tail is None:
+        tail = f"SELECT entity, label FROM l{iters}"
+    return "WITH " + ",\n    ".join(parts) + "\n    " + tail
 
 
 KG_DUCK_SQL["kg_lpa_communities"] = _lpa_sql(_LPA_ITERS)
@@ -2551,6 +2555,112 @@ def _kg_walks_oracle_sql(n_walks: int = 2, length: int = 3) -> str:
 
 KG_DUCK_SQL["kg_random_walks"] = _kg_walks_oracle_sql()
 
+# Community-rollup supergraph twin (operators/graph.community_supergraph):
+# the LPA label CTE chain, then raw edge rows mapped to community pairs.
+KG_DUCK_SQL["kg_supergraph"] = _lpa_sql(
+    _LPA_ITERS,
+    extra_parts=[
+        f"""ee AS (
+        SELECT src, rel, dst FROM '{_KG_FIXTURE_DIR}/edges.parquet'
+        WHERE src <> dst
+    )"""
+    ],
+    tail=f"""SELECT ls.label AS c_src, ld.label AS c_dst,
+           count(*) AS n_edges, count(DISTINCT ee.rel) AS n_rels
+    FROM ee JOIN l{_LPA_ITERS} ls ON ee.src = ls.entity
+            JOIN l{_LPA_ITERS} ld ON ee.dst = ld.entity
+    GROUP BY ls.label, ld.label""",
+)
+
+# Log2 degree-distribution twin (operators/graph.degree_histogram):
+# integer bit-length bucketing, no float log.
+KG_DUCK_SQL["kg_degree_histogram"] = f"""
+    WITH outs AS (SELECT src AS entity, count(*) AS out_degree
+                  FROM '{_KG_FIXTURE_DIR}/edges.parquet' GROUP BY src),
+    ins AS (SELECT dst AS entity, count(*) AS in_degree
+            FROM '{_KG_FIXTURE_DIR}/edges.parquet' GROUP BY dst),
+    deg AS (
+        SELECT coalesce(o.entity, i.entity) AS entity,
+               coalesce(o.out_degree, 0) + coalesce(i.in_degree, 0) AS degree
+        FROM outs o FULL OUTER JOIN ins i ON o.entity = i.entity
+    )
+    SELECT CAST(length(bin(degree)) - 1 AS INT) AS bucket,
+           count(*) AS n_entities,
+           CAST(min(degree) AS BIGINT) AS min_degree,
+           CAST(max(degree) AS BIGINT) AS max_degree,
+           CAST(sum(degree) AS BIGINT) AS sum_degree
+    FROM deg GROUP BY 1
+"""
+
+
+def _kg_node2vec_oracle_sql(
+    n_walks: int = 2,
+    length: int = 3,
+    w_return: int = 25,
+    w_near: int = 100,
+    w_far: int = 50,
+) -> str:
+    """Unrolled twin of operators/graph.node2vec_walks: step 1 is the
+    DeepWalk uniform choice, steps >= 2 resolve the md5 draw against an
+    integer cumulative weight sum over the dst-sorted neighbor list with
+    the same return/near/far weights."""
+    edges = f"'{_KG_FIXTURE_DIR}/edges.parquet'"
+    parts = [
+        f"""
+    WITH e AS (SELECT DISTINCT src, dst FROM {edges} WHERE src <> dst),
+    nbr AS (SELECT src, dst, row_number() OVER (PARTITION BY src ORDER BY dst) AS rank FROM e),
+    deg AS (SELECT src, count(*) AS out_deg FROM e GROUP BY src),
+    nodes AS (SELECT src AS entity FROM e UNION SELECT dst AS entity FROM e),
+    w0 AS (SELECT entity AS start, w.walk_id, entity AS prev, entity
+           FROM nodes, (SELECT unnest(range(0, {n_walks})) AS walk_id) w),
+    w1 AS (
+        SELECT c.start, c.walk_id, c.entity AS prev, n.dst AS entity
+        FROM w0 c
+        JOIN deg d ON c.entity = d.src
+        JOIN nbr n ON n.src = c.entity
+          AND n.rank = (CAST('0x' || substr(md5('rw:' || c.start || ':' || c.walk_id ||
+                        ':' || 1 || ':' || c.entity), 1, 15) AS BIGINT) % d.out_deg) + 1
+    )"""
+    ]
+    for t in range(2, length + 1):
+        r = (
+            f"CAST('0x' || substr(md5('n2v:' || start || ':' || walk_id || "
+            f"':' || {t} || ':' || entity), 1, 15) AS BIGINT)"
+        )
+        parts.append(
+            f""",
+    c{t} AS (
+        SELECT c.start, c.walk_id, c.prev, c.entity, e.dst AS x,
+               CAST(CASE WHEN e.dst = c.prev THEN {w_return}
+                         WHEN m.src IS NOT NULL THEN {w_near}
+                         ELSE {w_far} END AS BIGINT) AS w
+        FROM w{t - 1} c
+        JOIN e ON e.src = c.entity
+        LEFT JOIN e m ON m.src = c.prev AND m.dst = e.dst
+    ),
+    s{t} AS (
+        SELECT *,
+               sum(w) OVER (PARTITION BY start, walk_id ORDER BY x
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+               sum(w) OVER (PARTITION BY start, walk_id) AS tot
+        FROM c{t}
+    ),
+    w{t} AS (
+        SELECT start, walk_id, entity AS prev, x AS entity
+        FROM s{t}
+        WHERE ({r} % tot) >= cum - w AND ({r} % tot) < cum
+    )"""
+        )
+    reads = [
+        f"SELECT start, CAST(walk_id AS INT) AS walk_id, CAST({t} AS INT) AS step, entity FROM w{t}"
+        for t in range(0, length + 1)
+    ]
+    parts.append("\n    " + "\n    UNION ALL\n    ".join(reads))
+    return "".join(parts)
+
+
+KG_DUCK_SQL["kg_node2vec_walks"] = _kg_node2vec_oracle_sql()
+
 
 def _kg_docs(spark: SparkSession):
     from chatvector_ai_spark.datagen import documents_df
@@ -3124,6 +3234,30 @@ def kg_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return random_walks(kg_edges(spark, sf_dir), n_walks=2, length=3)
 
 
+def kg_supergraph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community-rollup supergraph: LPA communities collapsed to
+    (c_src, c_dst) edge/relation counts
+    (operators/graph.community_supergraph)."""
+    from chatvector_ai_spark.operators.graph import community_supergraph
+
+    return community_supergraph(kg_edges(spark, sf_dir), iterations=_LPA_ITERS)
+
+
+def kg_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log2-bucketed degree distribution (operators/graph.degree_histogram)."""
+    from chatvector_ai_spark.operators.graph import degree_histogram
+
+    return degree_histogram(kg_edges(spark, sf_dir))
+
+
+def kg_node2vec_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic node2vec-biased walk corpus (p=4, q=2 integer
+    weights; operators/graph.node2vec_walks)."""
+    from chatvector_ai_spark.operators.graph import node2vec_walks
+
+    return node2vec_walks(kg_edges(spark, sf_dir), n_walks=2, length=3)
+
+
 def kg_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Landmark closeness centrality from four seed hubs, 3-hop radius
     (operators/graph.closeness — multi-source BFS). max_frontier=None:
@@ -3192,6 +3326,9 @@ KG_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_anf": kg_anf,
     "kg_hits": kg_hits,
     "kg_random_walks": kg_random_walks,
+    "kg_supergraph": kg_supergraph,
+    "kg_degree_histogram": kg_degree_histogram,
+    "kg_node2vec_walks": kg_node2vec_walks,
 }
 
 

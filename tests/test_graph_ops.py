@@ -1079,3 +1079,109 @@ def test_random_walks_follow_edges_and_truncate_at_sinks(spark):
     for r in random_walks(e, n_walks=2, length=4).collect():
         again.setdefault((r.start, r.walk_id), {})[r.step] = r.entity
     assert again == walks
+
+
+def test_community_supergraph_collapses_components(spark):
+    from chatvector_ai_spark.operators.graph import community_supergraph
+
+    # two triangles joined by nothing: rollup must keep them apart and
+    # account for every raw (non-self) edge row exactly once
+    rows = [
+        ("a", "r1", "b"), ("b", "r1", "c"), ("c", "r2", "a"), ("a", "r1", "b"),
+        ("x", "r1", "y"), ("y", "r2", "z"), ("z", "r1", "x"),
+    ]
+    e = spark.createDataFrame(rows, "src string, rel string, dst string")
+    got = community_supergraph(e, iterations=3).collect()
+    assert sum(r.n_edges for r in got) == len(rows)
+    comp_of = {}
+    for r in got:
+        comp_of.setdefault(r.c_src, set()).add(r.c_dst)
+    left = {c for r in got for c in (r.c_src, r.c_dst) if c in "abc"}
+    right = {c for r in got for c in (r.c_src, r.c_dst) if c in "xyz"}
+    # no supergraph edge crosses the two components
+    for r in got:
+        assert not (r.c_src in left and r.c_dst in right)
+        assert not (r.c_src in right and r.c_dst in left)
+        assert r.n_rels >= 1
+
+
+def test_degree_histogram_buckets_by_bit_length(spark):
+    from chatvector_ai_spark.operators.graph import degree_histogram
+
+    # a: deg 3 (bucket 1), b: deg 2 (bucket 1), c/hub2: deg 1 (bucket 0),
+    # hub: deg 5 (bucket 2)
+    rows = [
+        ("a", "r", "b"), ("a", "r", "hub"), ("hub", "r", "a"),
+        ("b", "r", "hub"), ("hub", "r", "c"), ("hub", "r", "hub2"),
+    ]
+    e = spark.createDataFrame(rows, "src string, rel string, dst string")
+    got = {r.bucket: r for r in degree_histogram(e).collect()}
+    assert got[0].n_entities == 2  # c, hub2 (deg 1)
+    assert got[1].n_entities == 2  # a (3), b (2)
+    assert (got[1].min_degree, got[1].max_degree) == (2, 3)
+    assert got[2].n_entities == 1 and got[2].min_degree == 5
+    assert sum(r.n_entities for r in got.values()) == 5
+    assert sum(r.sum_degree for r in got.values()) == 2 * len(rows)
+
+
+def _py_node2vec(edge_list, n_walks, length, w_return=25, w_near=100, w_far=50):
+    import hashlib
+
+    def h60(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    e = sorted({(s, d) for s, d in edge_list if s != d})
+    out_nbrs = {}
+    for s, d in e:
+        out_nbrs.setdefault(s, []).append(d)  # dst-sorted via e sort
+    eset = set(e)
+    nodes = sorted({s for s, _ in e} | {d for _, d in e})
+    walks = {}
+    for start in nodes:
+        for w in range(n_walks):
+            path = [start]
+            prev, cur = start, start
+            for t in range(1, length + 1):
+                nbrs = out_nbrs.get(cur)
+                if not nbrs:
+                    break
+                if t == 1:
+                    nxt = nbrs[h60(f"rw:{start}:{w}:{t}:{cur}") % len(nbrs)]
+                else:
+                    ws = [
+                        w_return if x == prev
+                        else (w_near if (prev, x) in eset else w_far)
+                        for x in nbrs
+                    ]
+                    r = h60(f"n2v:{start}:{w}:{t}:{cur}") % sum(ws)
+                    cum = 0
+                    for x, wt in zip(nbrs, ws):
+                        cum += wt
+                        if r < cum:
+                            nxt = x
+                            break
+                prev, cur = cur, nxt
+                path.append(nxt)
+            walks[(start, w)] = path
+    return walks
+
+
+def test_node2vec_walks_match_python_replica(spark):
+    from chatvector_ai_spark.operators.graph import node2vec_walks
+
+    # branching graph: every node has >= 2 out-neighbors so the weighted
+    # choice is actually exercised (returns, triangles, and far jumps)
+    edge_list = [
+        ("a", "b"), ("a", "c"), ("b", "a"), ("b", "c"), ("b", "d"),
+        ("c", "a"), ("c", "d"), ("d", "a"), ("d", "b"),
+    ]
+    e = spark.createDataFrame(
+        [(s, "r", d) for s, d in edge_list], "src string, rel string, dst string"
+    )
+    got = {}
+    for r in node2vec_walks(e, n_walks=3, length=4).collect():
+        got.setdefault((r.start, r.walk_id), {})[r.step] = r.entity
+    expect = _py_node2vec(edge_list, 3, 4)
+    assert set(got) == set(expect)
+    for k, path in expect.items():
+        assert [got[k][t] for t in sorted(got[k])] == path
