@@ -3382,14 +3382,16 @@ PY_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 
 
 # The driver's correctness snapshot records the FIRST 50 rows of
-# all_queries() in insertion order. Rotation policy (round 4): the 35
-# graph/KGE analytics added in round 3 were outside round 3's window (its
-# window ended at kg_tenant_counts), so they lead; the remaining 15 slots
-# pin the §2-core relational operators plus the KG ingest/link rows. Rows
-# after position 50 were all driver-green in rounds 1–3 and are unchanged;
-# tools/check_oracle.py still gates every query locally each round.
+# all_queries() in insertion order. Rotation policy (round 4): every query
+# that has never had a driver-green row leads — the 35 graph/KGE analytics
+# added in round 3 (round 3's window ended at kg_tenant_counts) plus the 14
+# analytics added in round 4 — and the one remaining slot pins kg_triples
+# (the core triple-extraction query) as the round-over-round continuity
+# anchor. Rows after position 50 were all driver-green in rounds 1–3 and
+# are unchanged; tools/check_oracle.py still gates every query locally
+# each round.
 _DRIVER_WINDOW_FIRST: list[str] = [
-    # -- round-3 analytics, never driver-checked before this round (35) --
+    # -- round-3 analytics, never driver-checked before round 4 (35) --
     "kg_edges", "kg_nodes", "kg_entity_degrees", "kg_cooccurrence",
     "kg_ego_edges", "kg_relation_counts", "kg_khop", "kg_pagerank",
     "kg_ppr", "kg_triangles", "kg_components", "kg_kcore", "kg_structsim",
@@ -3400,13 +3402,14 @@ _DRIVER_WINDOW_FIRST: list[str] = [
     "kg_export_ntriples", "kg_entity_summary", "kg_lpa_communities",
     "kg_conflicts_resolved", "kg_ontology", "kg_edge_diff", "kg_paths",
     "kg_skew_report", "kg_weighted_pagerank", "kg_constraint_violations",
-    # -- §2-core + KG pipeline representatives (15) --
-    "j1_provenance_join", "a3_rrf_fusion", "t1_topk_per_group",
-    "w1_cosine_topk", "w4_rerank_combined", "u1_union_first_wins",
-    "kg_ingest_chunks", "kg_ingest_chunks_paragraph",
-    "kg_ingest_chunks_semantic", "kg_triples", "kg_linked_mentions",
-    "kg_canonical_entities", "dd_minhash_lsh", "ann_ivf_rerank",
-    "ev_asof_join",
+    # -- round-4 additions, never driver-checked (14) --
+    "kg_link_prediction", "kg_rules", "kg_relation_properties",
+    "kg_inverse_relations", "kg_closeness", "kg_distmult_loss",
+    "kg_triple_evidence", "kg_anf", "kg_hits", "kg_random_walks",
+    "kg_supergraph", "kg_degree_histogram", "kg_node2vec_walks",
+    "tx_contamination",
+    # -- continuity anchor (driver-green in rounds 1-3) --
+    "kg_triples",
 ]
 
 
