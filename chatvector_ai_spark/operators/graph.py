@@ -1686,3 +1686,282 @@ def node2vec_walks(
             cur.select("start", "walk_id", F.lit(t).cast("int").alias("step"), "entity")
         )
     return out.select("start", "walk_id", "step", "entity")
+
+
+def strongly_connected_components(
+    edges: DataFrame, max_outer_rounds: int = 8, max_prop_rounds: int = 50
+) -> DataFrame:
+    """Directed strongly connected components via **trim + forward
+    coloring + backward confirmation** (the FW-BW/coloring family of
+    Fleischer et al. 2000 / Orzan 2004 / Slota et al. 2014, restated as
+    pure DataFrame rounds). SCC id of v = the minimum entity id mutually
+    reachable with v — the same min-id convention connected_components
+    uses, so downstream consumers treat both label tables identically.
+
+    Outer round:
+      1. **trim**: iteratively peel in-degree-0 / out-degree-0 nodes —
+         each is its own (trivial) SCC. This removes the DAG fringe that
+         dominates real KGs before any propagation work.
+      2. **color**: propagate min-ancestor-id forward along edge
+         direction to a fixpoint (fingerprint-tested, like
+         connected_components): color(v) = min id that reaches v.
+      3. **confirm**: within each color, propagate "reaches the color
+         root" backward to a fixpoint. Nodes confirmed both directions
+         form the SCC of that root and leave the active set.
+    Every confirmed color removes at least its root each outer round, so
+    progress is guaranteed; ``max_outer_rounds`` bounds worst-case latency
+    and the operator raises if the graph hasn't fully resolved (never at
+    fixture scale; at 10^12-edge scale raise the cap, the per-round cost
+    is O(|E|) shuffle like every other label-prop pass here).
+
+    Output: (entity, scc) for every node of the directed graph.
+    Determinism: min/bool-or aggregations only — order-independent, exact
+    DuckDB twin via a transitive-closure WITH RECURSIVE (the oracle
+    defines the semantics; this implements them scalably).
+    """
+    e = (
+        edges.select("src", "dst")
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    active_nodes = (
+        e.select(F.col("src").alias("entity"))
+        .unionByName(e.select(F.col("dst").alias("entity")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    done_parts: list[DataFrame] = []
+
+    def fp(df: DataFrame, *cols: str) -> tuple[int, int]:
+        row = df.agg(
+            F.count("*").alias("n"),
+            F.coalesce(F.expr(f"bit_xor(xxhash64({', '.join(cols)}))"), F.lit(0)).alias("h"),
+        ).collect()[0]
+        return int(row["n"]), int(row["h"])
+
+    for _ in range(max_outer_rounds):
+        n_active = active_nodes.count()
+        if n_active == 0:
+            break
+        # -- 1. trim the DAG fringe: nodes missing an in- or out-edge are
+        # trivial SCCs of themselves. Iterate: peeling exposes new fringe.
+        for _ in range(max_prop_rounds):
+            srcs = e.select(F.col("src").alias("entity")).distinct()
+            dsts = e.select(F.col("dst").alias("entity")).distinct()
+            both = srcs.join(dsts, "entity", "inner").localCheckpoint(eager=True)
+            trimmed = active_nodes.join(both, "entity", "left_anti")
+            n_trim = trimmed.count()
+            if n_trim == 0:
+                break
+            done_parts.append(
+                trimmed.select("entity", F.col("entity").alias("scc")).localCheckpoint(
+                    eager=True
+                )
+            )
+            active_nodes = active_nodes.join(both, "entity", "left_semi").localCheckpoint(
+                eager=True
+            )
+            e = (
+                e.join(both.withColumnRenamed("entity", "src"), "src", "left_semi")
+                .join(both.withColumnRenamed("entity", "dst"), "dst", "left_semi")
+                .select("src", "dst")
+                .localCheckpoint(eager=True)
+            )
+        if active_nodes.count() == 0:
+            break
+        # -- 2. forward coloring: color(v) = min id with a directed path to v.
+        color = active_nodes.select("entity", F.col("entity").alias("color"))
+        prev = fp(color, "entity", "color")
+        for _ in range(max_prop_rounds):
+            incoming = (
+                e.join(
+                    color.select(F.col("entity").alias("src"), F.col("color").alias("c_in")),
+                    "src",
+                )
+                .groupBy(F.col("dst").alias("entity"))
+                .agg(F.min("c_in").alias("c_min"))
+            )
+            color = (
+                color.join(incoming, "entity", "left")
+                .select("entity", F.least("color", F.coalesce("c_min", "color")).alias("color"))
+                .localCheckpoint(eager=True)
+            )
+            cur = fp(color, "entity", "color")
+            if cur == prev:
+                break
+            prev = cur
+        # -- 3. backward confirmation within each color: can v reach its root?
+        confirmed = color.where(F.col("entity") == F.col("color")).select(
+            "entity", "color"
+        )
+        ec = (
+            e.join(color.withColumnRenamed("entity", "src").withColumnRenamed("color", "c_src"), "src")
+            .join(color.withColumnRenamed("entity", "dst").withColumnRenamed("color", "c_dst"), "dst")
+            .where(F.col("c_src") == F.col("c_dst"))
+            .select("src", "dst", F.col("c_src").alias("color"))
+            .localCheckpoint(eager=True)
+        )
+        prev = fp(confirmed, "entity", "color")
+        for _ in range(max_prop_rounds):
+            new = (
+                ec.join(
+                    confirmed.select(F.col("entity").alias("dst"), "color"),
+                    ["dst", "color"],
+                )
+                .select(F.col("src").alias("entity"), "color")
+                .distinct()
+            )
+            confirmed = confirmed.unionByName(new).distinct().localCheckpoint(eager=True)
+            cur = fp(confirmed, "entity", "color")
+            if cur == prev:
+                break
+            prev = cur
+        done_parts.append(
+            confirmed.select("entity", F.col("color").alias("scc")).localCheckpoint(
+                eager=True
+            )
+        )
+        active_nodes = active_nodes.join(confirmed, "entity", "left_anti").localCheckpoint(
+            eager=True
+        )
+        e = (
+            e.join(active_nodes.withColumnRenamed("entity", "src"), "src", "left_semi")
+            .join(active_nodes.withColumnRenamed("entity", "dst"), "dst", "left_semi")
+            .select("src", "dst")
+            .localCheckpoint(eager=True)
+        )
+    else:
+        if active_nodes.count() > 0:
+            raise ValueError(
+                "strongly_connected_components: graph did not resolve within "
+                f"max_outer_rounds={max_outer_rounds}; raise the cap"
+            )
+    if not done_parts:  # edgeless input: no nodes, empty labeled result
+        return active_nodes.select("entity", F.col("entity").alias("scc"))
+    out = done_parts[0]
+    for p in done_parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def skipgram_pairs(walks: DataFrame, window: int = 2) -> DataFrame:
+    """(center, context) co-occurrence counts from a walk corpus — the
+    skip-gram training-pair extraction step of DeepWalk/node2vec (Perozzi
+    et al. 2014 §4.2): within each walk, every ordered pair of nodes at
+    step distance 1..window becomes a training pair, symmetrized
+    (context windows look both ways) and aggregated to integer counts.
+
+    Input: (start, walk_id, step, entity) as produced by random_walks /
+    node2vec_walks. One self-equi-join on the walk key with a bounded
+    step-distance predicate (the per-walk row count is length+1, so the
+    join fan-out per walk is O(length·window), not quadratic blowup),
+    then one hash-agg. Output: (center, context, n_pairs).
+    """
+    a = walks.select(F.col("start").alias("s"), F.col("walk_id").alias("w"),
+                     F.col("step").alias("i"), F.col("entity").alias("center"))
+    b = walks.select(F.col("start").alias("s"), F.col("walk_id").alias("w"),
+                     F.col("step").alias("j"), F.col("entity").alias("context"))
+    return (
+        a.join(b, ["s", "w"])
+        .where(
+            (F.col("i") != F.col("j"))
+            & (F.abs(F.col("i") - F.col("j")) <= window)
+        )
+        .groupBy("center", "context")
+        .agg(F.count("*").alias("n_pairs"))
+    )
+
+
+def effective_diameter(
+    edges: DataFrame, max_hops: int = 4, n_registers: int = 16
+) -> DataFrame:
+    """Graph-level neighborhood-growth curve and effective-diameter
+    readout from the ANF sketches (Palmer et al. 2002 §3: the effective
+    diameter is the smallest h where the cumulative reachable-pair count
+    hits 90% of its max-hop value). One row per hop with the summed
+    ball-size estimate, its ppm fraction of the max-hop total, and the
+    90%-threshold flag; the smallest flagged hop is the effective
+    diameter.
+
+    All arithmetic after the per-node FM estimate is integer: nf_est
+    (already rounded to 4 decimals by neighborhood_function) is scaled
+    ×10000 to BIGINT before the sum, so the aggregation is
+    order-independent and the DuckDB twin is exact — summing raw doubles
+    across 10^9 entities would be ulp-order-dependent. Cost on top of
+    neighborhood_function: one hash-agg over |V|·max_hops rows.
+    """
+    nf = neighborhood_function(edges, max_hops=max_hops, n_registers=n_registers)
+    per_hop = (
+        nf.withColumn("nf_i", F.expr("CAST(round(nf_est * 10000) AS BIGINT)"))
+        .groupBy("hop")
+        .agg(F.sum("nf_i").alias("nf_total"))
+    )
+    mx = per_hop.agg(F.max("nf_total").alias("nf_max"))
+    return (
+        per_hop.crossJoin(F.broadcast(mx))
+        .select(
+            "hop",
+            "nf_total",
+            F.expr("(1000000 * nf_total) DIV nf_max").cast("bigint").alias("frac_ppm"),
+            (F.col("nf_total") * 10 >= F.col("nf_max") * 9).alias("reaches_p90"),
+        )
+    )
+
+
+def link_prediction_ra(
+    edges: DataFrame,
+    max_neighbors: int = 64,
+    min_common: int = 2,
+) -> DataFrame:
+    """Resource-allocation link prediction (Zhou, Lü & Zhang 2009): score
+    a non-adjacent pair (a, b) by Σ_z 1/deg(z) over their common
+    neighbors z — hubs route less "resource" per neighbor pair, so a
+    shared rare neighbor counts more than a shared celebrity, which is
+    exactly the correction common-neighbor counting lacks. Scored in
+    integer ppm (1000000 DIV deg(z), summed) so the result is
+    aggregation-order-independent with an exact DuckDB twin.
+
+    Same candidate-generation shape as link_prediction_cn: pairs are
+    blocked per shared neighbor with the neighbor list capped at
+    ``max_neighbors`` (deterministic dst-order) — a degree-d hub emits at
+    most max_neighbors² candidate pairs — then existing edges are
+    anti-joined away. The 1/deg(z) weight uses z's TRUE degree, not the
+    capped one. Output: (entity_a, entity_b, common_neighbors, ra_ppm).
+    """
+    from pyspark.sql import Window
+
+    sym = (
+        edges.where(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+        .unionByName(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct()
+    )
+    deg = sym.groupBy(F.col("src").alias("z")).agg(F.count("*").alias("z_deg"))
+    w = Window.partitionBy("src").orderBy("dst")
+    capped = (
+        sym.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= max_neighbors)
+        .select(F.col("src").alias("z"), F.col("dst").alias("entity"))
+    )
+    a, b = capped.alias("a"), capped.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.z") == F.col("b.z")) & (F.col("a.entity") < F.col("b.entity")))
+        .select(
+            F.col("a.entity").alias("entity_a"),
+            F.col("b.entity").alias("entity_b"),
+            F.col("a.z").alias("z"),
+        )
+        .join(deg, "z")
+        .groupBy("entity_a", "entity_b")
+        .agg(
+            F.count("*").alias("common_neighbors"),
+            F.sum(F.expr("1000000 DIV z_deg")).cast("bigint").alias("ra_ppm"),
+        )
+        .where(F.col("common_neighbors") >= min_common)
+    )
+    return pairs.join(
+        sym.select(F.col("src").alias("entity_a"), F.col("dst").alias("entity_b")),
+        ["entity_a", "entity_b"],
+        "left_anti",
+    )

@@ -2661,6 +2661,127 @@ def _kg_node2vec_oracle_sql(
 
 KG_DUCK_SQL["kg_node2vec_walks"] = _kg_node2vec_oracle_sql()
 
+# Directed SCC twin (operators/graph.strongly_connected_components). The
+# oracle DEFINES the semantics — scc(v) = min id mutually reachable with v
+# — via a WITH RECURSIVE transitive closure (fine at fixture scale; the
+# Spark side implements the same semantics with the scalable trim +
+# forward-coloring + backward-confirmation rounds).
+KG_DUCK_SQL["kg_scc"] = f"""
+    WITH RECURSIVE e AS (
+        SELECT DISTINCT src, dst FROM '{_KG_FIXTURE_DIR}/edges.parquet'
+        WHERE src <> dst
+    ),
+    nodes AS (SELECT src AS entity FROM e UNION SELECT dst AS entity FROM e),
+    reach(a, b) AS (
+        SELECT entity AS a, entity AS b FROM nodes
+        UNION
+        SELECT r.a, e.dst AS b FROM reach r JOIN e ON e.src = r.b
+    )
+    SELECT f.a AS entity, min(f.b) AS scc
+    FROM reach f JOIN reach g ON f.a = g.b AND f.b = g.a
+    GROUP BY f.a
+"""
+
+# Skip-gram pair-extraction twin (operators/graph.skipgram_pairs) over the
+# deterministic DeepWalk corpus: same walk CTE as kg_random_walks, then the
+# bounded step-distance self-join and count agg.
+KG_DUCK_SQL["kg_skipgram_pairs"] = f"""
+    WITH walks AS (SELECT * FROM ({_kg_walks_oracle_sql()}))
+    SELECT a.entity AS center, b.entity AS context, count(*) AS n_pairs
+    FROM walks a JOIN walks b
+      ON a.start = b.start AND a.walk_id = b.walk_id
+    WHERE a.step <> b.step AND abs(a.step - b.step) <= 2
+    GROUP BY 1, 2
+"""
+
+# Effective-diameter twin (operators/graph.effective_diameter): the ANF CTE
+# at max_hops=3, per-node estimates scaled x10000 to BIGINT before the sum
+# so the per-hop totals are aggregation-order-independent.
+KG_DUCK_SQL["kg_effective_diameter"] = f"""
+    WITH nf AS (SELECT * FROM ({_kg_anf_oracle_sql(max_hops=3)})),
+    per_hop AS (
+        SELECT hop,
+               CAST(sum(CAST(round(nf_est * 10000) AS BIGINT)) AS BIGINT) AS nf_total
+        FROM nf GROUP BY hop
+    ),
+    mx AS (SELECT max(nf_total) AS nf_max FROM per_hop)
+    SELECT hop, nf_total,
+           CAST((1000000 * nf_total) // nf_max AS BIGINT) AS frac_ppm,
+           (nf_total * 10 >= nf_max * 9) AS reaches_p90
+    FROM per_hop CROSS JOIN mx
+"""
+
+# Resource-allocation link-prediction twin (operators/graph.
+# link_prediction_ra): kg_link_prediction's candidate CTEs with the
+# sum(1000000 // deg(z)) integer-ppm RA weight carried per shared neighbor.
+KG_DUCK_SQL["kg_link_prediction_ra"] = f"""
+    WITH sym AS (
+        SELECT DISTINCT src, dst FROM (
+            SELECT src, dst FROM '{_KG_FIXTURE_DIR}/edges.parquet' WHERE src <> dst
+            UNION ALL
+            SELECT dst AS src, src AS dst FROM '{_KG_FIXTURE_DIR}/edges.parquet' WHERE src <> dst
+        )
+    ),
+    deg AS (SELECT src AS z, count(*) AS z_deg FROM sym GROUP BY src),
+    capped AS (
+        SELECT src AS z, dst AS entity FROM (
+            SELECT src, dst,
+                   row_number() OVER (PARTITION BY src ORDER BY dst) AS rk
+            FROM sym) t
+        WHERE rk <= 64
+    ),
+    pairs AS (
+        SELECT a.entity AS entity_a, b.entity AS entity_b,
+               count(*) AS common_neighbors,
+               CAST(sum(1000000 // d.z_deg) AS BIGINT) AS ra_ppm
+        FROM capped a
+        JOIN capped b ON a.z = b.z AND a.entity < b.entity
+        JOIN deg d ON d.z = a.z
+        GROUP BY 1, 2
+        HAVING count(*) >= 2
+    )
+    SELECT p.* FROM pairs p
+    WHERE NOT EXISTS (
+        SELECT 1 FROM sym s
+        WHERE s.src = p.entity_a AND s.dst = p.entity_b)
+"""
+
+# ComplEx margin loss (operators/kgtrain.complex_margin_loss): same sampler
+# and md5-embedding arithmetic as the TransE/DistMult twins; the score is
+# the 4-term real part of the complex trilinear product, HIGHER-is-better
+# hinge, distinct "cer:"/"cei:"/"crr:"/"cri:" init prefixes.
+KG_DUCK_SQL["kg_complex_loss"] = f"""
+    WITH samples AS (
+        SELECT * FROM ({KG_DUCK_SQL["kg_negative_samples"]})
+    ),
+    emb AS (
+        SELECT rel,
+               {_duck_emb("cer:", "src")} AS hr,
+               {_duck_emb("cei:", "src")} AS hi,
+               {_duck_emb("crr:", "rel")} AS rr,
+               {_duck_emb("cri:", "rel")} AS ri,
+               {_duck_emb("cer:", "dst")} AS tr,
+               {_duck_emb("cei:", "dst")} AS ti,
+               {_duck_emb("cer:", "neg_dst")} AS nr,
+               {_duck_emb("cei:", "neg_dst")} AS ni
+        FROM samples
+    ),
+    scored AS (
+        SELECT rel,
+               greatest(0.0, 1.0
+                   - ({_duck_dot3("hr", "rr", "tr")} + {_duck_dot3("hr", "ri", "ti")}
+                      + {_duck_dot3("hi", "rr", "ti")} - {_duck_dot3("hi", "ri", "tr")})
+                   + ({_duck_dot3("hr", "rr", "nr")} + {_duck_dot3("hr", "ri", "ni")}
+                      + {_duck_dot3("hi", "rr", "ni")} - {_duck_dot3("hi", "ri", "nr")})
+               ) AS hinge
+        FROM emb
+    )
+    SELECT rel, count(*) AS n_samples,
+           CAST(sum(CASE WHEN hinge > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_active,
+           round(avg(hinge), 6) AS avg_loss
+    FROM scored GROUP BY rel
+"""
+
 
 def _kg_docs(spark: SparkSession):
     from chatvector_ai_spark.datagen import documents_df
@@ -3272,6 +3393,55 @@ def kg_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def kg_scc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed strongly connected components — min-mutually-reachable-id
+    labels via trim + forward-coloring + backward-confirmation rounds
+    (operators/graph.strongly_connected_components); the oracle defines
+    the same semantics with a transitive-closure recursive CTE."""
+    from chatvector_ai_spark.operators.graph import strongly_connected_components
+
+    return strongly_connected_components(kg_edges(spark, sf_dir))
+
+
+def kg_skipgram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skip-gram (center, context) training-pair counts from the
+    deterministic DeepWalk corpus, window=2
+    (operators/graph.skipgram_pairs over random_walks)."""
+    from chatvector_ai_spark.operators.graph import random_walks, skipgram_pairs
+
+    return skipgram_pairs(
+        random_walks(kg_edges(spark, sf_dir), n_walks=2, length=3), window=2
+    )
+
+
+def kg_effective_diameter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph-level neighborhood-growth curve + 90% effective-diameter flag
+    from the ANF sketches, 3-hop horizon
+    (operators/graph.effective_diameter)."""
+    from chatvector_ai_spark.operators.graph import effective_diameter
+
+    return effective_diameter(kg_edges(spark, sf_dir), max_hops=3, n_registers=16)
+
+
+def kg_link_prediction_ra(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resource-allocation link prediction: hub-discounted integer-ppm
+    Σ 1/deg(z) over common neighbors
+    (operators/graph.link_prediction_ra)."""
+    from chatvector_ai_spark.operators.graph import link_prediction_ra
+
+    return link_prediction_ra(kg_edges(spark, sf_dir))
+
+
+def kg_complex_loss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-relation ComplEx margin loss at the deterministic init — the
+    third scorer on the shared KGE substrate, handling asymmetric
+    relations (operators/kgtrain.complex_margin_loss; dim=16, n_neg=2,
+    gamma=1)."""
+    from chatvector_ai_spark.operators.kgtrain import complex_margin_loss
+
+    return complex_margin_loss(kg_edges(spark, sf_dir), dim=_TRANSE_DIM)
+
+
 KG_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_ingest_chunks": kg_ingest_chunks,
     "kg_ingest_chunks_paragraph": _kg_chunks_query("paragraph"),
@@ -3329,6 +3499,11 @@ KG_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_supergraph": kg_supergraph,
     "kg_degree_histogram": kg_degree_histogram,
     "kg_node2vec_walks": kg_node2vec_walks,
+    "kg_scc": kg_scc,
+    "kg_skipgram_pairs": kg_skipgram_pairs,
+    "kg_effective_diameter": kg_effective_diameter,
+    "kg_link_prediction_ra": kg_link_prediction_ra,
+    "kg_complex_loss": kg_complex_loss,
 }
 
 

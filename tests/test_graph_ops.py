@@ -1185,3 +1185,163 @@ def test_node2vec_walks_match_python_replica(spark):
     assert set(got) == set(expect)
     for k, path in expect.items():
         assert [got[k][t] for t in sorted(got[k])] == path
+
+
+def _py_tarjan(edge_list):
+    """Reference SCC labels: entity -> min id in its SCC (iterative Tarjan)."""
+    adj: dict[str, list[str]] = {}
+    nodes: set[str] = set()
+    for s, d in edge_list:
+        if s != d:
+            adj.setdefault(s, []).append(d)
+            nodes.add(s)
+            nodes.add(d)
+    index: dict[str, int] = {}
+    low: dict[str, int] = {}
+    onstk: dict[str, bool] = {}
+    stk: list[str] = []
+    sccs: list[list[str]] = []
+    counter = [0]
+
+    def strongconnect(root):
+        work = [(root, iter(adj.get(root, [])))]
+        index[root] = low[root] = counter[0]
+        counter[0] += 1
+        stk.append(root)
+        onstk[root] = True
+        while work:
+            v, it = work[-1]
+            advanced = False
+            for w_ in it:
+                if w_ not in index:
+                    index[w_] = low[w_] = counter[0]
+                    counter[0] += 1
+                    stk.append(w_)
+                    onstk[w_] = True
+                    work.append((w_, iter(adj.get(w_, []))))
+                    advanced = True
+                    break
+                elif onstk.get(w_):
+                    low[v] = min(low[v], index[w_])
+            if advanced:
+                continue
+            work.pop()
+            if work:
+                pv = work[-1][0]
+                low[pv] = min(low[pv], low[v])
+            if low[v] == index[v]:
+                comp = []
+                while True:
+                    w_ = stk.pop()
+                    onstk[w_] = False
+                    comp.append(w_)
+                    if w_ == v:
+                        break
+                sccs.append(comp)
+
+    for v in sorted(nodes):
+        if v not in index:
+            strongconnect(v)
+    out = {}
+    for comp in sccs:
+        m = min(comp)
+        for v in comp:
+            out[v] = m
+    return out
+
+
+def test_scc_matches_tarjan_on_planted_cycles(spark):
+    import random
+
+    from chatvector_ai_spark.operators.graph import strongly_connected_components
+
+    rng = random.Random(7)
+    edges = set()
+    for cyc in ([3, 17, 42, 9], [25, 11, 50], [1, 2]):
+        names = [f"n{i:02d}" for i in cyc]
+        for i in range(len(names)):
+            edges.add((names[i], names[(i + 1) % len(names)]))
+    for _ in range(80):
+        a, b = rng.sample(range(60), 2)
+        edges.add((f"n{a:02d}", f"n{b:02d}"))
+    df = spark.createDataFrame(
+        [(s, "r", d) for s, d in edges], "src string, rel string, dst string"
+    )
+    expected = _py_tarjan(edges)
+    got = {
+        r["entity"]: r["scc"]
+        for r in strongly_connected_components(df, max_outer_rounds=16).collect()
+    }
+    assert got == expected
+    assert sum(1 for comp in set(expected.values()) if list(expected.values()).count(comp) > 1) >= 3
+
+
+def test_scc_dag_is_all_trivial_and_trim_handles_it(spark):
+    from chatvector_ai_spark.operators.graph import strongly_connected_components
+
+    # pure DAG (a path): trim alone must resolve it — every node its own SCC
+    e = spark.createDataFrame(
+        [(f"p{i}", "r", f"p{i+1}") for i in range(6)],
+        "src string, rel string, dst string",
+    )
+    got = {r["entity"]: r["scc"] for r in strongly_connected_components(e).collect()}
+    assert got == {f"p{i}": f"p{i}" for i in range(7)}
+
+
+def test_skipgram_pairs_window_and_symmetry(spark):
+    from chatvector_ai_spark.operators.graph import skipgram_pairs
+
+    walks = spark.createDataFrame(
+        [("a", 0, 0, "a"), ("a", 0, 1, "b"), ("a", 0, 2, "c"), ("a", 0, 3, "d")],
+        "start string, walk_id int, step int, entity string",
+    )
+    got = {
+        (r["center"], r["context"]): r["n_pairs"]
+        for r in skipgram_pairs(walks, window=2).collect()
+    }
+    # distance 1 and 2 pairs appear both ways; distance 3 excluded
+    assert got[("a", "b")] == 1 and got[("b", "a")] == 1
+    assert got[("a", "c")] == 1 and got[("b", "d")] == 1
+    assert ("a", "d") not in got and ("d", "a") not in got
+    # two walks over the same nodes double the counts
+    walks2 = walks.unionByName(
+        walks.selectExpr("start", "CAST(1 AS INT) AS walk_id", "step", "entity")
+    )
+    got2 = {
+        (r["center"], r["context"]): r["n_pairs"]
+        for r in skipgram_pairs(walks2, window=2).collect()
+    }
+    assert got2[("a", "b")] == 2
+
+
+def test_effective_diameter_flags_p90_hop(spark):
+    from chatvector_ai_spark.operators.graph import effective_diameter
+
+    # path graph p0..p5: ball sizes keep growing through hop 3
+    e = spark.createDataFrame(
+        [(f"p{i}", "r", f"p{i+1}") for i in range(5)],
+        "src string, rel string, dst string",
+    )
+    rows = {r["hop"]: r for r in effective_diameter(e, max_hops=3, n_registers=16).collect()}
+    assert set(rows) == {1, 2, 3}
+    assert rows[1]["nf_total"] <= rows[2]["nf_total"] <= rows[3]["nf_total"]
+    assert rows[3]["frac_ppm"] == 1_000_000 and rows[3]["reaches_p90"]
+    assert rows[1]["frac_ppm"] < 1_000_000
+
+
+def test_link_prediction_ra_discounts_hub_neighbors(spark):
+    from chatvector_ai_spark.operators.graph import link_prediction_ra
+
+    # a and b share rare neighbor z (deg 2); c and d share hub h (deg 6)
+    edge_list = [("a", "z"), ("b", "z"), ("c", "h"), ("d", "h"),
+                 ("h", "x1"), ("h", "x2"), ("h", "x3"), ("h", "x4")]
+    e = spark.createDataFrame(
+        [(s, "r", d) for s, d in edge_list], "src string, rel string, dst string"
+    )
+    got = {
+        (r["entity_a"], r["entity_b"]): r["ra_ppm"]
+        for r in link_prediction_ra(e, min_common=1).collect()
+    }
+    assert got[("a", "b")] == 1_000_000 // 2
+    assert got[("c", "d")] == 1_000_000 // 6
+    assert got[("a", "b")] > got[("c", "d")]

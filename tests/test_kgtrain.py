@@ -268,3 +268,42 @@ def test_distmult_loss_shares_sampler_and_matches_python(ring):
         assert got[rel].n_samples == len(hinges)
         assert abs(got[rel].avg_loss - sum(hinges) / len(hinges)) <= 1e-6
         assert got[rel].n_active == sum(1 for h in hinges if h > 0)
+
+
+def test_complex_score_is_asymmetric_unlike_distmult(spark):
+    """ComplEx must distinguish (h, r, t) from (t, r, h) — the asymmetry
+    DistMult structurally cannot express (Trouillon et al. 2016 §1)."""
+    from pyspark.sql import functions as F
+
+    from chatvector_ai_spark.operators.kgtrain import _complex_score, _emb_expr
+
+    df = spark.createDataFrame([("E1", "likes", "E2")], "src string, rel string, dst string")
+    dim = 8
+    hr = _emb_expr("cer:", F.col("src"), dim)
+    hi = _emb_expr("cei:", F.col("src"), dim)
+    rr = _emb_expr("crr:", F.col("rel"), dim)
+    ri = _emb_expr("cri:", F.col("rel"), dim)
+    tr = _emb_expr("cer:", F.col("dst"), dim)
+    ti = _emb_expr("cei:", F.col("dst"), dim)
+    row = df.select(
+        _complex_score(hr, hi, rr, ri, tr, ti).alias("fwd"),
+        _complex_score(tr, ti, rr, ri, hr, hi).alias("bwd"),
+    ).collect()[0]
+    assert abs(row["fwd"] - row["bwd"]) > 1e-9
+
+
+def test_complex_margin_loss_shape_and_determinism(spark):
+    from chatvector_ai_spark.operators.kgtrain import complex_margin_loss
+
+    edges = spark.createDataFrame(
+        [("E1", "likes", "E2"), ("E2", "likes", "E3"), ("E1", "knows", "E3"),
+         ("E3", "knows", "E4"), ("E4", "likes", "E1")],
+        "src string, rel string, dst string",
+    )
+    a = {r["rel"]: r for r in complex_margin_loss(edges, dim=8).collect()}
+    b = {r["rel"]: r for r in complex_margin_loss(edges, dim=8).collect()}
+    assert set(a) == {"likes", "knows"}
+    for rel in a:
+        assert a[rel]["avg_loss"] == b[rel]["avg_loss"]
+        assert 0 <= a[rel]["n_active"] <= a[rel]["n_samples"]
+        assert a[rel]["avg_loss"] >= 0.0
