@@ -1263,27 +1263,21 @@ def inverse_relations(edges: DataFrame, min_overlap: int = 2) -> DataFrame:
     )
 
 
-def closeness(
+def _landmark_bfs(
     edges: DataFrame,
     seeds: list[str],
-    max_hops: int = 4,
-    max_frontier: int | None = 100_000,
+    max_hops: int,
+    max_frontier: int | None,
 ) -> DataFrame:
-    """Landmark closeness centrality: per seed entity, BFS out to
-    ``max_hops`` (undirected) and report the reached-set size, the sum of
-    first-reach distances, and harmonic-style closeness as integer ppm
-    ((n_reached - 1) DIV-scaled by sum of distances) — the bounded-radius
-    landmark estimator (Eppstein & Wang 2004) used when exact all-pairs
-    closeness is infeasible at graph scale.
-
-    Scale shape: multi-source BFS — the frontier carries (seed, entity)
-    so one pass serves all landmarks; each hop is one shuffle join +
-    distinct with the same ``max_frontier`` cap discipline as khop/
-    paths_between (deterministic smallest-(seed, entity) order, logged
-    when it binds). Landmarks are a small explicit list (driver
-    broadcast-scale), never the full node set."""
+    """(seed, entity, hop) first-reach table for a multi-source undirected
+    BFS from an explicit landmark list — the shared front half of
+    ``closeness`` and ``harmonic_centrality``. One shuffle join + distinct
+    per hop; the frontier is capped at ``max_frontier`` rows per hop in
+    deterministic smallest-(seed, entity) order (same cap discipline as
+    khop / paths_between), and lineage is truncated per hop with
+    localCheckpoint so the loop never re-executes earlier hops."""
     if not seeds:
-        raise ValueError("closeness needs a non-empty seed list")
+        raise ValueError("landmark BFS needs a non-empty seed list")
     spark = edges.sparkSession
     sym = (
         edges.where(F.col("src") != F.col("dst"))
@@ -1309,6 +1303,29 @@ def closeness(
             break
         visited = visited.unionByName(nxt)
         frontier = nxt.select("seed", "entity")
+    return visited
+
+
+def closeness(
+    edges: DataFrame,
+    seeds: list[str],
+    max_hops: int = 4,
+    max_frontier: int | None = 100_000,
+) -> DataFrame:
+    """Landmark closeness centrality: per seed entity, BFS out to
+    ``max_hops`` (undirected) and report the reached-set size, the sum of
+    first-reach distances, and harmonic-style closeness as integer ppm
+    ((n_reached - 1) DIV-scaled by sum of distances) — the bounded-radius
+    landmark estimator (Eppstein & Wang 2004) used when exact all-pairs
+    closeness is infeasible at graph scale.
+
+    Scale shape: multi-source BFS — the frontier carries (seed, entity)
+    so one pass serves all landmarks; each hop is one shuffle join +
+    distinct with the same ``max_frontier`` cap discipline as khop/
+    paths_between (deterministic smallest-(seed, entity) order, logged
+    when it binds). Landmarks are a small explicit list (driver
+    broadcast-scale), never the full node set."""
+    visited = _landmark_bfs(edges, seeds, max_hops, max_frontier)
     return visited.groupBy("seed").agg(
         (F.count("*") - F.lit(1)).cast("bigint").alias("n_reached"),
         F.sum("hop").cast("bigint").alias("sum_dist"),
@@ -1964,4 +1981,169 @@ def link_prediction_ra(
         sym.select(F.col("src").alias("entity_a"), F.col("dst").alias("entity_b")),
         ["entity_a", "entity_b"],
         "left_anti",
+    )
+
+
+def clustering_coefficient(edges: DataFrame) -> DataFrame:
+    """Per-entity local clustering coefficient (Watts & Strogatz 1998):
+    lcc(v) = 2·T(v) / (deg(v)·(deg(v)−1)) over the undirected simple
+    graph, reported in integer ppm so the aggregation (and the DuckDB
+    twin) is exact — lcc_ppm = (2_000_000 · T(v)) DIV (d·(d−1)). One row
+    per entity with degree ≥ 2 (degree-1 nodes have no defined
+    coefficient); entities in no triangle report 0.
+
+    Scale shape: reuses the degree-oriented O(m^1.5) wedge join from
+    ``triangles`` (hub-safe), plus one degree hash-agg and one left join
+    — nothing here outgrows the triangle count itself.
+    """
+    und = (
+        edges.select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("a").alias("entity"))
+        .unionByName(und.select(F.col("b").alias("entity")))
+        .groupBy("entity")
+        .agg(F.count("*").alias("degree"))
+    )
+    tri = triangles(edges)
+    return (
+        deg.where(F.col("degree") >= 2)
+        .join(tri, "entity", "left")
+        .select(
+            "entity",
+            F.col("degree").cast("bigint").alias("degree"),
+            F.coalesce(F.col("n_triangles"), F.lit(0)).cast("bigint").alias("n_triangles"),
+            F.expr(
+                "(2000000 * coalesce(n_triangles, 0)) DIV (degree * (degree - 1))"
+            ).cast("bigint").alias("lcc_ppm"),
+        )
+    )
+
+
+def degree_assortativity(edges: DataFrame) -> DataFrame:
+    """Graph-level degree assortativity (Newman 2002): the Pearson
+    correlation of endpoint degrees over the symmetrized undirected edge
+    list (each edge contributes both orientations, so Σx = Σy and
+    Σx² = Σy² and the classic formula r = (M·Σxy − (Σx)²) /
+    (M·Σx² − (Σx)²) applies). The four moments are exact BIGINT hash-agg
+    sums of small integers — aggregation-order-independent — and only the
+    final ratio is computed in DOUBLE (cast from the exact sums in the
+    same expression order as the DuckDB twin, then rounded to 6
+    decimals). Positive r = hubs attach to hubs; KG mention graphs are
+    typically disassortative (r < 0) because hub entities collect
+    long tails of rare neighbors.
+
+    Scale shape: one distinct, two degree joins, one global agg — the
+    single-row output is the reduction, so no skew concern beyond the
+    degree join itself (AQE handles the hub key).
+    """
+    sym = (
+        edges.where(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+        .unionByName(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct()
+    )
+    deg = sym.groupBy(F.col("src").alias("entity")).agg(F.count("*").alias("d"))
+    dx = deg.select(F.col("entity").alias("src"), F.col("d").alias("x"))
+    dy = deg.select(F.col("entity").alias("dst"), F.col("d").alias("y"))
+    return (
+        sym.join(dx, "src")
+        .join(dy, "dst")
+        .agg(
+            F.count("*").cast("bigint").alias("m"),
+            F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sum_xy"),
+            F.sum("x").cast("bigint").alias("sum_x"),
+            F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sum_x2"),
+        )
+        .select(
+            "m",
+            "sum_xy",
+            "sum_x",
+            "sum_x2",
+            F.round(
+                (
+                    F.col("m").cast("double") * F.col("sum_xy").cast("double")
+                    - F.col("sum_x").cast("double") * F.col("sum_x").cast("double")
+                )
+                / (
+                    F.col("m").cast("double") * F.col("sum_x2").cast("double")
+                    - F.col("sum_x").cast("double") * F.col("sum_x").cast("double")
+                ),
+                6,
+            ).alias("assortativity"),
+        )
+    )
+
+
+def katz_centrality(
+    edges: DataFrame, iterations: int = 3, alpha_inv: int = 4
+) -> DataFrame:
+    """Truncated Katz centrality (Katz 1953): c(v) = Σ_{i=1..k} α^i ·
+    walks_i(v), where walks_i(v) counts directed length-i walks ending at
+    v and α = 1/alpha_inv. Scored entirely in integers by multiplying
+    through by alpha_inv^k: katz_scaled(v) = Σ_i walks_i(v) ·
+    alpha_inv^(k−i) — exact, aggregation-order-independent, and the
+    DuckDB twin unrolls the same k matrix-vector rounds as CTEs. Only
+    entities with ≥1 inbound walk appear (sources score 0 and are
+    omitted).
+
+    Scale shape: k rounds of (join on src → hash-agg on dst), one shuffle
+    each, lineage truncated per round with localCheckpoint — the sparse
+    A^T·x iteration. Walk counts grow like deg^i, so BIGINT holds through
+    k=3 even for 10^6-degree hubs; the α < 1 damping is what keeps the
+    *score* meaningful, the integer scaling is exactness bookkeeping.
+    """
+    if iterations < 1:
+        raise ValueError("katz_centrality needs iterations >= 1")
+    g = edges.where(F.col("src") != F.col("dst")).select("src", "dst").distinct()
+    walks = (
+        g.select(F.col("src").alias("entity"))
+        .unionByName(g.select(F.col("dst").alias("entity")))
+        .distinct()
+        .withColumn("w", F.lit(1).cast("bigint"))
+    )
+    contribs: list[DataFrame] = []
+    for i in range(1, iterations + 1):
+        walks = (
+            g.join(walks.withColumnRenamed("entity", "src"), "src")
+            .groupBy(F.col("dst").alias("entity"))
+            .agg(F.sum("w").cast("bigint").alias("w"))
+            .localCheckpoint(eager=True)
+        )
+        weight = alpha_inv ** (iterations - i)
+        contribs.append(
+            walks.select("entity", (F.col("w") * F.lit(weight)).alias("c"))
+        )
+    out = contribs[0]
+    for c in contribs[1:]:
+        out = out.unionByName(c)
+    return out.groupBy("entity").agg(
+        F.sum("c").cast("bigint").alias("katz_scaled")
+    )
+
+
+def harmonic_centrality(
+    edges: DataFrame,
+    seeds: list[str],
+    max_hops: int = 4,
+    max_frontier: int | None = 100_000,
+) -> DataFrame:
+    """Landmark harmonic centrality (Boldi & Vigna 2014): per seed,
+    Σ 1/d(seed, v) over the entities first reached within ``max_hops``,
+    in integer ppm (sum of 1000000 DIV hop) — harmonic handles
+    disconnected graphs gracefully where closeness degenerates, because
+    unreachable nodes contribute 0 instead of poisoning the mean. Shares
+    the multi-source BFS (one shuffle join per hop, capped frontier) with
+    ``closeness`` via ``_landmark_bfs``.
+    """
+    visited = _landmark_bfs(edges, seeds, max_hops, max_frontier)
+    return visited.groupBy("seed").agg(
+        (F.count("*") - F.lit(1)).cast("bigint").alias("n_reached"),
+        F.sum(
+            F.when(F.col("hop") > 0, F.expr("1000000 DIV hop")).otherwise(F.lit(0))
+        ).cast("bigint").alias("harmonic_ppm"),
     )

@@ -538,3 +538,111 @@ def complex_margin_loss(
             F.round(F.avg("hinge"), 6).alias("avg_loss"),
         )
     )
+
+
+_ROT_MOD = 1 << 20
+
+
+def _rotation_arrays(name: F.Column, dim: int) -> tuple[F.Column, F.Column]:
+    """(cos_arr, sin_arr) — a deterministic unit rotation per dimension for
+    a relation name, WITHOUT trig: two 20-bit hash draws (a, b) map to the
+    rational point on the unit circle via the tan-half-angle
+    parameterization c = (a²−b²)/(a²+b²), s = 2ab/(a²+b²). Every value is
+    an integer ratio evaluated in one IEEE division, so the DuckDB twin is
+    bit-identical — cos()/sin() across two engines' libm are not, which is
+    why RotatE's phases are carried this way here. a ≥ 1 keeps the
+    denominator nonzero."""
+
+    def elem(i: F.Column, kind: str) -> F.Column:
+        a = (
+            _h60(F.concat(F.lit("rra:"), name, F.lit(":"), i.cast("string")))
+            % F.lit(_ROT_MOD)
+            + F.lit(1)
+        ).cast("double")
+        b = (
+            _h60(F.concat(F.lit("rrb:"), name, F.lit(":"), i.cast("string")))
+            % F.lit(_ROT_MOD)
+        ).cast("double")
+        denom = a * a + b * b
+        if kind == "cos":
+            return (a * a - b * b) / denom
+        return (F.lit(2.0) * a * b) / denom
+
+    idx = F.sequence(F.lit(0), F.lit(dim - 1))
+    return (
+        F.transform(idx, lambda i: elem(i, "cos")),
+        F.transform(idx, lambda i: elem(i, "sin")),
+    )
+
+
+def _rotate_dist(
+    hr: F.Column, hi: F.Column, c: F.Column, s: F.Column, tr: F.Column, ti: F.Column, dim: int
+) -> F.Column:
+    """RotatE L1 distance ‖h∘r − t‖₁ over component arrays: per dimension
+    |hr·c − hi·s − tr| + |hr·s + hi·c − ti|, summed in index order (one
+    fold — matches the DuckDB list_transform/list_sum twin term for
+    term)."""
+    return F.aggregate(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        F.lit(0.0),
+        # acc + (|re| + |im|): the inner sum is grouped first so the fold
+        # associates exactly like the DuckDB twin's list_sum over
+        # per-element (|re| + |im|) terms — FP addition is not associative.
+        lambda acc, i: acc
+        + (
+            F.abs(
+                F.element_at(hr, i + 1) * F.element_at(c, i + 1)
+                - F.element_at(hi, i + 1) * F.element_at(s, i + 1)
+                - F.element_at(tr, i + 1)
+            )
+            + F.abs(
+                F.element_at(hr, i + 1) * F.element_at(s, i + 1)
+                + F.element_at(hi, i + 1) * F.element_at(c, i + 1)
+                - F.element_at(ti, i + 1)
+            )
+        ),
+    )
+
+
+def rotate_margin_loss(
+    edges: DataFrame, dim: int = 16, n_neg: int = 2, gamma: float = 1.0
+) -> DataFrame:
+    """Per-relation filtered-setting margin loss for a **RotatE** scorer
+    (Sun et al., ICLR 2019: t ≈ h ∘ r with |r_i| = 1, i.e. each relation
+    is an element-wise rotation in ℂ; distance LOWER is better, hinge =
+    max(0, gamma + d_pos − d_neg)) at the deterministic hash init — the
+    fourth scorer on the shared KGE substrate (TransE, DistMult, ComplEx,
+    RotatE), and the one that models composition + inversion: rotations
+    compose by phase addition and invert by conjugation, which
+    translation (TransE) gets but symmetric DistMult cannot.
+
+    Entity embeddings are complex vectors as two real arrays (init
+    prefixes "rer:"/"rei:"); relation rotations are unit-modulus by
+    construction via the trig-free rational parameterization in
+    ``_rotation_arrays`` (prefixes "rra:"/"rrb:"), so no normalization
+    step is needed. Scale shape identical to the sibling losses: inline
+    per-row embeddings (no embedding join), one bucketed sampler join,
+    one final hash-agg on rel."""
+    samples = negative_samples(edges, n_neg=n_neg)
+    hr = _emb_expr("rer:", F.col("src"), dim)
+    hi = _emb_expr("rei:", F.col("src"), dim)
+    c, s = _rotation_arrays(F.col("rel"), dim)
+    tr = _emb_expr("rer:", F.col("dst"), dim)
+    ti = _emb_expr("rei:", F.col("dst"), dim)
+    nr = _emb_expr("rer:", F.col("neg_dst"), dim)
+    ni = _emb_expr("rei:", F.col("neg_dst"), dim)
+    hinge = F.greatest(
+        F.lit(0.0),
+        F.lit(gamma)
+        + _rotate_dist(hr, hi, c, s, tr, ti, dim)
+        - _rotate_dist(hr, hi, c, s, nr, ni, dim),
+    )
+    return (
+        samples.withColumn("hinge", hinge)
+        .groupBy("rel")
+        .agg(
+            F.count("*").alias("n_samples"),
+            F.sum((F.col("hinge") > 0).cast("bigint")).alias("n_active"),
+            F.round(F.avg("hinge"), 6).alias("avg_loss"),
+        )
+    )

@@ -2783,6 +2783,170 @@ KG_DUCK_SQL["kg_complex_loss"] = f"""
 """
 
 
+# Local clustering coefficient (operators/graph.clustering_coefficient):
+# the kg_triangles twin as a CTE, left-joined onto the undirected degree
+# table, integer-ppm coefficient — exact.
+KG_DUCK_SQL["kg_clustering"] = f"""
+    WITH tri AS (SELECT * FROM ({KG_DUCK_SQL["kg_triangles"]})),
+    und AS (
+        SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+        FROM '{_KG_FIXTURE_DIR}/edges.parquet' WHERE src <> dst
+    ),
+    deg AS (
+        SELECT entity, count(*) AS d FROM (
+            SELECT a AS entity FROM und UNION ALL SELECT b AS entity FROM und) u
+        GROUP BY entity
+    )
+    SELECT d.entity, CAST(d.d AS BIGINT) AS degree,
+           CAST(coalesce(t.n_triangles, 0) AS BIGINT) AS n_triangles,
+           CAST((2000000 * coalesce(t.n_triangles, 0)) // (d.d * (d.d - 1))
+                AS BIGINT) AS lcc_ppm
+    FROM deg d LEFT JOIN tri t ON d.entity = t.entity
+    WHERE d.d >= 2
+"""
+
+# Degree assortativity (operators/graph.degree_assortativity): exact BIGINT
+# moments over the symmetrized edge list, final Pearson ratio in DOUBLE
+# with the same cast/expression order as the Spark side.
+KG_DUCK_SQL["kg_assortativity"] = f"""
+    WITH sym AS (
+        SELECT DISTINCT src, dst FROM (
+            SELECT src, dst FROM '{_KG_FIXTURE_DIR}/edges.parquet' WHERE src <> dst
+            UNION ALL
+            SELECT dst AS src, src AS dst FROM '{_KG_FIXTURE_DIR}/edges.parquet' WHERE src <> dst
+        )
+    ),
+    deg AS (SELECT src AS entity, count(*) AS d FROM sym GROUP BY src),
+    agg AS (
+        SELECT CAST(count(*) AS BIGINT) AS m,
+               CAST(sum(dx.d * dy.d) AS BIGINT) AS sum_xy,
+               CAST(sum(dx.d) AS BIGINT) AS sum_x,
+               CAST(sum(dx.d * dx.d) AS BIGINT) AS sum_x2
+        FROM sym JOIN deg dx ON sym.src = dx.entity
+                 JOIN deg dy ON sym.dst = dy.entity
+    )
+    SELECT m, sum_xy, sum_x, sum_x2,
+           round((CAST(m AS DOUBLE) * CAST(sum_xy AS DOUBLE)
+                  - CAST(sum_x AS DOUBLE) * CAST(sum_x AS DOUBLE))
+                 / (CAST(m AS DOUBLE) * CAST(sum_x2 AS DOUBLE)
+                    - CAST(sum_x AS DOUBLE) * CAST(sum_x AS DOUBLE)),
+                 6) AS assortativity
+    FROM agg
+"""
+
+# Truncated Katz centrality (operators/graph.katz_centrality, k=3,
+# alpha_inv=4): three unrolled A^T·x rounds; katz_scaled = 16·walks_1 +
+# 4·walks_2 + walks_3 — all-integer, exact.
+KG_DUCK_SQL["kg_katz"] = f"""
+    WITH g AS (
+        SELECT DISTINCT src, dst FROM '{_KG_FIXTURE_DIR}/edges.parquet'
+        WHERE src <> dst
+    ),
+    p1 AS (SELECT dst AS entity, CAST(count(*) AS BIGINT) AS w FROM g GROUP BY dst),
+    p2 AS (SELECT g.dst AS entity, CAST(sum(p1.w) AS BIGINT) AS w
+           FROM g JOIN p1 ON g.src = p1.entity GROUP BY g.dst),
+    p3 AS (SELECT g.dst AS entity, CAST(sum(p2.w) AS BIGINT) AS w
+           FROM g JOIN p2 ON g.src = p2.entity GROUP BY g.dst),
+    contrib AS (
+        SELECT entity, w * 16 AS c FROM p1
+        UNION ALL SELECT entity, w * 4 FROM p2
+        UNION ALL SELECT entity, w FROM p3
+    )
+    SELECT entity, CAST(sum(c) AS BIGINT) AS katz_scaled
+    FROM contrib GROUP BY entity
+"""
+
+# Landmark harmonic centrality (operators/graph.harmonic_centrality): the
+# kg_closeness recursive BFS with the Σ 1000000 DIV hop readout.
+KG_DUCK_SQL["kg_harmonic"] = f"""
+    WITH RECURSIVE sym AS (
+        SELECT src, dst FROM '{_KG_FIXTURE_DIR}/edges.parquet' WHERE src <> dst
+        UNION
+        SELECT dst AS src, src AS dst FROM '{_KG_FIXTURE_DIR}/edges.parquet' WHERE src <> dst
+    ),
+    reach(seed, entity, hop) AS (
+        SELECT seed, seed AS entity, 0 AS hop
+        FROM (SELECT unnest([{_KG_CLOSENESS_SEEDS}]) AS seed)
+        UNION ALL
+        SELECT r.seed, s.dst, r.hop + 1
+        FROM reach r JOIN sym s ON s.src = r.entity
+        WHERE r.hop < 3
+    ),
+    first_reach AS (
+        SELECT seed, entity, min(hop) AS hop FROM reach GROUP BY seed, entity
+    )
+    SELECT seed,
+           CAST(count(*) - 1 AS BIGINT) AS n_reached,
+           CAST(sum(CASE WHEN hop > 0 THEN 1000000 // hop ELSE 0 END)
+                AS BIGINT) AS harmonic_ppm
+    FROM first_reach GROUP BY seed
+"""
+
+
+def _duck_rot(kind: str, dim: int = _TRANSE_DIM) -> str:
+    """cos/sin rotation array for a relation — the trig-free tan-half-angle
+    rational point, mirroring kgtrain._rotation_arrays term for term."""
+    a = (
+        "CAST((CAST('0x' || substr(md5('rra:' || rel || ':' || CAST(i AS VARCHAR)), 1, 15) "
+        "AS BIGINT) % 1048576) + 1 AS DOUBLE)"
+    )
+    b = (
+        "CAST(CAST('0x' || substr(md5('rrb:' || rel || ':' || CAST(i AS VARCHAR)), 1, 15) "
+        "AS BIGINT) % 1048576 AS DOUBLE)"
+    )
+    num = f"({a} * {a} - {b} * {b})" if kind == "cos" else f"(2.0 * {a} * {b})"
+    return (
+        f"list_transform(range(0, {dim}), i -> "
+        f"{num} / ({a} * {a} + {b} * {b}))"
+    )
+
+
+def _duck_rotate_dist(
+    hr: str, hi: str, c: str, s: str, tr: str, ti: str, dim: int = _TRANSE_DIM
+) -> str:
+    return (
+        f"list_sum(list_transform(range(0, {dim}), i -> "
+        f"abs({hr}[i + 1] * {c}[i + 1] - {hi}[i + 1] * {s}[i + 1] - {tr}[i + 1])"
+        f" + abs({hr}[i + 1] * {s}[i + 1] + {hi}[i + 1] * {c}[i + 1] - {ti}[i + 1])))"
+    )
+
+
+# RotatE margin loss (operators/kgtrain.rotate_margin_loss): same sampler
+# and md5-embedding arithmetic as the TransE/DistMult/ComplEx twins; the
+# relation is a unit rotation from the trig-free rational parameterization
+# (cos/sin via libm would NOT be bit-identical across engines), distance
+# LOWER-is-better hinge, distinct "rer:"/"rei:"/"rra:"/"rrb:" prefixes.
+KG_DUCK_SQL["kg_rotate_loss"] = f"""
+    WITH samples AS (
+        SELECT * FROM ({KG_DUCK_SQL["kg_negative_samples"]})
+    ),
+    emb AS (
+        SELECT rel,
+               {_duck_emb("rer:", "src")} AS hr,
+               {_duck_emb("rei:", "src")} AS hi,
+               {_duck_rot("cos")} AS c,
+               {_duck_rot("sin")} AS s,
+               {_duck_emb("rer:", "dst")} AS tr,
+               {_duck_emb("rei:", "dst")} AS ti,
+               {_duck_emb("rer:", "neg_dst")} AS nr,
+               {_duck_emb("rei:", "neg_dst")} AS ni
+        FROM samples
+    ),
+    scored AS (
+        SELECT rel,
+               greatest(0.0, 1.0
+                   + {_duck_rotate_dist("hr", "hi", "c", "s", "tr", "ti")}
+                   - {_duck_rotate_dist("hr", "hi", "c", "s", "nr", "ni")}
+               ) AS hinge
+        FROM emb
+    )
+    SELECT rel, count(*) AS n_samples,
+           CAST(sum(CASE WHEN hinge > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_active,
+           round(avg(hinge), 6) AS avg_loss
+    FROM scored GROUP BY rel
+"""
+
+
 def _kg_docs(spark: SparkSession):
     from chatvector_ai_spark.datagen import documents_df
 
@@ -3442,6 +3606,55 @@ def kg_complex_loss(spark: SparkSession, sf_dir: str) -> DataFrame:
     return complex_margin_loss(kg_edges(spark, sf_dir), dim=_TRANSE_DIM)
 
 
+def kg_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-entity local clustering coefficient in integer ppm over the
+    degree-oriented triangle count
+    (operators/graph.clustering_coefficient)."""
+    from chatvector_ai_spark.operators.graph import clustering_coefficient
+
+    return clustering_coefficient(kg_edges(spark, sf_dir))
+
+
+def kg_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph-level degree assortativity: exact BIGINT moments + one
+    double Pearson readout (operators/graph.degree_assortativity)."""
+    from chatvector_ai_spark.operators.graph import degree_assortativity
+
+    return degree_assortativity(kg_edges(spark, sf_dir))
+
+
+def kg_katz(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Truncated Katz centrality, 3 rounds, alpha=1/4, all-integer
+    scaled scores (operators/graph.katz_centrality)."""
+    from chatvector_ai_spark.operators.graph import katz_centrality
+
+    return katz_centrality(kg_edges(spark, sf_dir), iterations=3, alpha_inv=4)
+
+
+def kg_harmonic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Landmark harmonic centrality from the four closeness seed hubs,
+    3-hop radius (operators/graph.harmonic_centrality — shares the
+    multi-source BFS with closeness)."""
+    from chatvector_ai_spark.operators.graph import harmonic_centrality
+
+    return harmonic_centrality(
+        kg_edges(spark, sf_dir),
+        ["E000000", "E000001", "E000002", "E000003"],
+        max_hops=3,
+        max_frontier=None,
+    )
+
+
+def kg_rotate_loss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-relation RotatE margin loss at the deterministic init — the
+    fourth scorer on the shared KGE substrate, modeling composition and
+    inversion via unit rotations (operators/kgtrain.rotate_margin_loss;
+    dim=16, n_neg=2, gamma=1)."""
+    from chatvector_ai_spark.operators.kgtrain import rotate_margin_loss
+
+    return rotate_margin_loss(kg_edges(spark, sf_dir), dim=_TRANSE_DIM)
+
+
 KG_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_ingest_chunks": kg_ingest_chunks,
     "kg_ingest_chunks_paragraph": _kg_chunks_query("paragraph"),
@@ -3504,6 +3717,11 @@ KG_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_effective_diameter": kg_effective_diameter,
     "kg_link_prediction_ra": kg_link_prediction_ra,
     "kg_complex_loss": kg_complex_loss,
+    "kg_clustering": kg_clustering,
+    "kg_assortativity": kg_assortativity,
+    "kg_katz": kg_katz,
+    "kg_harmonic": kg_harmonic,
+    "kg_rotate_loss": kg_rotate_loss,
 }
 
 

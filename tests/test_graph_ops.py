@@ -1345,3 +1345,59 @@ def test_link_prediction_ra_discounts_hub_neighbors(spark):
     assert got[("a", "b")] == 1_000_000 // 2
     assert got[("c", "d")] == 1_000_000 // 6
     assert got[("a", "b")] > got[("c", "d")]
+
+
+def test_clustering_coefficient_triangle_with_pendant(spark):
+    from chatvector_ai_spark.operators.graph import clustering_coefficient
+
+    # triangle a-b-c plus pendant edge c-d: a, b fully clustered; c has
+    # one closed wedge of three; degree-1 d has no defined coefficient
+    g = _e(spark, [("a", "r", "b"), ("b", "r", "c"), ("c", "r", "a"), ("c", "r", "d")])
+    got = {r.entity: r for r in clustering_coefficient(g).collect()}
+    assert set(got) == {"a", "b", "c"}
+    assert (got["a"].degree, got["a"].n_triangles, got["a"].lcc_ppm) == (2, 1, 1_000_000)
+    assert (got["b"].degree, got["b"].n_triangles, got["b"].lcc_ppm) == (2, 1, 1_000_000)
+    assert (got["c"].degree, got["c"].n_triangles, got["c"].lcc_ppm) == (3, 1, 333_333)
+
+
+def test_clustering_coefficient_zero_for_open_wedge(spark):
+    from chatvector_ai_spark.operators.graph import clustering_coefficient
+
+    g = _e(spark, [("a", "r", "b"), ("b", "r", "c")])  # open path: no triangle
+    got = {r.entity: r for r in clustering_coefficient(g).collect()}
+    assert set(got) == {"b"}  # only b has degree >= 2
+    assert (got["b"].n_triangles, got["b"].lcc_ppm) == (0, 0)
+
+
+def test_degree_assortativity_star_is_minus_one(spark):
+    from chatvector_ai_spark.operators.graph import degree_assortativity
+
+    # a star is perfectly disassortative: every edge joins deg-3 to deg-1
+    g = _e(spark, [("h", "r", "x1"), ("h", "r", "x2"), ("h", "r", "x3")])
+    row = degree_assortativity(g).collect()[0]
+    assert (row.m, row.sum_xy, row.sum_x, row.sum_x2) == (6, 18, 12, 30)
+    assert row.assortativity == -1.0
+
+
+def test_katz_centrality_path_graph_scaled_weights(spark):
+    from chatvector_ai_spark.operators.graph import katz_centrality
+
+    # a -> b -> c: walks_1(b)=1, walks_1(c)=1, walks_2(c)=1 (a->b->c)
+    # k=3, alpha_inv=4 => katz_scaled = 16*w1 + 4*w2 + 1*w3
+    g = _e(spark, [("a", "r", "b"), ("b", "r", "c")])
+    got = {r.entity: r.katz_scaled for r in katz_centrality(g, 3, 4).collect()}
+    assert got == {"b": 16, "c": 20}
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        katz_centrality(g, iterations=0)
+
+
+def test_harmonic_centrality_path_graph_and_absent_seed(spark):
+    from chatvector_ai_spark.operators.graph import harmonic_centrality
+
+    g = _e(spark, [("a", "r", "b"), ("b", "r", "c"), ("c", "r", "d")])
+    got = {r.seed: r for r in harmonic_centrality(g, ["a", "zzz"], max_hops=3).collect()}
+    # from a: b@1 (1e6) + c@2 (5e5) + d@3 (333333)
+    assert (got["a"].n_reached, got["a"].harmonic_ppm) == (3, 1_833_333)
+    assert (got["zzz"].n_reached, got["zzz"].harmonic_ppm) == (0, 0)

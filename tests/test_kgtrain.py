@@ -307,3 +307,64 @@ def test_complex_margin_loss_shape_and_determinism(spark):
         assert a[rel]["avg_loss"] == b[rel]["avg_loss"]
         assert 0 <= a[rel]["n_active"] <= a[rel]["n_samples"]
         assert a[rel]["avg_loss"] >= 0.0
+
+
+def test_rotation_arrays_are_unit_modulus_without_trig(spark):
+    """RotatE's relation rotations come from the tan-half-angle rational
+    point — every (cos, sin) pair must sit on the unit circle to float
+    accuracy, with no libm trig involved (cross-engine twin exactness)."""
+    from chatvector_ai_spark.operators.kgtrain import _rotation_arrays
+
+    df = spark.createDataFrame([("likes",), ("knows",)], "rel string")
+    c, s = _rotation_arrays(F.col("rel"), 8)
+    rows = df.select(F.col("rel"), c.alias("c"), s.alias("s")).collect()
+    seen = set()
+    for r in rows:
+        seen.add(tuple(r["c"]))
+        for ci, si in zip(r["c"], r["s"]):
+            assert abs(ci * ci + si * si - 1.0) < 1e-12
+    assert len(seen) == 2  # different relations rotate differently
+
+
+def test_rotate_margin_loss_shape_and_determinism(spark):
+    from chatvector_ai_spark.operators.kgtrain import rotate_margin_loss
+
+    edges = spark.createDataFrame(
+        [("E1", "likes", "E2"), ("E2", "likes", "E3"), ("E1", "knows", "E3"),
+         ("E3", "knows", "E4"), ("E4", "likes", "E1")],
+        "src string, rel string, dst string",
+    )
+    a = {r["rel"]: r for r in rotate_margin_loss(edges, dim=8).collect()}
+    b = {r["rel"]: r for r in rotate_margin_loss(edges, dim=8).collect()}
+    assert set(a) == {"likes", "knows"}
+    for rel in a:
+        assert a[rel]["avg_loss"] == b[rel]["avg_loss"]
+        assert 0 <= a[rel]["n_active"] <= a[rel]["n_samples"]
+        assert a[rel]["avg_loss"] >= 0.0
+
+
+def test_rotate_distance_is_rotation_invariant_in_phase_composition(spark):
+    """d(h, r, t) must differ from d(t, r, h) in general (rotations are
+    directional), and the distance of an entity to ITSELF under the
+    identity check: rotating h then comparing to h is not zero unless the
+    rotation is identity — sanity that the scorer actually uses r."""
+    from chatvector_ai_spark.operators.kgtrain import (
+        _emb_expr,
+        _rotate_dist,
+        _rotation_arrays,
+    )
+
+    df = spark.createDataFrame([("E1", "likes", "E2")], "src string, rel string, dst string")
+    dim = 8
+    hr = _emb_expr("rer:", F.col("src"), dim)
+    hi = _emb_expr("rei:", F.col("src"), dim)
+    c, s = _rotation_arrays(F.col("rel"), dim)
+    tr = _emb_expr("rer:", F.col("dst"), dim)
+    ti = _emb_expr("rei:", F.col("dst"), dim)
+    row = df.select(
+        _rotate_dist(hr, hi, c, s, tr, ti, dim).alias("fwd"),
+        _rotate_dist(tr, ti, c, s, hr, hi, dim).alias("bwd"),
+        _rotate_dist(hr, hi, c, s, hr, hi, dim).alias("self_rot"),
+    ).collect()[0]
+    assert abs(row["fwd"] - row["bwd"]) > 1e-9
+    assert row["self_rot"] > 1e-9
