@@ -1296,6 +1296,139 @@ _q(
 )
 
 
+# PII detection + redaction (the scrub a training-data pipeline runs before
+# release: emails / IPv4s / phone numbers found, text length after global
+# redaction). The corpus is synthetic word salad with no PII, so the query
+# DECLARES a deterministic augmentation step — every doc gains one email,
+# every 3rd an IP, every 5th a phone, derived from doc_id — and then the
+# operator under test (regex detect + global regexp_replace) runs on the
+# augmented text. Patterns stay in the character-class subset that Java
+# regex (Spark) and RE2 (DuckDB) interpret identically. Scale shape: pure
+# per-row column expressions, no shuffle at all.
+_q(
+    "tx_pii_redact",
+    r"""
+    WITH aug AS (
+        SELECT doc_id,
+               concat(text, ' contact user', CAST(doc_id AS STRING), '@example.com',
+                      CASE WHEN doc_id % 3 = 0
+                           THEN concat(' from 10.0.', CAST(doc_id % 256 AS STRING), '.7')
+                           ELSE '' END,
+                      CASE WHEN doc_id % 5 = 0
+                           THEN concat(' call +1-555-', lpad(CAST(doc_id % 10000 AS STRING), 4, '0'))
+                           ELSE '' END) AS t
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(size(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', 0)) AS BIGINT) AS n_emails,
+           CAST(size(regexp_extract_all(t, '([0-9]{1,3}\\.){3}[0-9]{1,3}', 0)) AS BIGINT) AS n_ips,
+           CAST(size(regexp_extract_all(t, '\\+1-555-[0-9]{4}', 0)) AS BIGINT) AS n_phones,
+           CAST(length(regexp_replace(regexp_replace(regexp_replace(t,
+                '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '[EMAIL]'),
+                '([0-9]{1,3}\\.){3}[0-9]{1,3}', '[IP]'),
+                '\\+1-555-[0-9]{4}', '[PHONE]')) AS BIGINT) AS redacted_len
+    FROM aug
+    """,
+    r"""
+    WITH aug AS (
+        SELECT doc_id,
+               text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+                    || CASE WHEN doc_id % 3 = 0
+                            THEN ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7'
+                            ELSE '' END
+                    || CASE WHEN doc_id % 5 = 0
+                            THEN ' call +1-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                            ELSE '' END AS t
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+           CAST(len(regexp_extract_all(t, '([0-9]{1,3}\.){3}[0-9]{1,3}')) AS BIGINT) AS n_ips,
+           CAST(len(regexp_extract_all(t, '\+1-555-[0-9]{4}')) AS BIGINT) AS n_phones,
+           CAST(length(regexp_replace(regexp_replace(regexp_replace(t,
+                '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+                '([0-9]{1,3}\.){3}[0-9]{1,3}', '[IP]', 'g'),
+                '\+1-555-[0-9]{4}', '[PHONE]', 'g')) AS BIGINT) AS redacted_len
+    FROM aug
+    """,
+)
+
+# Repetition scoring (the Gopher/MassiveText "repetitious document" filters,
+# Rae et al. 2021 table A1): per doc, the token coverage of the single most
+# frequent word-2-gram and the fraction of word-3-gram occurrences whose
+# gram repeats — both in integer ppm so the twin is exact. Scale shape:
+# explode-to-shingles then per-doc hash-aggs; doc_id is the partition key
+# throughout, so no global shuffle hot spot.
+_q(
+    "tx_repetition",
+    f"""
+    WITH base AS (
+        SELECT doc_id, tk, size(tk) AS n_tokens
+        FROM (SELECT doc_id, {_SPARK_TOK.format(c='text')} AS tk FROM documents)
+        WHERE size(tk) >= 3
+    ),
+    c2 AS (
+        SELECT doc_id, g, count(*) AS c FROM (
+            SELECT doc_id, explode(transform(sequence(1, size(tk) - 1),
+                   i -> concat_ws(' ', slice(tk, i, 2)))) AS g
+            FROM base) t
+        GROUP BY doc_id, g
+    ),
+    m2 AS (SELECT doc_id, max(c) AS top2_cnt FROM c2 GROUP BY doc_id),
+    c3 AS (
+        SELECT doc_id, g, count(*) AS c FROM (
+            SELECT doc_id, explode(transform(sequence(1, size(tk) - 2),
+                   i -> concat_ws(' ', slice(tk, i, 3)))) AS g
+            FROM base) t
+        GROUP BY doc_id, g
+    ),
+    m3 AS (
+        SELECT doc_id,
+               sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup3,
+               sum(c) AS n3
+        FROM c3 GROUP BY doc_id
+    )
+    SELECT b.doc_id, CAST(b.n_tokens AS BIGINT) AS n_tokens,
+           CAST(m2.top2_cnt AS BIGINT) AS top2_cnt,
+           CAST((1000000 * m2.top2_cnt * 2) DIV b.n_tokens AS BIGINT) AS top2_cov_ppm,
+           CAST((1000000 * m3.dup3) DIV m3.n3 AS BIGINT) AS dup3_ppm
+    FROM base b JOIN m2 ON b.doc_id = m2.doc_id JOIN m3 ON b.doc_id = m3.doc_id
+    """,
+    f"""
+    WITH base AS (
+        SELECT doc_id, tk, len(tk) AS n_tokens
+        FROM (SELECT doc_id, {_DUCK_TOK.format(c='text')} AS tk FROM documents)
+        WHERE len(tk) >= 3
+    ),
+    c2 AS (
+        SELECT doc_id, g, count(*) AS c FROM (
+            SELECT doc_id, unnest(list_transform(generate_series(1, len(tk) - 1),
+                   i -> list_aggregate(tk[i:i+1], 'string_agg', ' '))) AS g
+            FROM base) t
+        GROUP BY doc_id, g
+    ),
+    m2 AS (SELECT doc_id, max(c) AS top2_cnt FROM c2 GROUP BY doc_id),
+    c3 AS (
+        SELECT doc_id, g, count(*) AS c FROM (
+            SELECT doc_id, unnest(list_transform(generate_series(1, len(tk) - 2),
+                   i -> list_aggregate(tk[i:i+2], 'string_agg', ' '))) AS g
+            FROM base) t
+        GROUP BY doc_id, g
+    ),
+    m3 AS (
+        SELECT doc_id,
+               sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup3,
+               sum(c) AS n3
+        FROM c3 GROUP BY doc_id
+    )
+    SELECT b.doc_id, CAST(b.n_tokens AS BIGINT) AS n_tokens,
+           CAST(m2.top2_cnt AS BIGINT) AS top2_cnt,
+           CAST((1000000 * m2.top2_cnt * 2) // b.n_tokens AS BIGINT) AS top2_cov_ppm,
+           CAST((1000000 * m3.dup3) // m3.n3 AS BIGINT) AS dup3_ppm
+    FROM base b JOIN m2 ON b.doc_id = m2.doc_id JOIN m3 ON b.doc_id = m3.doc_id
+    """,
+)
+
 # ---------------------------------------------------------------------------
 # KG pipeline queries (synthesized interleaved documents). The DuckDB twins
 # select from committed parquet produced WITHOUT Spark by the single-node
