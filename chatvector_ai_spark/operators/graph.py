@@ -257,13 +257,22 @@ def triangles(edges: DataFrame) -> DataFrame:
         .select(
             F.when(lower_first, F.col("a")).otherwise(F.col("b")).alias("u"),
             F.when(lower_first, F.col("b")).otherwise(F.col("a")).alias("v"),
+            # degree of v: the wedge pair below must be ordered by the SAME
+            # (degree, id) total order the orientation uses — ordering by id
+            # alone would look up the closing edge in the wrong direction
+            # and silently drop every triangle whose lexicographic and
+            # degree orders disagree
+            F.when(lower_first, F.col("db")).otherwise(F.col("da")).alias("dv"),
         )
     )
     e1 = orient.alias("e1")
     e2 = orient.alias("e2")
     e3 = orient.alias("e3")
+    wedge_order = (F.col("e1.dv") < F.col("e2.dv")) | (
+        (F.col("e1.dv") == F.col("e2.dv")) & (F.col("e1.v") < F.col("e2.v"))
+    )
     tri = (
-        e1.join(e2, (F.col("e1.u") == F.col("e2.u")) & (F.col("e1.v") < F.col("e2.v")))
+        e1.join(e2, (F.col("e1.u") == F.col("e2.u")) & wedge_order)
         .join(e3, (F.col("e3.u") == F.col("e1.v")) & (F.col("e3.v") == F.col("e2.v")))
         .select(F.col("e1.u").alias("x"), F.col("e1.v").alias("y"), F.col("e2.v").alias("z"))
     )
@@ -2123,6 +2132,167 @@ def katz_centrality(
         out = out.unionByName(c)
     return out.groupBy("entity").agg(
         F.sum("c").cast("bigint").alias("katz_scaled")
+    )
+
+
+def wl_colors(edges: DataFrame, rounds: int = 2) -> DataFrame:
+    """Weisfeiler-Leman (1-WL) color refinement (Weisfeiler & Leman 1968;
+    Shervashidze et al. 2011 for the kernel form): start every node with
+    the same color and repeatedly set color(v) = md5(color(v) ||
+    sorted-multiset of neighbor colors). After r rounds two nodes share a
+    color only if their radius-r neighborhoods are 1-WL-indistinguishable
+    — the standard structural fingerprint for graph dedup / entity-role
+    discovery, and exactly the expressiveness bound of message-passing
+    GNNs (Xu et al. 2019). Colors are 60-bit integers from the md5 hex
+    prefix, so the DuckDB twin is exact.
+
+    Scale shape: per round, one shuffle (groupBy dst collecting neighbor
+    colors into a SORTED array — deterministic, never relies on
+    collect_list order) + one hash; lineage truncated per round. The
+    per-node state is one integer; the transient sorted neighbor array is
+    bounded by degree, the same exposure every neighborhood aggregation
+    here has (cap upstream via skew_report + salting if a 10^6-degree hub
+    matters).
+    """
+    sym = (
+        edges.where(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+        .unionByName(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct()
+    )
+    nodes = sym.select(F.col("src").alias("entity")).distinct()
+    colors = nodes.withColumn("color", F.lit(0).cast("bigint"))
+    for _ in range(rounds):
+        neigh = (
+            sym.join(
+                colors.select(F.col("entity").alias("src"), F.col("color").alias("nc")),
+                "src",
+            )
+            .groupBy(F.col("dst").alias("entity"))
+            .agg(
+                F.concat_ws(",", F.sort_array(F.collect_list(F.col("nc").cast("string"))))
+                .alias("sig")
+            )
+        )
+        colors = (
+            colors.join(neigh, "entity", "left")
+            .select(
+                "entity",
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat(
+                                F.col("color").cast("string"),
+                                F.lit("|"),
+                                F.coalesce(F.col("sig"), F.lit("")),
+                            )
+                        ),
+                        1,
+                        15,
+                    ),
+                    16,
+                    10,
+                )
+                .cast("bigint")
+                .alias("color"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return colors
+
+
+def ktruss(edges: DataFrame, k: int = 3, max_rounds: int = 4) -> DataFrame:
+    """k-truss decomposition (Cohen 2008): iteratively delete every
+    undirected edge supported by fewer than (k−2) triangles until a fixed
+    point — the edge-level cohesion analog of k-core, and the standard
+    "keep only corroborated relationships" densification step before
+    community detection on a noisy extracted KG. Returns the surviving
+    canonical edges with their final support.
+
+    Scale shape: each round re-enumerates triangles with the same
+    degree-orientation trick as ``triangles`` (O(m^1.5) wedge work,
+    hub-safe), then one hash-agg for per-edge support and one semi-join
+    filter; lineage truncated per round. Early exit when a round deletes
+    nothing — the fixed point is stable, so stopping early equals running
+    all ``max_rounds`` (the DuckDB twin unrolls the full count).
+    """
+    if k < 2:
+        raise ValueError("ktruss needs k >= 2")
+    cur = (
+        edges.select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n_cur = cur.count()
+
+    def support(e: DataFrame) -> DataFrame:
+        deg = (
+            e.select(F.col("a").alias("entity"))
+            .unionByName(e.select(F.col("b").alias("entity")))
+            .groupBy("entity")
+            .agg(F.count("*").alias("d"))
+        )
+        da = deg.withColumnRenamed("entity", "a").withColumnRenamed("d", "da")
+        db = deg.withColumnRenamed("entity", "b").withColumnRenamed("d", "db")
+        lower_first = (F.col("da") < F.col("db")) | (
+            (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
+        )
+        orient = (
+            e.join(da, "a")
+            .join(db, "b")
+            .select(
+                F.when(lower_first, F.col("a")).otherwise(F.col("b")).alias("u"),
+                F.when(lower_first, F.col("b")).otherwise(F.col("a")).alias("v"),
+                # see triangles(): wedges must pair in (degree, id) order
+                F.when(lower_first, F.col("db")).otherwise(F.col("da")).alias("dv"),
+            )
+        )
+        e1, e2, e3 = orient.alias("e1"), orient.alias("e2"), orient.alias("e3")
+        wedge_order = (F.col("e1.dv") < F.col("e2.dv")) | (
+            (F.col("e1.dv") == F.col("e2.dv")) & (F.col("e1.v") < F.col("e2.v"))
+        )
+        tri = (
+            e1.join(e2, (F.col("e1.u") == F.col("e2.u")) & wedge_order)
+            .join(e3, (F.col("e3.u") == F.col("e1.v")) & (F.col("e3.v") == F.col("e2.v")))
+            .select(
+                F.col("e1.u").alias("x"), F.col("e1.v").alias("y"), F.col("e2.v").alias("z")
+            )
+        )
+        # each triangle (x, y, z) supports its three canonical edges
+        edge_hits = (
+            tri.select(F.least("x", "y").alias("a"), F.greatest("x", "y").alias("b"))
+            .unionByName(
+                tri.select(F.least("x", "z").alias("a"), F.greatest("x", "z").alias("b"))
+            )
+            .unionByName(
+                tri.select(F.least("y", "z").alias("a"), F.greatest("y", "z").alias("b"))
+            )
+        )
+        return edge_hits.groupBy("a", "b").agg(F.count("*").alias("support"))
+
+    for _ in range(max_rounds):
+        sup = support(cur)
+        cur = (
+            cur.join(sup, ["a", "b"], "left")
+            .where(F.coalesce(F.col("support"), F.lit(0)) >= k - 2)
+            .select("a", "b")
+            .localCheckpoint(eager=True)
+        )
+        n_next = cur.count()
+        if n_next == n_cur:
+            break
+        n_cur = n_next
+    final = support(cur)
+    return (
+        cur.join(final, ["a", "b"], "left")
+        .select(
+            F.col("a").alias("entity_a"),
+            F.col("b").alias("entity_b"),
+            F.coalesce(F.col("support"), F.lit(0)).cast("bigint").alias("support"),
+        )
     )
 
 

@@ -1650,14 +1650,20 @@ KG_DUCK_SQL["kg_triangles"] = f"""
         SELECT CASE WHEN da.d < db.d OR (da.d = db.d AND und.a < und.b)
                     THEN und.a ELSE und.b END AS u,
                CASE WHEN da.d < db.d OR (da.d = db.d AND und.a < und.b)
-                    THEN und.b ELSE und.a END AS v
+                    THEN und.b ELSE und.a END AS v,
+               CASE WHEN da.d < db.d OR (da.d = db.d AND und.a < und.b)
+                    THEN db.d ELSE da.d END AS dv
         FROM und JOIN deg da ON und.a = da.entity
                  JOIN deg db ON und.b = db.entity
     ),
     tri AS (
+        -- wedge pairs ordered by the SAME (degree, id) order the
+        -- orientation uses (id alone would miss triangles whose lex and
+        -- degree orders disagree)
         SELECT e1.u AS x, e1.v AS y, e2.v AS z
         FROM orient e1
-        JOIN orient e2 ON e1.u = e2.u AND e1.v < e2.v
+        JOIN orient e2 ON e1.u = e2.u
+         AND (e1.dv < e2.dv OR (e1.dv = e2.dv AND e1.v < e2.v))
         JOIN orient e3 ON e3.u = e1.v AND e3.v = e2.v
     )
     SELECT entity, count(*) AS n_triangles FROM (
@@ -3080,6 +3086,92 @@ KG_DUCK_SQL["kg_rotate_loss"] = f"""
 """
 
 
+# 1-WL color refinement (operators/graph.wl_colors): same md5-of-sorted-
+# neighbor-colors recurrence unrolled per round; colors sorted as STRINGS
+# (binary collation) in both engines.
+def _kg_wl_oracle_sql(rounds: int = 2) -> str:
+    parts = [
+        f"""sym AS (
+        SELECT src, dst FROM '{_KG_FIXTURE_DIR}/edges.parquet' WHERE src <> dst
+        UNION
+        SELECT dst AS src, src AS dst FROM '{_KG_FIXTURE_DIR}/edges.parquet' WHERE src <> dst
+    ),
+    c0 AS (SELECT DISTINCT src AS entity, CAST(0 AS BIGINT) AS color FROM sym)"""
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(
+            f"""sig{r} AS (
+        SELECT s.dst AS entity,
+               list_aggregate(list_sort(list(CAST(c.color AS VARCHAR))),
+                              'string_agg', ',') AS sig
+        FROM sym s JOIN c{r - 1} c ON c.entity = s.src
+        GROUP BY s.dst
+    ),
+    c{r} AS (
+        SELECT p.entity,
+               CAST('0x' || substr(md5(CAST(p.color AS VARCHAR) || '|'
+                    || coalesce(g.sig, '')), 1, 15) AS BIGINT) AS color
+        FROM c{r - 1} p LEFT JOIN sig{r} g ON g.entity = p.entity
+    )"""
+        )
+    return (
+        "WITH " + ",\n    ".join(parts) + f"\n    SELECT entity, color FROM c{rounds}"
+    )
+
+
+KG_DUCK_SQL["kg_wl_colors"] = _kg_wl_oracle_sql(rounds=2)
+
+
+# k-truss (operators/graph.ktruss, k=3, 4 rounds): per round, triangles
+# from the canonical a<b edge set (each triangle once as x<y<z), per-edge
+# support, filter support >= k-2; the final support is recomputed on the
+# surviving set. Spark's early exit at a fixed point equals running all
+# rounds, so the unrolled twin matches.
+def _kg_ktruss_oracle_sql(k: int = 3, rounds: int = 4) -> str:
+    def sup(e: str) -> str:
+        return f"""(
+        WITH tri AS (
+            SELECT p.a AS x, p.b AS y, q.b AS z
+            FROM {e} p
+            JOIN {e} q ON q.a = p.a AND q.b > p.b
+            JOIN {e} r ON r.a = p.b AND r.b = q.b
+        )
+        SELECT a, b, count(*) AS support FROM (
+            SELECT x AS a, y AS b FROM tri
+            UNION ALL SELECT x AS a, z AS b FROM tri
+            UNION ALL SELECT y AS a, z AS b FROM tri) h
+        GROUP BY a, b
+    )"""
+
+    parts = [
+        f"""e0 AS MATERIALIZED (
+        SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+        FROM '{_KG_FIXTURE_DIR}/edges.parquet' WHERE src <> dst
+    )"""
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(f"s{r - 1} AS MATERIALIZED (SELECT * FROM {sup(f'e{r - 1}')})")
+        parts.append(
+            f"""e{r} AS MATERIALIZED (
+        SELECT e.a, e.b FROM e{r - 1} e LEFT JOIN s{r - 1} s
+          ON s.a = e.a AND s.b = e.b
+        WHERE coalesce(s.support, 0) >= {k - 2}
+    )"""
+        )
+    parts.append(f"sfin AS MATERIALIZED (SELECT * FROM {sup(f'e{rounds}')})")
+    return (
+        "WITH "
+        + ",\n    ".join(parts)
+        + f"""
+    SELECT e.a AS entity_a, e.b AS entity_b,
+           CAST(coalesce(s.support, 0) AS BIGINT) AS support
+    FROM e{rounds} e LEFT JOIN sfin s ON s.a = e.a AND s.b = e.b"""
+    )
+
+
+KG_DUCK_SQL["kg_ktruss"] = _kg_ktruss_oracle_sql(k=3, rounds=4)
+
+
 def _kg_docs(spark: SparkSession):
     from chatvector_ai_spark.datagen import documents_df
 
@@ -3788,6 +3880,22 @@ def kg_rotate_loss(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rotate_margin_loss(kg_edges(spark, sf_dir), dim=_TRANSE_DIM)
 
 
+def kg_wl_colors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-WL color refinement, 2 rounds — structural node fingerprints
+    (operators/graph.wl_colors)."""
+    from chatvector_ai_spark.operators.graph import wl_colors
+
+    return wl_colors(kg_edges(spark, sf_dir), rounds=2)
+
+
+def kg_ktruss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-truss of the KG: edges supported by >= 1 triangle after iterative
+    peeling, with final support (operators/graph.ktruss)."""
+    from chatvector_ai_spark.operators.graph import ktruss
+
+    return ktruss(kg_edges(spark, sf_dir), k=3, max_rounds=4)
+
+
 KG_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_ingest_chunks": kg_ingest_chunks,
     "kg_ingest_chunks_paragraph": _kg_chunks_query("paragraph"),
@@ -3855,6 +3963,8 @@ KG_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_katz": kg_katz,
     "kg_harmonic": kg_harmonic,
     "kg_rotate_loss": kg_rotate_loss,
+    "kg_wl_colors": kg_wl_colors,
+    "kg_ktruss": kg_ktruss,
 }
 
 

@@ -1401,3 +1401,57 @@ def test_harmonic_centrality_path_graph_and_absent_seed(spark):
     # from a: b@1 (1e6) + c@2 (5e5) + d@3 (333333)
     assert (got["a"].n_reached, got["a"].harmonic_ppm) == (3, 1_833_333)
     assert (got["zzz"].n_reached, got["zzz"].harmonic_ppm) == (0, 0)
+
+
+def test_wl_colors_distinguish_path_roles_not_triangle(spark):
+    from chatvector_ai_spark.operators.graph import wl_colors
+
+    # P3 path: the two ends are 1-WL-equivalent, the middle is not
+    p3 = _e(spark, [("a", "r", "b"), ("b", "r", "c")])
+    got = {r.entity: r.color for r in wl_colors(p3, rounds=2).collect()}
+    assert got["a"] == got["c"] != got["b"]
+    # K3 triangle: vertex-transitive, all colors equal
+    k3 = _e(spark, [("a", "r", "b"), ("b", "r", "c"), ("c", "r", "a")])
+    cols = {r.color for r in wl_colors(k3, rounds=2).collect()}
+    assert len(cols) == 1
+    # determinism
+    again = {r.entity: r.color for r in wl_colors(p3, rounds=2).collect()}
+    assert again == got
+
+
+def test_ktruss_peels_pendants_and_cascades(spark):
+    from chatvector_ai_spark.operators.graph import ktruss
+
+    # K4 on a,b,c,d + triangle (d,e,f) + pendant edge f-g
+    k4 = [("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"), ("b", "d"), ("c", "d")]
+    extra = [("d", "e"), ("e", "f"), ("d", "f"), ("f", "g")]
+    g = _e(spark, [(s, "r", d) for s, d in k4 + extra])
+    # 3-truss (support >= 1): every triangle edge survives, pendant dies
+    t3 = {(r.entity_a, r.entity_b): r.support for r in ktruss(g, k=3).collect()}
+    assert ("f", "g") not in t3
+    assert set(t3) == {tuple(sorted(p)) for p in k4 + extra[:3]}
+    assert t3[("a", "b")] == 2  # K4 edge sits in two triangles
+    assert t3[("d", "e")] == 1
+    # 4-truss (support >= 2): only K4 survives; the attached triangle
+    # cascades away
+    t4 = {(r.entity_a, r.entity_b): r.support for r in ktruss(g, k=4).collect()}
+    assert set(t4) == {tuple(sorted(p)) for p in k4}
+    assert all(s == 2 for s in t4.values())
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        ktruss(g, k=1)
+
+
+def test_triangles_found_when_degree_and_lex_order_disagree(spark):
+    """Regression: the wedge pair must be ordered by the same (degree, id)
+    total order as the orientation. With id-only ordering, the triangle
+    d-e-f below (deg e=2 < f=3 < d=4, but lex d < e < f) was silently
+    dropped — the closing-edge lookup probed the wrong direction."""
+    from chatvector_ai_spark.operators.graph import triangles
+
+    rows = [("d", "r", "e"), ("e", "r", "f"), ("f", "r", "d"),
+            ("f", "r", "p"), ("d", "r", "q"), ("d", "r", "s")]
+    g = spark.createDataFrame(rows, "src string, rel string, dst string")
+    got = {r.entity: r.n_triangles for r in triangles(g).collect()}
+    assert got == {"d": 1, "e": 1, "f": 1}
