@@ -693,3 +693,185 @@ def encode_bmp(width: int, height: int, gray: bytes, top_down: bool = False) -> 
     )
     header = b"BM" + struct.pack("<IHHI", 14 + 40 + len(body), 0, 0, 14 + 40)
     return header + info + body
+
+
+def _find_box(data: bytes, start: int, end: int, tag: bytes) -> tuple[int, int] | None:
+    for t, body, box_end in _walk_boxes(data, start, end):
+        if t == tag:
+            return body, box_end
+    return None
+
+
+def mp4_sample_table(data: bytes) -> list[tuple[int, int, int]]:
+    """REAL ISO BMFF sample-table walk: moov → trak → mdia →
+    (mdhd timescale) + minf → stbl → {stts, stsz, stsc, stco/co64},
+    combined into one row per sample: (start_ms, file_offset, size).
+
+    This is the container-level ground truth a frame sampler needs —
+    exact sample timing from the time-to-sample deltas and exact payload
+    byte ranges from the chunk-offset/sample-size tables — without any
+    codec entropy decode. Raises ValueError when the MP4 has no complete
+    sample table (e.g. metadata-only shells) or the tables are
+    inconsistent/out of bounds."""
+    if not is_mp4(data):
+        raise ValueError("not an MP4 (missing ftyp)")
+    moov = _find_box(data, 0, len(data), b"moov")
+    if moov is None:
+        raise ValueError("MP4 contains no moov box")
+    for tag, tbody, tend in _walk_boxes(data, moov[0], moov[1]):
+        if tag != b"trak":
+            continue
+        mdia = _find_box(data, tbody, tend, b"mdia")
+        if mdia is None:
+            continue
+        mdhd = _find_box(data, mdia[0], mdia[1], b"mdhd")
+        minf = _find_box(data, mdia[0], mdia[1], b"minf")
+        if mdhd is None or minf is None:
+            continue
+        stbl = _find_box(data, minf[0], minf[1], b"stbl")
+        if stbl is None:
+            continue
+        version = data[mdhd[0]]
+        if version == 0:
+            (timescale,) = struct.unpack_from(">I", data, mdhd[0] + 12)
+        elif version == 1:
+            (timescale,) = struct.unpack_from(">I", data, mdhd[0] + 20)
+        else:
+            raise ValueError(f"unknown mdhd version {version}")
+        if timescale == 0:
+            raise ValueError("mdhd timescale is zero")
+        stts = _find_box(data, stbl[0], stbl[1], b"stts")
+        stsz = _find_box(data, stbl[0], stbl[1], b"stsz")
+        stsc = _find_box(data, stbl[0], stbl[1], b"stsc")
+        stco = _find_box(data, stbl[0], stbl[1], b"stco")
+        co64 = _find_box(data, stbl[0], stbl[1], b"co64")
+        if stts is None or stsz is None or stsc is None or (stco is None and co64 is None):
+            raise ValueError("stbl missing one of stts/stsz/stsc/stco")
+
+        # stts → per-sample start times (media timescale units)
+        (n_tts,) = struct.unpack_from(">I", data, stts[0] + 4)
+        starts: list[int] = []
+        t = 0
+        for k in range(n_tts):
+            cnt, delta = struct.unpack_from(">II", data, stts[0] + 8 + 8 * k)
+            for _ in range(cnt):
+                starts.append(t)
+                t += delta
+        n_samples = len(starts)
+
+        # stsz → per-sample sizes
+        uniform, n_sz = struct.unpack_from(">II", data, stsz[0] + 4)
+        if n_sz != n_samples:
+            raise ValueError(f"stsz count {n_sz} != stts sample count {n_samples}")
+        if uniform:
+            sizes = [uniform] * n_samples
+        else:
+            sizes = [
+                struct.unpack_from(">I", data, stsz[0] + 12 + 4 * k)[0]
+                for k in range(n_samples)
+            ]
+
+        # stco/co64 → chunk offsets
+        cbox, cwidth = (stco, 4) if stco is not None else (co64, 8)
+        (n_chunks,) = struct.unpack_from(">I", data, cbox[0] + 4)
+        fmt = ">I" if cwidth == 4 else ">Q"
+        chunk_offsets = [
+            struct.unpack_from(fmt, data, cbox[0] + 8 + cwidth * k)[0]
+            for k in range(n_chunks)
+        ]
+
+        # stsc → samples per chunk, expanded across the stco chunk list
+        (n_sc,) = struct.unpack_from(">I", data, stsc[0] + 4)
+        sc = [
+            struct.unpack_from(">III", data, stsc[0] + 8 + 12 * k)[:2]
+            for k in range(n_sc)
+        ]
+        per_chunk: list[int] = []
+        for k, (first_chunk, spc) in enumerate(sc):
+            last = sc[k + 1][0] - 1 if k + 1 < len(sc) else n_chunks
+            per_chunk.extend([spc] * (last - first_chunk + 1))
+        if len(per_chunk) != n_chunks:
+            raise ValueError("stsc does not cover the stco chunk list")
+
+        out: list[tuple[int, int, int]] = []
+        si = 0
+        for ci, coff in enumerate(chunk_offsets):
+            off = coff
+            for _ in range(per_chunk[ci]):
+                if si >= n_samples:
+                    raise ValueError("stsc references more samples than stsz")
+                size = sizes[si]
+                if off + size > len(data):
+                    raise ValueError(f"sample {si} byte range out of bounds")
+                out.append((starts[si] * 1000 // timescale, off, size))
+                off += size
+                si += 1
+        if si != n_samples:
+            raise ValueError("chunk walk did not consume every sample")
+        return out
+    raise ValueError("moov has no trak with a complete stbl")
+
+
+def byte_band_features(payload: bytes, bands: int = 16) -> list[float]:
+    """L2-normalized byte-value histogram of a REAL payload slice — the
+    content feature for samples whose codec decode is out of scope (MP4
+    sample payloads): deterministic, discriminates distinct payloads, and
+    is a pure function of the actual bytes on disk."""
+    counts = [0] * bands
+    for b in payload:
+        counts[b * bands // 256] += 1
+    norm = sum(c * c for c in counts) ** 0.5
+    if norm == 0:
+        return [0.0] * bands
+    return [c / norm for c in counts]
+
+
+def encode_mp4_with_samples(
+    samples: list[bytes], frame_ms: int = 40, timescale: int = 1000
+) -> bytes:
+    """Minimal valid ftyp + mdat + moov(mvhd, trak(mdia(mdhd,
+    minf(stbl(stts, stsc, stsz, stco))))) container for fixtures: one
+    chunk holding all samples at a fixed frame interval. The sample table
+    round-trips through ``mp4_sample_table`` and the duration through
+    ``mp4_duration_ms``. mdat precedes moov so chunk offsets are
+    independent of the metadata size."""
+    if not samples:
+        raise ValueError("need at least one sample")
+    n = len(samples)
+    delta = frame_ms * timescale // 1000
+    ftyp = struct.pack(">I", 16) + b"ftypisom" + struct.pack(">I", 0)
+    body = b"".join(samples)
+    mdat = struct.pack(">I", 8 + len(body)) + b"mdat" + body
+    first_off = len(ftyp) + 8
+
+    def full_box(tag: bytes, payload: bytes) -> bytes:
+        return struct.pack(">I", 12 + len(payload)) + tag + b"\x00\x00\x00\x00" + payload
+
+    def box(tag: bytes, payload: bytes) -> bytes:
+        return struct.pack(">I", 8 + len(payload)) + tag + payload
+
+    stts = full_box(b"stts", struct.pack(">III", 1, n, delta))
+    stsc = full_box(b"stsc", struct.pack(">IIII", 1, 1, n, 1))
+    stsz = full_box(
+        b"stsz",
+        struct.pack(">II", 0, n) + b"".join(struct.pack(">I", len(s)) for s in samples),
+    )
+    stco = full_box(b"stco", struct.pack(">II", 1, first_off))
+    stbl = box(b"stbl", stts + stsc + stsz + stco)
+    minf = box(b"minf", stbl)
+    duration = n * delta
+    mdhd = full_box(
+        b"mdhd",
+        struct.pack(">IIII", 0, 0, timescale, duration) + struct.pack(">HH", 0x55C4, 0),
+    )
+    mdia = box(b"mdia", mdhd + minf)
+    trak = box(b"trak", mdia)
+    mvhd_body = (
+        b"\x00\x00\x00\x00"
+        + struct.pack(">II", 0, 0)
+        + struct.pack(">II", timescale, duration)
+        + b"\x00" * 80
+    )
+    mvhd = box(b"mvhd", mvhd_body)
+    moov = box(b"moov", mvhd + trak)
+    return ftyp + mdat + moov

@@ -458,15 +458,18 @@ def sample_frames(media: DataFrame, every_ms: int = 1000, max_frames: int = 8, b
     with a per-frame feature vector; sampling times are every_ms apart,
     capped at max_frames.
 
-    ``backend='stdlib'``: REAL timing and, for WAV, REAL content — the
+    ``backend='stdlib'``: REAL timing and REAL content — for WAV the
     duration comes from the PCM frame count and each sampled frame's
     feature is the band-RMS envelope of ITS OWN sample window
-    (``frame_backend='stdlib-wav'``). MP4 payloads get the REAL movie
-    duration from the moov/mvhd box (so the frame *grid* is real) with
-    pseudo per-frame features — sample decode genuinely needs ffmpeg —
-    labeled ``'stdlib-mp4-header'``. Other/corrupt payloads degrade to
-    the deterministic fake ('fake' / 'decode-error'), never failing the
-    stage.
+    (``frame_backend='stdlib-wav'``); for MP4s with a complete sample
+    table the stbl walk (stts/stsz/stsc/stco) gives exact per-sample
+    timing and byte ranges, and each sampled frame's feature is the
+    byte-band histogram of ITS OWN mdat payload slice
+    (``'stdlib-mp4'``) — container-level ground truth with no codec
+    entropy decode. Metadata-only MP4 shells keep the REAL mvhd duration
+    grid with pseudo features (``'stdlib-mp4-header'``); other/corrupt
+    payloads degrade to the deterministic fake ('fake' /
+    'decode-error'), never failing the stage.
 
     ``backend='fake'``: duration and features derived from the payload
     hash — the exact batching/row-explosion contract with zero codec
@@ -496,9 +499,11 @@ def sample_frames(media: DataFrame, every_ms: int = 1000, max_frames: int = 8, b
     def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from chatvector_ai_spark.functions.codecs import (
             WAV_MAGIC,
+            byte_band_features,
             decode_wav,
             is_mp4,
             mp4_duration_ms,
+            mp4_sample_table,
             wav_band_features,
         )
 
@@ -523,12 +528,35 @@ def sample_frames(media: DataFrame, every_ms: int = 1000, max_frames: int = 8, b
                                     (i, [float(v) for v in feat], "stdlib-wav")
                                 )
                         elif is_mp4(data):
-                            # real frame GRID (mvhd duration), pseudo
-                            # features — sample decode needs ffmpeg
-                            frames = fake_frames(
-                                data, "stdlib-mp4-header",
-                                duration_ms=mp4_duration_ms(data),
-                            )
+                            duration_ms = mp4_duration_ms(data)
+                            try:
+                                table = mp4_sample_table(data)
+                            except ValueError:
+                                table = None
+                            if table:
+                                # REAL per-sample timing + payload bytes
+                                # from the stbl walk; feature = byte-band
+                                # histogram of the sample's own mdat slice
+                                n = min(max_frames, max(1, duration_ms // every_ms))
+                                frames = []
+                                for i in range(n):
+                                    t = i * every_ms
+                                    off, size = table[0][1], table[0][2]
+                                    for s_ms, s_off, s_size in table:
+                                        if s_ms > t:
+                                            break
+                                        off, size = s_off, s_size
+                                    feat = byte_band_features(
+                                        data[off : off + size], bands=FEATURE_DIM
+                                    )
+                                    frames.append((i, feat, "stdlib-mp4"))
+                            else:
+                                # metadata-only shell: real frame GRID
+                                # (mvhd duration), pseudo features
+                                frames = fake_frames(
+                                    data, "stdlib-mp4-header",
+                                    duration_ms=duration_ms,
+                                )
                     except ValueError:
                         frames = fake_frames(data, "decode-error")
                 if frames is None:

@@ -799,3 +799,47 @@ def test_jpeg_property_roundtrip():
         assert max(abs(a - b) for a, b in zip(src, got)) <= bound
 
     check()
+
+
+def test_mp4_sample_table_round_trip_and_validation():
+    import struct as _struct
+
+    import pytest as _pytest
+
+    from chatvector_ai_spark.functions.codecs import (
+        encode_mp4_shell,
+        encode_mp4_with_samples,
+        mp4_duration_ms,
+        mp4_sample_table,
+    )
+
+    payloads = [b"AAAA", b"BBBBBB", b"CC", b"DDDDDDDD"]
+    data = encode_mp4_with_samples(payloads, frame_ms=40)
+    table = mp4_sample_table(data)
+    assert [t for t, _, _ in table] == [0, 40, 80, 120]
+    assert [s for _, _, s in table] == [4, 6, 2, 8]
+    # offsets address the REAL payload bytes in mdat
+    for (_, off, size), p in zip(table, payloads):
+        assert data[off : off + size] == p
+    assert mp4_duration_ms(data) == 160
+    # metadata-only shells have no stbl -> loud error, not garbage
+    with _pytest.raises(ValueError):
+        mp4_sample_table(encode_mp4_shell(3000))
+    # truncating mdat makes a sample range run out of bounds
+    bad = encode_mp4_with_samples([b"X" * 64], frame_ms=40)
+    ftyp_len = 16
+    (mdat_size,) = _struct.unpack_from(">I", bad, ftyp_len)
+    clipped = bad[: ftyp_len + 8] + bad[ftyp_len + mdat_size :]  # drop payload
+    with _pytest.raises(ValueError):
+        mp4_sample_table(clipped)
+
+
+def test_byte_band_features_discriminate_and_normalize():
+    from chatvector_ai_spark.functions.codecs import byte_band_features
+
+    a = byte_band_features(b"\x00" * 10, bands=8)
+    b = byte_band_features(b"\xff" * 10, bands=8)
+    assert a != b and a[0] == 1.0 and b[-1] == 1.0
+    assert byte_band_features(b"", bands=8) == [0.0] * 8
+    mixed = byte_band_features(bytes(range(256)), bands=8)
+    assert abs(sum(v * v for v in mixed) - 1.0) < 1e-9

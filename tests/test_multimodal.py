@@ -123,3 +123,42 @@ def test_stdlib_backend_decodes_gif_and_bmp_headers(spark):
     assert (got["m1"]["width"], got["m1"]["height"]) == (320, 200)
     assert got["m2"]["decode_backend"] == "stdlib-bmp-header"
     assert (got["m2"]["width"], got["m2"]["height"]) == (64, 48)
+
+
+def test_sample_frames_stdlib_mp4_uses_real_sample_bytes(spark):
+    """An MP4 with a complete stbl gets REAL per-frame features: the
+    byte-band histogram of each sampled frame's own mdat payload slice,
+    at the stts-derived sample times; a metadata-only shell keeps the
+    real mvhd duration grid with the pseudo-feature fallback."""
+    import pandas as pd
+
+    from chatvector_ai_spark.functions.codecs import (
+        byte_band_features,
+        encode_mp4_shell,
+        encode_mp4_with_samples,
+    )
+
+    # two very different payloads, 500 ms apart
+    full = encode_mp4_with_samples([b"\x00" * 32, b"\xff" * 32], frame_ms=500)
+    shell = encode_mp4_shell(2000)
+    media = spark.createDataFrame(pd.DataFrame({
+        "doc_id": ["d0", "d0"],
+        "span_idx": [0, 1],
+        "span_offset": [0, 1],
+        "kind": ["video", "video"],
+        "media_ref": ["m_full", "m_shell"],
+        "payload": [bytes(full), bytes(shell)],
+        "content_type": ["video/mp4", "video/mp4"],
+        "n_bytes": [len(full), len(shell)],
+    }))
+    got = sample_frames(media, every_ms=500, max_frames=4, backend="stdlib").toPandas()
+    f = got[got["media_ref"] == "m_full"].sort_values("frame_idx")
+    assert list(f["frame_backend"].unique()) == ["stdlib-mp4"]
+    assert list(f["frame_ms"]) == [0, 500]  # duration 1000ms / 500ms grid
+    feats = [list(v) for v in f["frame_feature"]]
+    assert feats[0] == byte_band_features(b"\x00" * 32, bands=FEATURE_DIM)
+    assert feats[1] == byte_band_features(b"\xff" * 32, bands=FEATURE_DIM)
+    assert feats[0] != feats[1]
+    s = got[got["media_ref"] == "m_shell"]
+    assert set(s["frame_backend"]) == {"stdlib-mp4-header"}
+    assert len(s) == 4  # 2000ms duration, capped at max_frames=4
