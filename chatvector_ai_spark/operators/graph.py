@@ -2135,6 +2135,67 @@ def katz_centrality(
     )
 
 
+def graph_stats(edges: DataFrame) -> DataFrame:
+    """One-row structural census of the KG — the summary a pipeline
+    operator dashboards after every build: node/edge counts, max degree,
+    density, global transitivity (3·triangles / wedges, Newman 2003), and
+    directed reciprocity (fraction of directed edges whose reverse also
+    exists). Every ratio is integer ppm over exact BIGINT counts, so the
+    DuckDB twin is exact and the aggregation is order-independent.
+
+    Scale shape: one distinct + degree hash-agg for the census, the
+    O(m^1.5) oriented wedge join for the triangle total, and one
+    self-join for reciprocity — three global reductions to a single row,
+    no driver-side state.
+    """
+    directed = edges.where(F.col("src") != F.col("dst")).select("src", "dst").distinct()
+    rev = directed.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    recip = directed.join(rev, ["src", "dst"], "left_semi")
+    und = directed.select(
+        F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+    ).distinct()
+    deg = (
+        und.select(F.col("a").alias("entity"))
+        .unionByName(und.select(F.col("b").alias("entity")))
+        .groupBy("entity")
+        .agg(F.count("*").alias("d"))
+    )
+    census = deg.agg(
+        F.count("*").cast("bigint").alias("n_nodes"),
+        (F.sum("d") / F.lit(2)).cast("bigint").alias("n_edges_und"),
+        F.max("d").cast("bigint").alias("max_degree"),
+        F.sum(F.expr("d * (d - 1)")).cast("bigint").alias("wedges2x"),
+    )
+    tri_total = triangles(edges).agg(
+        (F.coalesce(F.sum("n_triangles"), F.lit(0)) / F.lit(3))
+        .cast("bigint")
+        .alias("n_triangles")
+    )
+    counts = directed.agg(F.count("*").cast("bigint").alias("n_edges_directed"))
+    recip_n = recip.agg(F.count("*").cast("bigint").alias("n_reciprocal"))
+    return (
+        census.crossJoin(F.broadcast(tri_total))
+        .crossJoin(F.broadcast(counts))
+        .crossJoin(F.broadcast(recip_n))
+        .select(
+            "n_nodes",
+            "n_edges_directed",
+            "n_edges_und",
+            "max_degree",
+            F.expr(
+                "CASE WHEN n_nodes > 1 THEN (1000000 * 2 * n_edges_und) DIV (n_nodes * (n_nodes - 1)) ELSE 0 END"
+            ).cast("bigint").alias("density_ppm"),
+            "n_triangles",
+            F.expr(
+                "CASE WHEN wedges2x > 0 THEN (1000000 * 6 * n_triangles) DIV wedges2x ELSE 0 END"
+            ).cast("bigint").alias("transitivity_ppm"),
+            F.expr(
+                "CASE WHEN n_edges_directed > 0 THEN (1000000 * n_reciprocal) DIV n_edges_directed ELSE 0 END"
+            ).cast("bigint").alias("reciprocity_ppm"),
+        )
+    )
+
+
 def wl_colors(edges: DataFrame, rounds: int = 2) -> DataFrame:
     """Weisfeiler-Leman (1-WL) color refinement (Weisfeiler & Leman 1968;
     Shervashidze et al. 2011 for the kernel form): start every node with

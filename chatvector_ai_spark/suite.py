@@ -3172,6 +3172,52 @@ def _kg_ktruss_oracle_sql(k: int = 3, rounds: int = 4) -> str:
 KG_DUCK_SQL["kg_ktruss"] = _kg_ktruss_oracle_sql(k=3, rounds=4)
 
 
+# One-row graph census (operators/graph.graph_stats): exact BIGINT counts,
+# integer-ppm density / transitivity / reciprocity; the triangle total
+# reuses the corrected kg_triangles CTE.
+KG_DUCK_SQL["kg_graph_stats"] = f"""
+    WITH directed AS (
+        SELECT DISTINCT src, dst FROM '{_KG_FIXTURE_DIR}/edges.parquet'
+        WHERE src <> dst
+    ),
+    und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b FROM directed),
+    deg AS (
+        SELECT entity, count(*) AS d FROM (
+            SELECT a AS entity FROM und UNION ALL SELECT b AS entity FROM und) u
+        GROUP BY entity
+    ),
+    census AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_nodes,
+               CAST(sum(d) / 2 AS BIGINT) AS n_edges_und,
+               CAST(max(d) AS BIGINT) AS max_degree,
+               CAST(sum(d * (d - 1)) AS BIGINT) AS wedges2x
+        FROM deg
+    ),
+    tri AS (
+        SELECT CAST(coalesce(sum(n_triangles), 0) / 3 AS BIGINT) AS n_triangles
+        FROM ({KG_DUCK_SQL["kg_triangles"]})
+    ),
+    dcount AS (SELECT CAST(count(*) AS BIGINT) AS n_edges_directed FROM directed),
+    recip AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_reciprocal
+        FROM directed e WHERE EXISTS (
+            SELECT 1 FROM directed r WHERE r.src = e.dst AND r.dst = e.src)
+    )
+    SELECT n_nodes, n_edges_directed, n_edges_und, max_degree,
+           CAST(CASE WHEN n_nodes > 1
+                THEN (1000000 * 2 * n_edges_und) // (n_nodes * (n_nodes - 1))
+                ELSE 0 END AS BIGINT) AS density_ppm,
+           n_triangles,
+           CAST(CASE WHEN wedges2x > 0
+                THEN (1000000 * 6 * n_triangles) // wedges2x
+                ELSE 0 END AS BIGINT) AS transitivity_ppm,
+           CAST(CASE WHEN n_edges_directed > 0
+                THEN (1000000 * n_reciprocal) // n_edges_directed
+                ELSE 0 END AS BIGINT) AS reciprocity_ppm
+    FROM census CROSS JOIN tri CROSS JOIN dcount CROSS JOIN recip
+"""
+
+
 def _kg_docs(spark: SparkSession):
     from chatvector_ai_spark.datagen import documents_df
 
@@ -3880,6 +3926,14 @@ def kg_rotate_loss(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rotate_margin_loss(kg_edges(spark, sf_dir), dim=_TRANSE_DIM)
 
 
+def kg_graph_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row structural census: counts, density, transitivity,
+    reciprocity in integer ppm (operators/graph.graph_stats)."""
+    from chatvector_ai_spark.operators.graph import graph_stats
+
+    return graph_stats(kg_edges(spark, sf_dir))
+
+
 def kg_wl_colors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """1-WL color refinement, 2 rounds — structural node fingerprints
     (operators/graph.wl_colors)."""
@@ -3965,6 +4019,7 @@ KG_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_rotate_loss": kg_rotate_loss,
     "kg_wl_colors": kg_wl_colors,
     "kg_ktruss": kg_ktruss,
+    "kg_graph_stats": kg_graph_stats,
 }
 
 

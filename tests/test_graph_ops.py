@@ -1455,3 +1455,20 @@ def test_triangles_found_when_degree_and_lex_order_disagree(spark):
     g = spark.createDataFrame(rows, "src string, rel string, dst string")
     got = {r.entity: r.n_triangles for r in triangles(g).collect()}
     assert got == {"d": 1, "e": 1, "f": 1}
+
+
+def test_graph_stats_census_on_known_graph(spark):
+    from chatvector_ai_spark.operators.graph import graph_stats
+
+    # triangle a-b-c (one edge reciprocated) + pendant c-d
+    g = _e(spark, [("a", "r", "b"), ("b", "r", "a"), ("b", "r", "c"),
+                   ("c", "r", "a"), ("c", "r", "d")])
+    row = graph_stats(g).collect()[0]
+    assert (row.n_nodes, row.n_edges_directed, row.n_edges_und) == (4, 5, 4)
+    assert row.max_degree == 3
+    # density: 2*4 / (4*3) = 2/3
+    assert row.density_ppm == 666_666
+    # one triangle; wedges = 1 + 1 + 3 = 5 -> 3/5
+    assert (row.n_triangles, row.transitivity_ppm) == (1, 600_000)
+    # a<->b reciprocated: 2 of 5 directed edges
+    assert row.reciprocity_ppm == 400_000
