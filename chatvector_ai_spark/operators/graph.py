@@ -2135,6 +2135,50 @@ def katz_centrality(
     )
 
 
+def relation_reachability(
+    edges: DataFrame,
+    rel: str,
+    max_hops: int = 3,
+    max_frontier: int | None = 100_000,
+) -> DataFrame:
+    """Bounded transitive closure over ONE relation — the SPARQL property
+    path ``rel+`` with a hop limit: every (src, dst, hops) pair connected
+    by a chain of ``rel`` edges of length ≤ ``max_hops``, with ``hops``
+    the minimum chain length. The workhorse for hierarchy queries
+    (part_of+, subclass_of+, reports_to+) a KG consumer runs constantly.
+
+    Scale shape: BFS layering — each hop is one equi-join on the frontier
+    + distinct + anti-join against the seen set, so first reach IS the
+    minimum hop count; the same ``max_frontier`` cap discipline as khop /
+    paths_between (deterministic order, logged when binding) bounds a
+    dense hierarchy's closure explosion, and localCheckpoint truncates
+    lineage per hop."""
+    g = (
+        edges.where((F.col("rel") == rel) & (F.col("src") != F.col("dst")))
+        .select("src", "dst")
+        .distinct()
+    )
+    reach = g.withColumn("hops", F.lit(1)).localCheckpoint(eager=True)
+    frontier = g
+    for h in range(2, max_hops + 1):
+        nxt = (
+            frontier.withColumnRenamed("dst", "mid")
+            .join(g.withColumnRenamed("src", "mid"), "mid")
+            .select("src", "dst")
+            .distinct()
+            .join(reach.select("src", "dst"), ["src", "dst"], "left_anti")
+        )
+        if max_frontier is not None:
+            capped = nxt.orderBy("src", "dst").limit(max_frontier)
+            nxt = capped
+        nxt = nxt.withColumn("hops", F.lit(h)).localCheckpoint(eager=True)
+        if nxt.isEmpty():
+            break
+        reach = reach.unionByName(nxt)
+        frontier = nxt.select("src", "dst")
+    return reach
+
+
 def graph_stats(edges: DataFrame) -> DataFrame:
     """One-row structural census of the KG — the summary a pipeline
     operator dashboards after every build: node/edge counts, max degree,

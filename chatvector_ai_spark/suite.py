@@ -1429,6 +1429,80 @@ _q(
     """,
 )
 
+# Containment near-dup (asymmetric overlap): containment = |A∩B| /
+# min(|A|, |B|) catches a document embedded verbatim inside a longer one —
+# the subset-duplicate symmetric Jaccard structurally under-scores (a 100-
+# token doc inside a 10k-token doc has Jaccard ~0.01 but containment 1.0).
+# Candidates come from the same 12-hash/6-band per-source LSH machinery as
+# dd_jaccard_pairs — no all-pairs join.
+_q(
+    "dd_containment",
+    f"""
+    WITH toks AS (SELECT doc_id, source, array_distinct({_SPARK_TOK.format(c='text')}) AS tk FROM documents),
+    hashes AS (SELECT doc_id, source, {_JP_SPARK_MH} FROM toks)
+    {_jp_tail(lambda a, b: f"concat({a}, {b})")}
+    SELECT c.a_id, c.b_id,
+           CAST(size(array_intersect(ta.tk, tb.tk)) AS BIGINT) AS overlap,
+           round(CAST(size(array_intersect(ta.tk, tb.tk)) AS DOUBLE)
+                 / CAST(least(size(ta.tk), size(tb.tk)) AS DOUBLE), 6) AS containment
+    FROM cand c JOIN toks ta ON c.a_id = ta.doc_id JOIN toks tb ON c.b_id = tb.doc_id
+    WHERE CAST(size(array_intersect(ta.tk, tb.tk)) AS DOUBLE)
+          / CAST(least(size(ta.tk), size(tb.tk)) AS DOUBLE) >= 0.9
+    """,
+    f"""
+    WITH toks AS (SELECT doc_id, source, list_distinct({_DUCK_TOK.format(c='text')}) AS tk FROM documents),
+    hashes AS (SELECT doc_id, source, {_JP_DUCK_MH} FROM toks)
+    {_jp_tail(lambda a, b: f"{a} || {b}")}
+    SELECT c.a_id, c.b_id,
+           CAST(len(list_intersect(ta.tk, tb.tk)) AS BIGINT) AS overlap,
+           round(CAST(len(list_intersect(ta.tk, tb.tk)) AS DOUBLE)
+                 / CAST(least(len(ta.tk), len(tb.tk)) AS DOUBLE), 6) AS containment
+    FROM cand c JOIN toks ta ON c.a_id = ta.doc_id JOIN toks tb ON c.b_id = tb.doc_id
+    WHERE CAST(len(list_intersect(ta.tk, tb.tk)) AS DOUBLE)
+          / CAST(least(len(ta.tk), len(tb.tk)) AS DOUBLE) >= 0.9
+    """,
+)
+
+# Source mixing stats (the data-mixture step of a training pipeline): per
+# source block, doc/token counts, the exact integer-ppm token share, and
+# the temperature-scaled (T=2 → sqrt) sampling weight. The share is exact
+# BIGINT arithmetic; sqrt_weight is per-row (no cross-row float sum, so no
+# aggregation-order hazard) and both engines evaluate the identical
+# sqrt(double) — IEEE-correctly-rounded, bit-equal.
+_q(
+    "tx_sampling_weights",
+    f"""
+    WITH per_doc AS (
+        SELECT source, size({_SPARK_TOK.format(c='text')}) AS n_tok FROM documents
+    ),
+    per_src AS (
+        SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n_tok) AS BIGINT) AS n_tokens
+        FROM per_doc GROUP BY source
+    ),
+    tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS total_tokens FROM per_src)
+    SELECT source, n_docs, n_tokens,
+           CAST((1000000 * n_tokens) DIV total_tokens AS BIGINT) AS token_share_ppm,
+           round(sqrt(CAST(n_tokens AS DOUBLE)), 6) AS sqrt_weight
+    FROM per_src CROSS JOIN tot
+    """,
+    f"""
+    WITH per_doc AS (
+        SELECT source, len({_DUCK_TOK.format(c='text')}) AS n_tok FROM documents
+    ),
+    per_src AS (
+        SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n_tok) AS BIGINT) AS n_tokens
+        FROM per_doc GROUP BY source
+    ),
+    tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS total_tokens FROM per_src)
+    SELECT source, n_docs, n_tokens,
+           CAST((1000000 * n_tokens) // total_tokens AS BIGINT) AS token_share_ppm,
+           round(sqrt(CAST(n_tokens AS DOUBLE)), 6) AS sqrt_weight
+    FROM per_src CROSS JOIN tot
+    """,
+)
+
 # ---------------------------------------------------------------------------
 # KG pipeline queries (synthesized interleaved documents). The DuckDB twins
 # select from committed parquet produced WITHOUT Spark by the single-node
@@ -3218,6 +3292,26 @@ KG_DUCK_SQL["kg_graph_stats"] = f"""
 """
 
 
+# Relation-bounded transitive closure (operators/graph.relation_reachability
+# — the SPARQL property path rel+ with a 3-hop bound): BFS layering gives
+# min hops, the twin takes min over the recursive expansion.
+KG_DUCK_SQL["kg_reachability"] = f"""
+    WITH RECURSIVE g AS (
+        SELECT DISTINCT src, dst FROM '{_KG_FIXTURE_DIR}/edges.parquet'
+        WHERE rel = 'supplies' AND src <> dst
+    ),
+    reach(src, dst, hops) AS (
+        SELECT src, dst, 1 FROM g
+        UNION
+        SELECT r.src, g.dst, r.hops + 1
+        FROM reach r JOIN g ON g.src = r.dst
+        WHERE r.hops < 3
+    )
+    SELECT src, dst, CAST(min(hops) AS INTEGER) AS hops
+    FROM reach GROUP BY src, dst
+"""
+
+
 def _kg_docs(spark: SparkSession):
     from chatvector_ai_spark.datagen import documents_df
 
@@ -3926,6 +4020,17 @@ def kg_rotate_loss(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rotate_margin_loss(kg_edges(spark, sf_dir), dim=_TRANSE_DIM)
 
 
+def kg_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-hop transitive closure of the 'supplies' relation — the SPARQL
+    rel+ property path (operators/graph.relation_reachability).
+    max_frontier=None: fixture scale; the default stays capped."""
+    from chatvector_ai_spark.operators.graph import relation_reachability
+
+    return relation_reachability(
+        kg_edges(spark, sf_dir), "supplies", max_hops=3, max_frontier=None
+    )
+
+
 def kg_graph_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One-row structural census: counts, density, transitivity,
     reciprocity in integer ppm (operators/graph.graph_stats)."""
@@ -4020,6 +4125,7 @@ KG_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_wl_colors": kg_wl_colors,
     "kg_ktruss": kg_ktruss,
     "kg_graph_stats": kg_graph_stats,
+    "kg_reachability": kg_reachability,
 }
 
 
@@ -4080,7 +4186,10 @@ PY_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 # (the core triple-extraction query) as the round-over-round continuity
 # anchor. Rows after position 50 were all driver-green in rounds 1–3 and
 # are unchanged; tools/check_oracle.py still gates every query locally
-# each round.
+# each round. Analytics added later in round 4 than the window was pinned
+# (kg_scc … kg_reachability, dd_containment, tx_pii_redact, tx_repetition,
+# tx_sampling_weights) exceed the 50 slots and are gate+pytest-verified
+# this round; they are the natural candidates for the round-5 window.
 _DRIVER_WINDOW_FIRST: list[str] = [
     # -- round-3 analytics, never driver-checked before round 4 (35) --
     "kg_edges", "kg_nodes", "kg_entity_degrees", "kg_cooccurrence",

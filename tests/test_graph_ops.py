@@ -1472,3 +1472,21 @@ def test_graph_stats_census_on_known_graph(spark):
     assert (row.n_triangles, row.transitivity_ppm) == (1, 600_000)
     # a<->b reciprocated: 2 of 5 directed edges
     assert row.reciprocity_ppm == 400_000
+
+
+def test_relation_reachability_is_min_hop_closure_of_one_relation(spark):
+    from chatvector_ai_spark.operators.graph import relation_reachability
+
+    # chain a->b->c->d->e via 'r', plus a distractor 'q' shortcut a->e
+    g = _e(spark, [("a", "r", "b"), ("b", "r", "c"), ("c", "r", "d"),
+                   ("d", "r", "e"), ("a", "q", "e")])
+    got = {(r.src, r.dst): r.hops for r in relation_reachability(g, "r", max_hops=3).collect()}
+    assert got == {
+        ("a", "b"): 1, ("b", "c"): 1, ("c", "d"): 1, ("d", "e"): 1,
+        ("a", "c"): 2, ("b", "d"): 2, ("c", "e"): 2,
+        ("a", "d"): 3, ("b", "e"): 3,
+    }  # (a, e) needs 4 'r'-hops; the 'q' shortcut must not leak in
+    # a cycle reaches back to its start with the cycle length
+    cyc = _e(spark, [("x", "r", "y"), ("y", "r", "x")])
+    got2 = {(r.src, r.dst): r.hops for r in relation_reachability(cyc, "r", max_hops=3).collect()}
+    assert got2[("x", "x")] == 2 and got2[("x", "y")] == 1
