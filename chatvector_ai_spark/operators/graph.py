@@ -2179,6 +2179,72 @@ def relation_reachability(
     return reach
 
 
+def partition_modularity(edges: DataFrame, labels: DataFrame) -> DataFrame:
+    """Newman modularity Q of a node partition over the undirected distinct
+    edge set — the one-row quality score a KG pipeline dashboards for every
+    community detection run (Newman & Girvan 2004):
+
+        Q = intra/m − Σ_c (d_c / 2m)²  =  (4·m·intra − Σ_c d_c²) / (4m²)
+
+    with m undirected edges, intra the count whose endpoints share a label,
+    and d_c the degree mass of community c. The numerator and denominator
+    are exact BIGINT products of hash-agg counts (order-independent, so the
+    DuckDB twin is exact); the final ratio is one double division.
+    ``labels`` is any (entity, label) partition — label_propagation output
+    in the suite query.
+
+    Scale shape: canonical-pair distinct + degree hash-agg, two label
+    equi-joins for the intra count, one per-label degree-mass agg, then
+    four one-row broadcast crossJoins — three global reductions, no driver
+    state, no window.
+    """
+    und = (
+        edges.where(F.col("src") != F.col("dst"))
+        .select(F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b"))
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("a").alias("entity"))
+        .unionByName(und.select(F.col("b").alias("entity")))
+        .groupBy("entity")
+        .agg(F.count("*").alias("d"))
+    )
+    m = und.agg(F.count("*").cast("bigint").alias("n_edges"))
+    intra = (
+        und.join(labels.select(F.col("entity").alias("a"), F.col("label").alias("la")), "a")
+        .join(labels.select(F.col("entity").alias("b"), F.col("label").alias("lb")), "b")
+        .where(F.col("la") == F.col("lb"))
+        .agg(F.count("*").cast("bigint").alias("intra_edges"))
+    )
+    dmass = (
+        labels.join(deg, "entity")
+        .groupBy("label")
+        .agg(F.sum("d").alias("dsum"))
+    )
+    s2 = dmass.agg(
+        F.coalesce(F.sum(F.col("dsum") * F.col("dsum")), F.lit(0))
+        .cast("bigint")
+        .alias("dsum_sq")
+    )
+    ncom = labels.agg(F.countDistinct("label").cast("bigint").alias("n_communities"))
+    return (
+        m.crossJoin(F.broadcast(ncom))
+        .crossJoin(F.broadcast(intra))
+        .crossJoin(F.broadcast(s2))
+        .select(
+            "n_edges",
+            "n_communities",
+            "intra_edges",
+            F.expr("4 * n_edges * intra_edges - dsum_sq").cast("bigint").alias("q_num"),
+            F.expr("4 * n_edges * n_edges").cast("bigint").alias("q_den"),
+            F.expr(
+                "CASE WHEN n_edges > 0 THEN round(CAST(4 * n_edges * intra_edges - dsum_sq AS DOUBLE)"
+                " / CAST(4 * n_edges * n_edges AS DOUBLE), 6) END"
+            ).alias("modularity"),
+        )
+    )
+
+
 def graph_stats(edges: DataFrame) -> DataFrame:
     """One-row structural census of the KG — the summary a pipeline
     operator dashboards after every build: node/edge counts, max degree,

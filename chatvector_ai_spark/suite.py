@@ -1503,6 +1503,69 @@ _q(
     """,
 )
 
+# Cross-document exact-substring dedup census (Lee et al. 2021,
+# "Deduplicating Training Data Makes Language Models Better"): flag every
+# word-8-gram that occurs in >= 2 distinct documents and report, per doc,
+# how much of it is corpus-duplicated substring mass (distinct-8-gram count,
+# duplicated count, integer ppm). Distinct from tx_repetition (WITHIN-doc
+# n-gram repetition) — this is the ACROSS-corpus signal that drives
+# substring-level dedup decisions. Scale shape: the only shuffles are a
+# hash-agg on the 60-bit shingle hash and one equi-join back on it — the
+# same narrow-key discipline as tx_contamination; no raw text moves.
+_q(
+    "dd_exact_substring",
+    f"""
+    WITH toks AS (SELECT doc_id, {_SPARK_TOK.format(c='text')} AS tk FROM documents),
+    sh AS (SELECT doc_id, explode({_SPARK_SH8}) AS g FROM toks WHERE size(tk) >= 8),
+    gd AS (SELECT g, count(DISTINCT doc_id) AS n_docs FROM sh GROUP BY g)
+    SELECT s.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+           CAST(sum(CASE WHEN gd.n_docs > 1 THEN 1 ELSE 0 END) AS BIGINT) AS dup_grams,
+           CAST((1000000 * sum(CASE WHEN gd.n_docs > 1 THEN 1 ELSE 0 END)) DIV count(*) AS BIGINT) AS dup_ppm
+    FROM sh s JOIN gd ON gd.g = s.g
+    GROUP BY s.doc_id
+    """,
+    f"""
+    WITH toks AS (SELECT doc_id, {_DUCK_TOK.format(c='text')} AS tk FROM documents),
+    sh AS (SELECT doc_id, unnest({_DUCK_SH8}) AS g FROM toks WHERE len(tk) >= 8),
+    gd AS (SELECT g, count(DISTINCT doc_id) AS n_docs FROM sh GROUP BY g)
+    SELECT s.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+           CAST(sum(CASE WHEN gd.n_docs > 1 THEN 1 ELSE 0 END) AS BIGINT) AS dup_grams,
+           CAST((1000000 * sum(CASE WHEN gd.n_docs > 1 THEN 1 ELSE 0 END)) // count(*) AS BIGINT) AS dup_ppm
+    FROM sh s JOIN gd ON gd.g = s.g
+    GROUP BY s.doc_id
+    """,
+)
+
+# Unigram-LM rarity score (the CCNet/fastText-style LM quality filter,
+# integer-exact): per token, rarity = 1e6 DIV corpus collection frequency
+# (a monotone proxy for −log p(w) that sidesteps cross-engine libm log
+# discrepancies), summed and averaged per document as exact BIGINTs. Low
+# mean = boilerplate-common tokens; high mean = rare/OOV-heavy text — the
+# two tails an LM-perplexity filter cuts. Scale shape: one hash-agg for the
+# corpus vocabulary, one equi-join on the token, one per-doc hash-agg; the
+# vocabulary side is broadcast-scale after aggregation.
+_q(
+    "tx_rarity",
+    f"""
+    WITH tok AS (SELECT doc_id, explode({_SPARK_TOK.format(c='text')}) AS w FROM documents),
+    cf AS (SELECT w, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY w)
+    SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_tok,
+           CAST(sum(1000000 DIV cf.c) AS BIGINT) AS rarity_sum,
+           CAST(sum(1000000 DIV cf.c) DIV count(*) AS BIGINT) AS rarity_mean_ppm
+    FROM tok t JOIN cf ON cf.w = t.w
+    GROUP BY t.doc_id
+    """,
+    f"""
+    WITH tok AS (SELECT doc_id, unnest({_DUCK_TOK.format(c='text')}) AS w FROM documents),
+    cf AS (SELECT w, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY w)
+    SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_tok,
+           CAST(sum(1000000 // cf.c) AS BIGINT) AS rarity_sum,
+           CAST(sum(1000000 // cf.c) // count(*) AS BIGINT) AS rarity_mean_ppm
+    FROM tok t JOIN cf ON cf.w = t.w
+    GROUP BY t.doc_id
+    """,
+)
+
 # ---------------------------------------------------------------------------
 # KG pipeline queries (synthesized interleaved documents). The DuckDB twins
 # select from committed parquet produced WITHOUT Spark by the single-node
@@ -3312,6 +3375,49 @@ KG_DUCK_SQL["kg_reachability"] = f"""
 """
 
 
+# Modularity of the LPA partition (operators/graph.partition_modularity):
+# Q = (4·m·intra − Σ d_c²) / (4m²) over the undirected distinct edge set,
+# numerator/denominator exact BIGINT, final ratio one double division. The
+# twin reruns the same deterministic LPA unrolling and the same integer
+# census over the fixture edges.
+KG_DUCK_SQL["kg_modularity"] = _lpa_sql(
+    _LPA_ITERS,
+    extra_parts=[
+        f"""und AS (
+        SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+        FROM '{_KG_FIXTURE_DIR}/edges.parquet' WHERE src <> dst
+    )""",
+        "mm AS (SELECT CAST(count(*) AS BIGINT) AS n_edges FROM und)",
+        """deg AS (
+        SELECT entity, count(*) AS d FROM (
+            SELECT a AS entity FROM und UNION ALL SELECT b AS entity FROM und
+        ) GROUP BY entity
+    )""",
+        f"""intra AS (
+        SELECT CAST(count(*) AS BIGINT) AS intra_edges
+        FROM und u
+        JOIN l{_LPA_ITERS} x ON x.entity = u.a
+        JOIN l{_LPA_ITERS} y ON y.entity = u.b
+        WHERE x.label = y.label
+    )""",
+        f"""dmass AS (
+        SELECT l.label, sum(d.d) AS dsum
+        FROM l{_LPA_ITERS} l JOIN deg d ON d.entity = l.entity
+        GROUP BY l.label
+    )""",
+        "s2 AS (SELECT CAST(coalesce(sum(dsum * dsum), 0) AS BIGINT) AS dsum_sq FROM dmass)",
+        f"ncom AS (SELECT CAST(count(DISTINCT label) AS BIGINT) AS n_communities FROM l{_LPA_ITERS})",
+    ],
+    tail=f"""SELECT mm.n_edges, ncom.n_communities, intra.intra_edges,
+           CAST(4 * mm.n_edges * intra.intra_edges - s2.dsum_sq AS BIGINT) AS q_num,
+           CAST(4 * mm.n_edges * mm.n_edges AS BIGINT) AS q_den,
+           CASE WHEN mm.n_edges > 0 THEN
+               round(CAST(4 * mm.n_edges * intra.intra_edges - s2.dsum_sq AS DOUBLE)
+                     / CAST(4 * mm.n_edges * mm.n_edges AS DOUBLE), 6) END AS modularity
+    FROM mm, ncom, intra, s2""",
+)
+
+
 def _kg_docs(spark: SparkSession):
     from chatvector_ai_spark.datagen import documents_df
 
@@ -4031,6 +4137,18 @@ def kg_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def kg_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row Newman modularity of the 4-round LPA partition
+    (operators/graph.partition_modularity over label_propagation)."""
+    from chatvector_ai_spark.operators.graph import (
+        label_propagation,
+        partition_modularity,
+    )
+
+    edges = kg_edges(spark, sf_dir)
+    return partition_modularity(edges, label_propagation(edges, iterations=_LPA_ITERS))
+
+
 def kg_graph_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One-row structural census: counts, density, transitivity,
     reciprocity in integer ppm (operators/graph.graph_stats)."""
@@ -4126,6 +4244,7 @@ KG_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_ktruss": kg_ktruss,
     "kg_graph_stats": kg_graph_stats,
     "kg_reachability": kg_reachability,
+    "kg_modularity": kg_modularity,
 }
 
 

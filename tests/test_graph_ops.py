@@ -1490,3 +1490,25 @@ def test_relation_reachability_is_min_hop_closure_of_one_relation(spark):
     cyc = _e(spark, [("x", "r", "y"), ("y", "r", "x")])
     got2 = {(r.src, r.dst): r.hops for r in relation_reachability(cyc, "r", max_hops=3).collect()}
     assert got2[("x", "x")] == 2 and got2[("x", "y")] == 1
+
+
+def test_partition_modularity_two_triangles_bridge(spark):
+    from chatvector_ai_spark.operators.graph import partition_modularity
+
+    # two triangles joined by one bridge edge c-d; labels = the triangles
+    g = _e(spark, [("a", "r", "b"), ("b", "r", "c"), ("c", "r", "a"),
+                   ("d", "r", "e"), ("e", "r", "f"), ("f", "r", "d"),
+                   ("c", "r", "d")])
+    labels = spark.createDataFrame(
+        [("a", "L"), ("b", "L"), ("c", "L"), ("d", "R"), ("e", "R"), ("f", "R")],
+        "entity string, label string")
+    row = partition_modularity(g, labels).collect()[0]
+    # m=7, intra=6, d_L = d_R = 2+2+3 = 7 -> Q = (4*7*6 - 2*49) / (4*49)
+    assert (row.n_edges, row.n_communities, row.intra_edges) == (7, 2, 6)
+    assert (row.q_num, row.q_den) == (70, 196)
+    assert row.modularity == round(70 / 196, 6)
+    # the degenerate all-one-community partition scores Q = 0 exactly
+    one = spark.createDataFrame(
+        [(n, "ALL") for n in "abcdef"], "entity string, label string")
+    r1 = partition_modularity(g, one).collect()[0]
+    assert (r1.q_num, r1.modularity) == (0, 0.0)
