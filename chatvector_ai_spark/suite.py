@@ -1566,6 +1566,59 @@ _q(
     """,
 )
 
+# Distinct-cardinality sketch profiler (Flajolet-Martin 1985, 16
+# independent deterministic registers — the same register discipline as the
+# kg_anf neighborhood sketches): per source block, the FM estimate of the
+# distinct-token vocabulary NEXT TO the exact count, so the profiler's
+# error is visible in the row. At 100 TB the exact count is the expensive
+# column (count-distinct shuffle on the token); the sketch column is the
+# one a profiler actually ships — a 16×bigint bit_or per group, mergeable
+# across partitions with no distinct shuffle at all. Registers are
+# md5-derived (no RNG), so both engines compute identical bitmasks.
+def _fm_sketch_sql(dialect: str, n_registers: int = 16) -> str:
+    R = n_registers
+    if dialect == "spark":
+        tok = f"SELECT source, explode({_SPARK_TOK.format(c='text')}) AS w FROM documents"
+
+        def h(r: int) -> str:
+            return f"CAST(conv(substring(md5(concat('fm:{r}:', w)), 1, 15), 16, 10) AS BIGINT)"
+
+        def tz_shift(r: int) -> str:
+            return (
+                f"shiftleft(CAST(1 AS BIGINT), "
+                f"least(bit_count({h(r)} ^ ({h(r)} - 1)) - 1, 47)) AS s{r}"
+            )
+
+        ones = " + ".join(f"(bit_count(m{r} ^ (m{r} + 1)) - 1)" for r in range(R))
+    else:
+        tok = f"SELECT source, unnest({_DUCK_TOK.format(c='text')}) AS w FROM documents"
+
+        def h(r: int) -> str:
+            return f"CAST('0x' || substr(md5('fm:{r}:' || w), 1, 15) AS BIGINT)"
+
+        def tz_shift(r: int) -> str:
+            return (
+                f"(CAST(1 AS BIGINT) << "
+                f"least(bit_count(xor({h(r)}, {h(r)} - 1)) - 1, 47)) AS s{r}"
+            )
+
+        ones = " + ".join(f"(bit_count(xor(m{r}, m{r} + 1)) - 1)" for r in range(R))
+    shifts = ", ".join(tz_shift(r) for r in range(R))
+    ors = ", ".join(f"bit_or(s{r}) AS m{r}" for r in range(R))
+    return f"""
+    WITH tok AS (SELECT DISTINCT source, w FROM ({tok})),
+    hv AS (SELECT source, {shifts} FROM tok),
+    regs AS (SELECT source, {ors} FROM hv GROUP BY source),
+    ex AS (SELECT source, CAST(count(*) AS BIGINT) AS exact_distinct FROM tok GROUP BY source)
+    SELECT e.source, e.exact_distinct,
+           CAST({ones} AS BIGINT) AS r_sum,
+           round(pow(2.0, ({ones}) / {float(R)}) / 0.77351, 4) AS fm_est
+    FROM regs r JOIN ex e ON e.source = r.source
+    """
+
+
+_q("tx_distinct_sketch", _fm_sketch_sql("spark"), _fm_sketch_sql("duckdb"))
+
 # ---------------------------------------------------------------------------
 # KG pipeline queries (synthesized interleaved documents). The DuckDB twins
 # select from committed parquet produced WITHOUT Spark by the single-node
