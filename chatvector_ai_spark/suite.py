@@ -1259,6 +1259,76 @@ _DUCK_SH8 = (
     "list_distinct(list_transform(generate_series(1, len(tk) - 7), i -> "
     "CAST('0x' || substr(md5(list_aggregate(tk[i:i+7], 'string_agg', ' ')), 1, 15) AS BIGINT)))"
 )
+# Ordered conversion funnel (view → click → purchase, strictly increasing
+# timestamps): per step, how many users got there and the step-over-step
+# conversion in integer ppm. Each step is one min-ts hash-agg plus one
+# equi-join on user_id with a ts range predicate — no window, no cartesian;
+# at 100 TB each step stays one shuffle on the user key, and the funnel
+# summary is a 3-row reduction.
+_FUNNEL_BODY = """
+    WITH v AS (SELECT user_id, min(ts) AS t1 FROM events
+               WHERE event_type = 'view' GROUP BY user_id),
+    c AS (SELECT v.user_id, min(e.ts) AS t2
+          FROM v JOIN events e ON e.user_id = v.user_id
+          WHERE e.event_type = 'click' AND e.ts > v.t1 GROUP BY v.user_id),
+    p AS (SELECT c.user_id, min(e.ts) AS t3
+          FROM c JOIN events e ON e.user_id = c.user_id
+          WHERE e.event_type = 'purchase' AND e.ts > c.t2 GROUP BY c.user_id),
+    n AS (SELECT CAST((SELECT count(*) FROM v) AS BIGINT) AS n_view,
+                 CAST((SELECT count(*) FROM c) AS BIGINT) AS n_click,
+                 CAST((SELECT count(*) FROM p) AS BIGINT) AS n_purchase)
+    SELECT 1 AS step_idx, 'view' AS step, n_view AS n_users,
+           CAST(1000000 AS BIGINT) AS conversion_ppm FROM n
+    UNION ALL
+    SELECT 2, 'click', n_click,
+           CAST(CASE WHEN n_view > 0 THEN (1000000 * n_click) {div} n_view ELSE 0 END AS BIGINT) FROM n
+    UNION ALL
+    SELECT 3, 'purchase', n_purchase,
+           CAST(CASE WHEN n_click > 0 THEN (1000000 * n_purchase) {div} n_click ELSE 0 END AS BIGINT) FROM n
+"""
+_q(
+    "ev_funnel",
+    _FUNNEL_BODY.format(div="DIV"),
+    _FUNNEL_BODY.format(div="//"),
+)
+
+# Daily cohort retention (the activation dashboard): users grouped by
+# first-seen day, distinct-active counts at each day offset 0..7, and
+# retention vs the cohort's own day-0 in integer ppm. Two hash-aggs (first
+# day per user, distinct user-days) and one equi-join back on the cohort
+# key — the shape survives any scale because rows out = cohorts × 8.
+_q(
+    "ev_retention",
+    """
+    WITH firstday AS (SELECT user_id, min(CAST(ts AS DATE)) AS cohort
+                      FROM events GROUP BY user_id),
+    act AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+    offs AS (SELECT f.cohort, datediff(a.day, f.cohort) AS day_offset,
+                    CAST(count(DISTINCT a.user_id) AS BIGINT) AS active_users
+             FROM firstday f JOIN act a ON a.user_id = f.user_id
+             WHERE datediff(a.day, f.cohort) BETWEEN 0 AND 7
+             GROUP BY f.cohort, datediff(a.day, f.cohort)),
+    base AS (SELECT cohort, active_users AS day0 FROM offs WHERE day_offset = 0)
+    SELECT o.cohort, CAST(o.day_offset AS INT) AS day_offset, o.active_users,
+           CAST((1000000 * o.active_users) DIV b.day0 AS BIGINT) AS retention_ppm
+    FROM offs o JOIN base b ON b.cohort = o.cohort
+    """,
+    """
+    WITH firstday AS (SELECT user_id, min(CAST(ts AS DATE)) AS cohort
+                      FROM events GROUP BY user_id),
+    act AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+    offs AS (SELECT f.cohort, (a.day - f.cohort) AS day_offset,
+                    CAST(count(DISTINCT a.user_id) AS BIGINT) AS active_users
+             FROM firstday f JOIN act a ON a.user_id = f.user_id
+             WHERE (a.day - f.cohort) BETWEEN 0 AND 7
+             GROUP BY f.cohort, (a.day - f.cohort)),
+    base AS (SELECT cohort, active_users AS day0 FROM offs WHERE day_offset = 0)
+    SELECT o.cohort, CAST(o.day_offset AS INT) AS day_offset, o.active_users,
+           CAST((1000000 * o.active_users) // b.day0 AS BIGINT) AS retention_ppm
+    FROM offs o JOIN base b ON b.cohort = o.cohort
+    """,
+)
+
 _q(
     "tx_contamination",
     f"""
