@@ -1689,6 +1689,43 @@ def _fm_sketch_sql(dialect: str, n_registers: int = 16) -> str:
 
 _q("tx_distinct_sketch", _fm_sketch_sql("spark"), _fm_sketch_sql("duckdb"))
 
+# Deterministic train/val/test split (the release step of every training
+# pipeline): each doc lands in a split by md5(doc_id) bucket — 98/1/1 over
+# 100 buckets — so the assignment is reproducible on any engine, any run,
+# any partitioning, with no RNG and no global sort. Reported per
+# source × split with exact counts and token mass, the table a data-mixture
+# audit reads. Scale shape: one per-row hash + one hash-agg.
+_SPLIT_CASE = (
+    "CASE WHEN bk < 98 THEN 'train' WHEN bk = 98 THEN 'val' ELSE 'test' END"
+)
+_q(
+    "tx_split",
+    f"""
+    WITH b AS (
+        SELECT source,
+               CAST(conv(substring(md5(concat('split:', CAST(doc_id AS STRING))), 1, 8), 16, 10) AS BIGINT) % 100 AS bk,
+               size({_SPARK_TOK.format(c='text')}) AS n_tok
+        FROM documents
+    )
+    SELECT source, {_SPLIT_CASE} AS split,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tok) AS BIGINT) AS n_tokens
+    FROM b GROUP BY source, {_SPLIT_CASE}
+    """,
+    f"""
+    WITH b AS (
+        SELECT source,
+               CAST('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 100 AS bk,
+               len({_DUCK_TOK.format(c='text')}) AS n_tok
+        FROM documents
+    )
+    SELECT source, {_SPLIT_CASE} AS split,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tok) AS BIGINT) AS n_tokens
+    FROM b GROUP BY source, {_SPLIT_CASE}
+    """,
+)
+
 # ---------------------------------------------------------------------------
 # KG pipeline queries (synthesized interleaved documents). The DuckDB twins
 # select from committed parquet produced WITHOUT Spark by the single-node
