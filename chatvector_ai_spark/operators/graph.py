@@ -2169,9 +2169,19 @@ def relation_reachability(
             .join(reach.select("src", "dst"), ["src", "dst"], "left_anti")
         )
         if max_frontier is not None:
-            capped = nxt.orderBy("src", "dst").limit(max_frontier)
-            nxt = capped
+            nxt = nxt.orderBy("src", "dst").limit(max_frontier)
         nxt = nxt.withColumn("hops", F.lit(h)).localCheckpoint(eager=True)
+        if max_frontier is not None and nxt.count() >= max_frontier:
+            # metadata read of the eager checkpoint, not a recompute; fires
+            # also on an exact-cap layer — truncation is never silent
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "relation_reachability: frontier cap %d reached at hop %d "
+                "(rel=%s); closure beyond the cap is truncated — pass "
+                "max_frontier=None for the exhaustive closure",
+                max_frontier, h, rel,
+            )
         if nxt.isEmpty():
             break
         reach = reach.unionByName(nxt)

@@ -1492,6 +1492,20 @@ def test_relation_reachability_is_min_hop_closure_of_one_relation(spark):
     assert got2[("x", "x")] == 2 and got2[("x", "y")] == 1
 
 
+def test_relation_reachability_frontier_cap_binds_deterministically(spark):
+    from chatvector_ai_spark.operators.graph import relation_reachability
+
+    # two complete bipartite layers a->b->c: 72 hop-1 edges, 36 hop-2 pairs
+    rows = [(f"a{i}", "r", f"b{j}") for i in range(6) for j in range(6)] + \
+           [(f"b{i}", "r", f"c{j}") for i in range(6) for j in range(6)]
+    g = _e(spark, rows)
+    capped = relation_reachability(g, "r", max_hops=2, max_frontier=10)
+    by = {r.hops: r["count"] for r in capped.groupBy("hops").count().collect()}
+    assert by[1] == 72 and by[2] == 10  # hop-2 layer truncated to the cap
+    again = relation_reachability(g, "r", max_hops=2, max_frontier=10)
+    assert sorted(map(tuple, capped.collect())) == sorted(map(tuple, again.collect()))
+
+
 def test_partition_modularity_two_triangles_bridge(spark):
     from chatvector_ai_spark.operators.graph import partition_modularity
 
