@@ -1636,6 +1636,45 @@ _q(
     """,
 )
 
+# Bigram conditional surprisal (the conditional-LM upgrade of tx_rarity's
+# unigram rarity): per bigram (w1, w2), cost = 1e6·c(w1)/c(w1,w2) — the
+# scaled inverse conditional probability p(w2|w1), summed and averaged per
+# document as exact BIGINTs (same libm-free integer discipline). High mean
+# = improbable word transitions (gibberish / shuffled text — what a KenLM
+# perplexity filter cuts); low = formulaic text. Scale shape: two hash-aggs
+# (unigram + bigram tables) and two equi-joins back on narrow keys.
+_q(
+    "tx_bigram_surprisal",
+    f"""
+    WITH tok AS (SELECT doc_id, tk FROM (SELECT doc_id, {_SPARK_TOK.format(c='text')} AS tk FROM documents)),
+    bg AS (SELECT doc_id, explode(transform(sequence(1, size(tk) - 1),
+                                            i -> struct(tk[i - 1] AS w1, tk[i] AS w2))) AS b
+           FROM tok WHERE size(tk) >= 2),
+    pairs AS (SELECT doc_id, b.w1 AS w1, b.w2 AS w2 FROM bg),
+    uni AS (SELECT w1, CAST(count(*) AS BIGINT) AS c1 FROM pairs GROUP BY w1),
+    bi AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c2 FROM pairs GROUP BY w1, w2)
+    SELECT p.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+           CAST(sum((1000000 * u.c1) DIV b.c2) AS BIGINT) AS surprisal_sum,
+           CAST(sum((1000000 * u.c1) DIV b.c2) DIV count(*) AS BIGINT) AS surprisal_mean_ppm
+    FROM pairs p JOIN uni u ON u.w1 = p.w1 JOIN bi b ON b.w1 = p.w1 AND b.w2 = p.w2
+    GROUP BY p.doc_id
+    """,
+    f"""
+    WITH tok AS (SELECT doc_id, tk FROM (SELECT doc_id, {_DUCK_TOK.format(c='text')} AS tk FROM documents)),
+    bg AS (SELECT doc_id, unnest(list_transform(generate_series(2, len(tk)),
+                                                i -> {{'w1': tk[i - 1], 'w2': tk[i]}})) AS b
+           FROM tok WHERE len(tk) >= 2),
+    pairs AS (SELECT doc_id, b.w1 AS w1, b.w2 AS w2 FROM bg),
+    uni AS (SELECT w1, CAST(count(*) AS BIGINT) AS c1 FROM pairs GROUP BY w1),
+    bi AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c2 FROM pairs GROUP BY w1, w2)
+    SELECT p.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+           CAST(sum((1000000 * u.c1) // b.c2) AS BIGINT) AS surprisal_sum,
+           CAST(sum((1000000 * u.c1) // b.c2) // count(*) AS BIGINT) AS surprisal_mean_ppm
+    FROM pairs p JOIN uni u ON u.w1 = p.w1 JOIN bi b ON b.w1 = p.w1 AND b.w2 = p.w2
+    GROUP BY p.doc_id
+    """,
+)
+
 # Distinct-cardinality sketch profiler (Flajolet-Martin 1985, 16
 # independent deterministic registers — the same register discipline as the
 # kg_anf neighborhood sketches): per source block, the FM estimate of the
