@@ -2189,6 +2189,74 @@ def relation_reachability(
     return reach
 
 
+def maximal_independent_set(edges: DataFrame, rounds: int = 4) -> DataFrame:
+    """Deterministic Luby maximal-independent-set over the undirected
+    distinct edge set (Luby 1986, with md5 hash priorities in place of
+    RNG so every engine — and every rerun — selects the identical set):
+    each round, an undecided node with a round-salted hash priority
+    STRICTLY below all its undecided neighbors' joins the MIS; its
+    neighbors become covered; repeat. The KG use is anchor selection — a
+    spread-out, non-adjacent entity subset for landmark indexing or
+    summarization, picked without any driver-side state.
+
+    Returns (entity, status, round): status ``mis`` (member, with its
+    selection round), ``covered`` (dominated by a member), or
+    ``undecided`` (round 0) for nodes still open after ``rounds`` —
+    expected-O(log n) rounds decide everything, and strict hash
+    comparison means two adjacent nodes can never both enter.
+
+    Per round: one equi-join restricting edges to undecided endpoints,
+    one min hash-agg of neighbor priorities, and anti-joins to shrink the
+    undecided set — two shuffles on the entity key at any scale, with
+    ``localCheckpoint`` truncating lineage per round."""
+    sym = (
+        edges.select(F.col("src").alias("entity"), F.col("dst").alias("nbr"))
+        .unionByName(edges.select(F.col("dst").alias("entity"), F.col("src").alias("nbr")))
+        .where(F.col("entity") != F.col("nbr"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    und = sym.select("entity").distinct().localCheckpoint(eager=True)
+    decided: DataFrame | None = None
+    for r in range(1, rounds + 1):
+        pri = F.expr(
+            f"CAST(conv(substring(md5(concat('mis:{r}:', entity)), 1, 15), 16, 10) AS BIGINT)"
+        )
+        undp = und.withColumn("p", pri)
+        e_r = sym.join(und, "entity").join(
+            und.select(F.col("entity").alias("nbr")), "nbr"
+        )
+        nbr_min = (
+            e_r.join(undp.select(F.col("entity").alias("nbr"), F.col("p").alias("np")), "nbr")
+            .groupBy("entity")
+            .agg(F.min("np").alias("min_np"))
+        )
+        mis_r = (
+            undp.join(nbr_min, "entity", "left")
+            .where(F.col("min_np").isNull() | (F.col("p") < F.col("min_np")))
+            .select("entity")
+            .withColumn("status", F.lit("mis"))
+            .withColumn("round", F.lit(r))
+        )
+        cov_r = (
+            e_r.join(mis_r.select(F.col("entity").alias("nbr")), "nbr")
+            .select("entity")
+            .distinct()
+            .join(mis_r.select("entity"), "entity", "left_anti")
+            .withColumn("status", F.lit("covered"))
+            .withColumn("round", F.lit(r))
+        )
+        new_decided = mis_r.unionByName(cov_r).localCheckpoint(eager=True)
+        decided = new_decided if decided is None else decided.unionByName(new_decided)
+        und = und.join(new_decided.select("entity"), "entity", "left_anti").localCheckpoint(
+            eager=True
+        )
+        if und.isEmpty():
+            break
+    leftover = und.withColumn("status", F.lit("undecided")).withColumn("round", F.lit(0))
+    return decided.unionByName(leftover) if decided is not None else leftover
+
+
 def partition_modularity(edges: DataFrame, labels: DataFrame) -> DataFrame:
     """Newman modularity Q of a node partition over the undirected distinct
     edge set — the one-row quality score a KG pipeline dashboards for every

@@ -3574,6 +3574,73 @@ KG_DUCK_SQL["kg_reachability"] = f"""
 """
 
 
+# Deterministic Luby MIS twin (operators/graph.maximal_independent_set):
+# identical md5 round-salted priorities, strict-min selection, unrolled per
+# round exactly like the LPA/ANF twins.
+def _mis_sql(rounds: int = 4) -> str:
+    def pri(r: int) -> str:
+        return f"CAST('0x' || substr(md5('mis:{r}:' || entity), 1, 15) AS BIGINT)"
+
+    parts = [
+        f"""sym AS MATERIALIZED (
+        SELECT DISTINCT src AS entity, dst AS nbr
+        FROM '{_KG_FIXTURE_DIR}/edges.parquet' WHERE src <> dst
+        UNION
+        SELECT DISTINCT dst AS entity, src AS nbr
+        FROM '{_KG_FIXTURE_DIR}/edges.parquet' WHERE src <> dst
+    )""",
+        "u0 AS MATERIALIZED (SELECT DISTINCT entity FROM sym)",
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(f"""p{r} AS MATERIALIZED (SELECT entity, {pri(r)} AS p FROM u{r - 1})""")
+        parts.append(
+            f"""nm{r} AS MATERIALIZED (
+        SELECT s.entity, min(p2.p) AS min_np
+        FROM sym s
+        JOIN u{r - 1} a ON a.entity = s.entity
+        JOIN u{r - 1} b ON b.entity = s.nbr
+        JOIN p{r} p2 ON p2.entity = s.nbr
+        GROUP BY s.entity
+    )"""
+        )
+        parts.append(
+            f"""mis{r} AS MATERIALIZED (
+        SELECT p.entity FROM p{r} p LEFT JOIN nm{r} n ON n.entity = p.entity
+        WHERE n.entity IS NULL OR p.p < n.min_np
+    )"""
+        )
+        parts.append(
+            f"""cov{r} AS MATERIALIZED (
+        SELECT DISTINCT s.entity
+        FROM sym s
+        JOIN u{r - 1} a ON a.entity = s.entity
+        JOIN u{r - 1} b ON b.entity = s.nbr
+        JOIN mis{r} m ON m.entity = s.nbr
+        WHERE s.entity NOT IN (SELECT entity FROM mis{r})
+    )"""
+        )
+        parts.append(
+            f"""u{r} AS MATERIALIZED (
+        SELECT entity FROM u{r - 1}
+        WHERE entity NOT IN (SELECT entity FROM mis{r})
+          AND entity NOT IN (SELECT entity FROM cov{r})
+    )"""
+        )
+    reads = [
+        f"SELECT entity, 'mis' AS status, CAST({r} AS INT) AS round FROM mis{r}"
+        for r in range(1, rounds + 1)
+    ] + [
+        f"SELECT entity, 'covered' AS status, CAST({r} AS INT) AS round FROM cov{r}"
+        for r in range(1, rounds + 1)
+    ] + [
+        f"SELECT entity, 'undecided' AS status, CAST(0 AS INT) AS round FROM u{rounds}"
+    ]
+    return "WITH " + ",\n    ".join(parts) + "\n    " + "\n    UNION ALL\n    ".join(reads)
+
+
+KG_DUCK_SQL["kg_mis"] = _mis_sql()
+
+
 # Modularity of the LPA partition (operators/graph.partition_modularity):
 # Q = (4·m·intra − Σ d_c²) / (4m²) over the undirected distinct edge set,
 # numerator/denominator exact BIGINT, final ratio one double division. The
@@ -4336,6 +4403,14 @@ def kg_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def kg_mis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic Luby maximal independent set — hash-priority anchor
+    selection (operators/graph.maximal_independent_set)."""
+    from chatvector_ai_spark.operators.graph import maximal_independent_set
+
+    return maximal_independent_set(kg_edges(spark, sf_dir), rounds=4)
+
+
 def kg_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One-row Newman modularity of the 4-round LPA partition
     (operators/graph.partition_modularity over label_propagation)."""
@@ -4444,6 +4519,7 @@ KG_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_graph_stats": kg_graph_stats,
     "kg_reachability": kg_reachability,
     "kg_modularity": kg_modularity,
+    "kg_mis": kg_mis,
 }
 
 

@@ -1506,6 +1506,43 @@ def test_relation_reachability_frontier_cap_binds_deterministically(spark):
     assert sorted(map(tuple, capped.collect())) == sorted(map(tuple, again.collect()))
 
 
+def test_mis_invariants_and_determinism(spark):
+    from chatvector_ai_spark.operators.graph import maximal_independent_set
+
+    # ring of 12 + chords: every node decided within 4 rounds w.h.p.
+    n = 12
+    rows = [(f"v{i}", "r", f"v{(i + 1) % n}") for i in range(n)] + \
+           [(f"v{i}", "r", f"v{(i + 3) % n}") for i in range(0, n, 2)]
+    g = _e(spark, rows)
+    res = {r.entity: (r.status, r["round"]) for r in maximal_independent_set(g).collect()}
+    assert set(res) == {f"v{i}" for i in range(n)}  # every node classified once
+    mis = {v for v, (s, _) in res.items() if s == "mis"}
+    adj = set()
+    for s, _, d in rows:
+        adj.add((s, d)); adj.add((d, s))
+    # independence: no two MIS members adjacent
+    assert not any((a, b) in adj for a in mis for b in mis if a != b)
+    # maximality: every decided non-member is adjacent to a member
+    for v, (s, _) in res.items():
+        if s == "covered":
+            assert any((v, m) in adj for m in mis)
+        elif s == "undecided":
+            # allowed only if some neighbor is also still undecided
+            assert any(res.get(u, ("", 0))[0] == "undecided"
+                       for (x, u) in adj if x == v)
+    # deterministic: identical rerun
+    res2 = {r.entity: (r.status, r["round"]) for r in maximal_independent_set(g).collect()}
+    assert res == res2
+
+
+def test_mis_two_node_graph_splits_mis_and_covered(spark):
+    from chatvector_ai_spark.operators.graph import maximal_independent_set
+
+    g = _e(spark, [("a", "r", "b")])
+    res = {r.entity: r.status for r in maximal_independent_set(g).collect()}
+    assert sorted(res.values()) == ["covered", "mis"]
+
+
 def test_partition_modularity_two_triangles_bridge(spark):
     from chatvector_ai_spark.operators.graph import partition_modularity
 
