@@ -2257,6 +2257,69 @@ def maximal_independent_set(edges: DataFrame, rounds: int = 4) -> DataFrame:
     return decided.unionByName(leftover) if decided is not None else leftover
 
 
+def maximal_matching(edges: DataFrame, rounds: int = 4) -> DataFrame:
+    """Deterministic distributed maximal matching over the undirected
+    distinct edge set — the local-dominant-edge algorithm (Hoepman 2004 /
+    Manne–Bisseling), with md5 round-salted EDGE priorities in place of
+    RNG: each round, an edge whose priority is the strict minimum at BOTH
+    endpoints joins the matching; its endpoints leave the graph; repeat.
+    The pipeline use is merge scheduling — pair up near-duplicate
+    candidates so every document participates in at most one merge per
+    pass, with no coordinator.
+
+    Returns (a, b, round) canonical matched pairs. Two selected edges can
+    never share a node (each node has one strict minimum); md5 priorities
+    over distinct (a, b) inputs make ties vanishingly improbable AND
+    engine-identical either way, so reruns and the DuckDB twin select the
+    same matching. Per round: one explode-to-endpoint union, one min
+    hash-agg per node, two equi-joins back, two anti-joins to drop matched
+    endpoints — all narrow-key shuffles, lineage truncated per round."""
+    cand = (
+        edges.where(F.col("src") != F.col("dst"))
+        .select(F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    matched: DataFrame | None = None
+    for r in range(1, rounds + 1):
+        ep = cand.withColumn(
+            "p",
+            F.expr(
+                f"CAST(conv(substring(md5(concat('mm:{r}:', a, '>', b)), 1, 15), 16, 10) AS BIGINT)"
+            ),
+        )
+        inc = ep.select(F.col("a").alias("node"), "p").unionByName(
+            ep.select(F.col("b").alias("node"), "p")
+        )
+        nmin = inc.groupBy("node").agg(F.min("p").alias("minp"))
+        sel = (
+            ep.join(
+                nmin.select(F.col("node").alias("a"), F.col("minp").alias("ma")), "a"
+            )
+            .join(nmin.select(F.col("node").alias("b"), F.col("minp").alias("mb")), "b")
+            .where((F.col("p") == F.col("ma")) & (F.col("p") == F.col("mb")))
+            .select("a", "b")
+            .withColumn("round", F.lit(r))
+            .localCheckpoint(eager=True)
+        )
+        matched = sel if matched is None else matched.unionByName(sel)
+        used = (
+            sel.select(F.col("a").alias("node"))
+            .unionByName(sel.select(F.col("b").alias("node")))
+            .distinct()
+        )
+        cand = (
+            cand.join(used.select(F.col("node").alias("a")), "a", "left_anti")
+            .join(used.select(F.col("node").alias("b")), "b", "left_anti")
+            .select("a", "b")
+            .localCheckpoint(eager=True)
+        )
+        if cand.isEmpty():
+            break
+    assert matched is not None
+    return matched
+
+
 def partition_modularity(edges: DataFrame, labels: DataFrame) -> DataFrame:
     """Newman modularity Q of a node partition over the undirected distinct
     edge set — the one-row quality score a KG pipeline dashboards for every

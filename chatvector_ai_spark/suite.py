@@ -3641,6 +3641,61 @@ def _mis_sql(rounds: int = 4) -> str:
 KG_DUCK_SQL["kg_mis"] = _mis_sql()
 
 
+# Deterministic maximal-matching twin (operators/graph.maximal_matching):
+# identical md5 edge priorities, both-endpoint strict-min selection,
+# unrolled per round with MATERIALIZED CTEs like the MIS twin.
+def _mm_sql(rounds: int = 4) -> str:
+    parts = [
+        f"""c0 AS MATERIALIZED (
+        SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+        FROM '{_KG_FIXTURE_DIR}/edges.parquet' WHERE src <> dst
+    )"""
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(
+            f"""e{r} AS MATERIALIZED (
+        SELECT a, b,
+               CAST('0x' || substr(md5('mm:{r}:' || a || '>' || b), 1, 15) AS BIGINT) AS p
+        FROM c{r - 1}
+    )"""
+        )
+        parts.append(
+            f"""nm{r} AS MATERIALIZED (
+        SELECT node, min(p) AS minp FROM (
+            SELECT a AS node, p FROM e{r} UNION ALL SELECT b AS node, p FROM e{r}
+        ) GROUP BY node
+    )"""
+        )
+        parts.append(
+            f"""m{r} AS MATERIALIZED (
+        SELECT e.a, e.b FROM e{r} e
+        JOIN nm{r} x ON x.node = e.a
+        JOIN nm{r} y ON y.node = e.b
+        WHERE e.p = x.minp AND e.p = y.minp
+    )"""
+        )
+        parts.append(
+            f"""u{r} AS MATERIALIZED (
+        SELECT a AS node FROM m{r} UNION SELECT b AS node FROM m{r}
+    )"""
+        )
+        parts.append(
+            f"""c{r} AS MATERIALIZED (
+        SELECT a, b FROM c{r - 1}
+        WHERE a NOT IN (SELECT node FROM u{r})
+          AND b NOT IN (SELECT node FROM u{r})
+    )"""
+        )
+    reads = [
+        f"SELECT a, b, CAST({r} AS INT) AS round FROM m{r}"
+        for r in range(1, rounds + 1)
+    ]
+    return "WITH " + ",\n    ".join(parts) + "\n    " + "\n    UNION ALL\n    ".join(reads)
+
+
+KG_DUCK_SQL["kg_matching"] = _mm_sql()
+
+
 # Modularity of the LPA partition (operators/graph.partition_modularity):
 # Q = (4·m·intra − Σ d_c²) / (4m²) over the undirected distinct edge set,
 # numerator/denominator exact BIGINT, final ratio one double division. The
@@ -4403,6 +4458,14 @@ def kg_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def kg_matching(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic local-dominant-edge maximal matching — merge
+    scheduling (operators/graph.maximal_matching)."""
+    from chatvector_ai_spark.operators.graph import maximal_matching
+
+    return maximal_matching(kg_edges(spark, sf_dir), rounds=4)
+
+
 def kg_mis(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic Luby maximal independent set — hash-priority anchor
     selection (operators/graph.maximal_independent_set)."""
@@ -4520,6 +4583,7 @@ KG_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_reachability": kg_reachability,
     "kg_modularity": kg_modularity,
     "kg_mis": kg_mis,
+    "kg_matching": kg_matching,
 }
 
 

@@ -1506,6 +1506,36 @@ def test_relation_reachability_frontier_cap_binds_deterministically(spark):
     assert sorted(map(tuple, capped.collect())) == sorted(map(tuple, again.collect()))
 
 
+def test_maximal_matching_invariants_and_determinism(spark):
+    from chatvector_ai_spark.operators.graph import maximal_matching
+
+    n = 10
+    rows = [(f"v{i}", "r", f"v{(i + 1) % n}") for i in range(n)] + \
+           [(f"v{i}", "r", f"v{(i + 4) % n}") for i in range(0, n, 2)]
+    g = _e(spark, rows)
+    got = [(r.a, r.b) for r in maximal_matching(g).collect()]
+    # matching: no node in two pairs
+    nodes = [x for ab in got for x in ab]
+    assert len(nodes) == len(set(nodes))
+    # maximality: every candidate edge touches a matched node
+    matched = set(nodes)
+    cand = {tuple(sorted((s, d))) for s, _, d in rows}
+    assert all(a in matched or b in matched for a, b in cand)
+    # deterministic rerun
+    again = [(r.a, r.b) for r in maximal_matching(g).collect()]
+    assert sorted(got) == sorted(again)
+
+
+def test_maximal_matching_on_single_edge_and_triangle(spark):
+    from chatvector_ai_spark.operators.graph import maximal_matching
+
+    one = _e(spark, [("a", "r", "b")])
+    assert [(r.a, r.b, r["round"]) for r in maximal_matching(one).collect()] == [("a", "b", 1)]
+    # a triangle admits exactly one matched pair
+    tri = _e(spark, [("a", "r", "b"), ("b", "r", "c"), ("c", "r", "a")])
+    assert maximal_matching(tri).count() == 1
+
+
 def test_mis_invariants_and_determinism(spark):
     from chatvector_ai_spark.operators.graph import maximal_independent_set
 
