@@ -1636,6 +1636,38 @@ _q(
     """,
 )
 
+# Exact length deciles WITHOUT a global sort or window (the profiling
+# shape that survives 100 TB): histogram the integer doc lengths (distinct
+# lengths ≪ docs), take cumulative counts via a bounded self-join over the
+# small histogram, and read decile d as the smallest length whose
+# cumulative count covers d/10 of the corpus. Every number is an exact
+# BIGINT — no percentile_approx sketch divergence between engines.
+_DECILES_BODY = """
+    WITH hist AS (
+        SELECT n_chars AS len, CAST(count(*) AS BIGINT) AS c
+        FROM documents GROUP BY n_chars
+    ),
+    tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM hist),
+    cum AS (
+        SELECT h.len, CAST(sum(h2.c) AS BIGINT) AS cum_c
+        FROM hist h JOIN hist h2 ON h2.len <= h.len
+        GROUP BY h.len
+    ),
+    d AS ({decile_rows})
+    SELECT d.decile, CAST(min(c.len) AS BIGINT) AS len_at_decile
+    FROM d CROSS JOIN tot t JOIN cum c ON 10 * c.cum_c >= d.decile * t.n
+    GROUP BY d.decile
+"""
+_q(
+    "tx_length_deciles",
+    _DECILES_BODY.format(
+        decile_rows="SELECT explode(sequence(1, 10)) AS decile"
+    ),
+    _DECILES_BODY.format(
+        decile_rows="SELECT CAST(unnest(generate_series(1, 10)) AS INT) AS decile"
+    ),
+)
+
 # Bigram conditional surprisal (the conditional-LM upgrade of tx_rarity's
 # unigram rarity): per bigram (w1, w2), cost = 1e6·c(w1)/c(w1,w2) — the
 # scaled inverse conditional probability p(w2|w1), summed and averaged per
