@@ -4677,9 +4677,12 @@ PY_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 # anchor. Rows after position 50 were all driver-green in rounds 1–3 and
 # are unchanged; tools/check_oracle.py still gates every query locally
 # each round. Analytics added later in round 4 than the window was pinned
-# (kg_scc … kg_reachability, dd_containment, tx_pii_redact, tx_repetition,
-# tx_sampling_weights) exceed the 50 slots and are gate+pytest-verified
-# this round; they are the natural candidates for the round-5 window.
+# (kg_scc … kg_reachability, kg_modularity, kg_mis, kg_matching,
+# dd_containment, dd_exact_substring, tx_pii_redact, tx_repetition,
+# tx_sampling_weights, tx_rarity, tx_distinct_sketch, tx_split,
+# tx_bigram_surprisal, tx_length_deciles, ev_funnel, ev_retention) exceed
+# the 50 slots and are gate+pytest-verified this round; they are the
+# natural candidates for the round-5 window.
 _DRIVER_WINDOW_FIRST: list[str] = [
     # -- round-3 analytics, never driver-checked before round 4 (35) --
     "kg_edges", "kg_nodes", "kg_entity_degrees", "kg_cooccurrence",
