@@ -1557,9 +1557,8 @@ def test_mis_invariants_and_determinism(spark):
         if s == "covered":
             assert any((v, m) in adj for m in mis)
         elif s == "undecided":
-            # allowed only if some neighbor is also still undecided
-            assert any(res.get(u, ("", 0))[0] == "undecided"
-                       for (x, u) in adj if x == v)
+            # never adjacent to a member (it would have been covered)
+            assert not any((v, m) in adj for m in mis)
     # deterministic: identical rerun
     res2 = {r.entity: (r.status, r["round"]) for r in maximal_independent_set(g).collect()}
     assert res == res2
