@@ -358,6 +358,12 @@ FRAME_ROW_DDL = (
     "frame_backend string"
 )
 
+PHASH_ROW_DDL = (
+    "doc_id string, span_idx int, media_ref string, "
+    "phash bigint, band0 int, band1 int, band2 int, band3 int, "
+    "phash_backend string"
+)
+
 
 def resize_images(media: DataFrame, width: int = 32, height: int = 32, backend: str = "fake") -> DataFrame:
     """Image spans → fixed-size thumbnails as binary (the training-data
@@ -451,6 +457,110 @@ def resize_images(media: DataFrame, width: int = 32, height: int = 32, backend: 
             ])
 
     return media.where(F.col("kind") == "image").mapInPandas(resize, schema=RESIZED_ROW_DDL)
+
+
+def image_phash(media: DataFrame, backend: str = "stdlib") -> DataFrame:
+    """Perceptual average-hash (aHash) over image spans — the multimodal
+    dedup bridge: decode to 8-bit grayscale (REAL stdlib codecs: PNG
+    inflate+unfilter, GIF LZW+palette, BMP, baseline JPEG Huffman+IDCT),
+    box-resize to 8×8 (``codecs.resize_gray``), threshold each cell at the
+    grid mean, and pack the 64 bits row-major (MSB first) into one signed
+    BIGINT. Near-duplicate images — recompressions, small edits — land
+    within small Hamming distance of each other.
+
+    Pairing at scale uses the SAME pigeonhole LSH the text SimHash dedup
+    uses: the 64 bits split into four 16-bit bands (``band0..band3``, bit
+    63 downward); two hashes within Hamming distance 3 must share at least
+    one exact band, so candidate pairs come from four equi-join buckets —
+    never an all-pairs scan. ``backend='fake'`` derives the bits from the
+    payload sha256 (full distributed path, zero codec work); corrupt rows
+    degrade per-row to the fake with ``phash_backend='decode-error'`` —
+    the decode_media/resize_images dispatch-and-degrade contract.
+
+    Reference scope note: the reference has no media path at all
+    (backend/services/extraction_service.py is PDF/TXT-only); this is
+    brief-scope multimodal capability, not reference parity."""
+    if backend not in ("fake", "stdlib"):
+        raise NotImplementedError(
+            f"image phash backend {backend!r} requires codec libraries not "
+            "present in this environment; 'stdlib' and 'fake' are available"
+        )
+
+    def pack(bits: list[int]) -> int:
+        v = 0
+        for b in bits:
+            v = (v << 1) | (1 if b else 0)
+        return v - (1 << 64) if v >= (1 << 63) else v
+
+    def fake_hash(payload: bytes) -> int:
+        h = hashlib.sha256(payload).digest()
+        return pack([(h[i // 8] >> (7 - i % 8)) & 1 for i in range(64)])
+
+    def phash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from chatvector_ai_spark.functions.codecs import (
+            BMP_MAGIC,
+            GIF_MAGICS,
+            JPEG_MAGIC,
+            PNG_MAGIC,
+            decode_bmp_pixels,
+            decode_gif_pixels,
+            decode_png,
+            resize_gray,
+        )
+        from chatvector_ai_spark.functions.jpegcodec import decode_jpeg_pixels
+
+        def gray_of(data: bytes) -> tuple[int, int, bytes, str] | None:
+            if data.startswith(PNG_MAGIC):
+                w, h, _ch, gray = decode_png(data)
+                return w, h, gray, "stdlib-png"
+            if data.startswith(GIF_MAGICS):
+                w, h, gray = decode_gif_pixels(data)
+                return w, h, gray, "stdlib-gif"
+            if data.startswith(BMP_MAGIC):
+                w, h, gray = decode_bmp_pixels(data)
+                return w, h, gray, "stdlib-bmp"
+            if data.startswith(JPEG_MAGIC):
+                w, h, gray = decode_jpeg_pixels(data)
+                return w, h, gray, "stdlib-jpeg"
+            return None
+
+        for pdf in batches:
+            out_rows = []
+            for doc_id, span_idx, ref, payload in zip(
+                pdf["doc_id"], pdf["span_idx"], pdf["media_ref"], pdf["payload"]
+            ):
+                data = bytes(payload)
+                hv, label = None, None
+                if backend == "stdlib":
+                    try:
+                        got = gray_of(data)
+                        if got is not None:
+                            w, h, gray, label = got
+                            small = resize_gray(gray, w, h, 8, 8)
+                            # integer mean; strictly-above threshold so a
+                            # flat image hashes to all-zero bits
+                            mean = sum(small) // 64
+                            hv = pack([1 if px > mean else 0 for px in small])
+                    except ValueError:
+                        hv, label = fake_hash(data), "decode-error"
+                if hv is None:
+                    hv, label = fake_hash(data), ("fake" if label is None else label)
+                bands = [(hv >> (48 - 16 * i)) & 0xFFFF for i in range(4)]
+                out_rows.append(
+                    {
+                        "doc_id": doc_id, "span_idx": span_idx, "media_ref": ref,
+                        "phash": hv,
+                        "band0": bands[0], "band1": bands[1],
+                        "band2": bands[2], "band3": bands[3],
+                        "phash_backend": label,
+                    }
+                )
+            yield pd.DataFrame(out_rows, columns=[
+                "doc_id", "span_idx", "media_ref", "phash",
+                "band0", "band1", "band2", "band3", "phash_backend",
+            ])
+
+    return media.where(F.col("kind") == "image").mapInPandas(phash, schema=PHASH_ROW_DDL)
 
 
 def sample_frames(media: DataFrame, every_ms: int = 1000, max_frames: int = 8, backend: str = "fake") -> DataFrame:

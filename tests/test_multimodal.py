@@ -162,3 +162,45 @@ def test_sample_frames_stdlib_mp4_uses_real_sample_bytes(spark):
     s = got[got["media_ref"] == "m_shell"]
     assert set(s["frame_backend"]) == {"stdlib-mp4-header"}
     assert len(s) == 4  # 2000ms duration, capped at max_frames=4
+
+
+def test_image_phash_stable_under_tiny_edit_and_bands(spark):
+    from chatvector_ai_spark.functions.codecs import encode_png
+    from chatvector_ai_spark.operators.multimodal import image_phash
+
+    import pandas as pd
+
+    # 16x16 grayscale: left half black, right half white -> aHash has the
+    # right-half bits set; a one-pixel edit must not move any bit
+    base = bytearray(256)
+    for y in range(16):
+        for x in range(8, 16):
+            base[y * 16 + x] = 255
+    edited = bytearray(base)
+    edited[5 * 16 + 12] = 254  # one white pixel dimmed imperceptibly
+    inverted = bytes(255 - v for v in base)
+    media = spark.createDataFrame(pd.DataFrame({
+        "doc_id": ["d0"] * 3 + ["d1"],
+        "span_idx": [0, 1, 2, 0],
+        "kind": ["image"] * 3 + ["audio"],
+        "media_ref": ["orig", "edit", "inv", "skip"],
+        "payload": [bytes(encode_png(16, 16, bytes(base))),
+                    bytes(encode_png(16, 16, bytes(edited))),
+                    bytes(encode_png(16, 16, inverted)),
+                    b"RIFFxxxxWAVE"],
+    }))
+    got = {r["media_ref"]: r for r in image_phash(media, backend="stdlib").collect()}
+    assert "skip" not in got  # non-image spans filtered JVM-side
+    assert got["orig"]["phash_backend"] == "stdlib-png"
+    assert got["orig"]["phash"] == got["edit"]["phash"]  # tiny edit: identical
+    assert got["orig"]["phash"] != got["inv"]["phash"]
+    # bands are exact 16-bit slices, MSB-first: shared bands = LSH buckets
+    hv = got["orig"]["phash"]
+    for i, bname in enumerate(["band0", "band1", "band2", "band3"]):
+        assert got["orig"][bname] == (hv >> (48 - 16 * i)) & 0xFFFF
+    assert [got["orig"][f"band{i}"] for i in range(4)] == \
+        [got["edit"][f"band{i}"] for i in range(4)]
+    # fake backend: deterministic and payload-derived
+    f1 = {r["media_ref"]: r["phash"] for r in image_phash(media, backend="fake").collect()}
+    f2 = {r["media_ref"]: r["phash"] for r in image_phash(media, backend="fake").collect()}
+    assert f1 == f2 and f1["orig"] != f1["inv"]
