@@ -563,6 +563,43 @@ def image_phash(media: DataFrame, backend: str = "stdlib") -> DataFrame:
     return media.where(F.col("kind") == "image").mapInPandas(phash, schema=PHASH_ROW_DDL)
 
 
+def image_neardup_pairs(phashes: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """Near-duplicate image pairs from ``image_phash`` output: candidates
+    are generated per 16-bit band bucket (pigeonhole: Hamming ≤ 3 over 64
+    bits guarantees one of the four bands matches exactly), then verified
+    with the exact popcount distance — ``bit_count(phash XOR phash)`` —
+    entirely JVM-side. Returns (a_ref, b_ref, hamming), canonical order,
+    each pair once.
+
+    Scale shape: four narrow equi-joins on (band index, band value)
+    buckets + one distinct — never an all-pairs product; the verify is a
+    per-row bit op. Exactly the SimHash text-dedup plan shape, applied to
+    the perceptual hash."""
+    base = phashes.select(
+        F.col("media_ref").alias("ref"), F.col("phash").alias("h"),
+        "band0", "band1", "band2", "band3",
+    )
+    keyed = None
+    for i in range(4):
+        k = base.select(
+            "ref", "h", F.lit(i).alias("bi"), F.col(f"band{i}").alias("bv")
+        )
+        keyed = k if keyed is None else keyed.unionByName(k)
+    left = keyed.select(
+        F.col("ref").alias("a_ref"), F.col("h").alias("ha"), "bi", "bv"
+    )
+    right = keyed.select(
+        F.col("ref").alias("b_ref"), F.col("h").alias("hb"), "bi", "bv"
+    )
+    return (
+        left.join(right, ["bi", "bv"])
+        .where(F.col("a_ref") < F.col("b_ref"))
+        .select("a_ref", "b_ref", F.expr("bit_count(ha ^ hb)").cast("int").alias("hamming"))
+        .where(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+
+
 def sample_frames(media: DataFrame, every_ms: int = 1000, max_frames: int = 8, backend: str = "fake") -> DataFrame:
     """Video/audio spans → one row per sampled frame (1-to-N UDTF shape)
     with a per-frame feature vector; sampling times are every_ms apart,

@@ -204,3 +204,37 @@ def test_image_phash_stable_under_tiny_edit_and_bands(spark):
     f1 = {r["media_ref"]: r["phash"] for r in image_phash(media, backend="fake").collect()}
     f2 = {r["media_ref"]: r["phash"] for r in image_phash(media, backend="fake").collect()}
     assert f1 == f2 and f1["orig"] != f1["inv"]
+
+
+def test_image_neardup_pairs_band_lsh_and_hamming(spark):
+    from chatvector_ai_spark.functions.codecs import encode_png
+    from chatvector_ai_spark.operators.multimodal import image_neardup_pairs, image_phash
+
+    import pandas as pd
+
+    # three images: A, A' (A with a 2x2 block flipped -> few aHash bits
+    # move), and B (inverted -> far from both)
+    base = bytearray(256)
+    for y in range(16):
+        for x in range(8, 16):
+            base[y * 16 + x] = 255
+    near = bytearray(base)
+    for y in (0, 1):          # flip one 8x8-cell's worth of pixels
+        for x in (0, 1):
+            near[y * 16 + x] = 255
+    far = bytes(255 - v for v in base)
+    media = spark.createDataFrame(pd.DataFrame({
+        "doc_id": ["d"] * 3,
+        "span_idx": [0, 1, 2],
+        "kind": ["image"] * 3,
+        "media_ref": ["A", "A2", "B"],
+        "payload": [bytes(encode_png(16, 16, bytes(base))),
+                    bytes(encode_png(16, 16, bytes(near))),
+                    bytes(encode_png(16, 16, far))],
+    }))
+    ph = image_phash(media, backend="stdlib")
+    pairs = {(r.a_ref, r.b_ref): r.hamming for r in image_neardup_pairs(ph, max_hamming=3).collect()}
+    assert ("A", "A2") in pairs and pairs[("A", "A2")] <= 3  # near pair found
+    assert not any("B" in p for p in pairs)                   # far image excluded
+    # each surviving pair reported exactly once despite 4 band buckets
+    assert len(pairs) == 1
