@@ -563,6 +563,80 @@ def image_phash(media: DataFrame, backend: str = "stdlib") -> DataFrame:
     return media.where(F.col("kind") == "image").mapInPandas(phash, schema=PHASH_ROW_DDL)
 
 
+def _pack64(bits: list[int]) -> int:
+    v = 0
+    for b in bits:
+        v = (v << 1) | (1 if b else 0)
+    return v - (1 << 64) if v >= (1 << 63) else v
+
+
+def audio_phash(media: DataFrame, backend: str = "stdlib") -> DataFrame:
+    """Energy-envelope fingerprint over audio spans — the audio member of
+    the cross-modal dedup family: decode 16-bit mono PCM (stdlib
+    ``codecs.decode_wav``), split the sample stream into 64 equal time
+    windows, compute each window's integer energy (sum of squared
+    samples), threshold at the mean energy, and pack the 64 bits MSB-first
+    into one signed BIGINT with the same four 16-bit pigeonhole bands as
+    ``image_phash`` — so ``image_neardup_pairs`` (which only reads
+    media_ref/phash/band columns) pairs near-duplicate audio unchanged.
+    Re-encodes, small gain riding, and appended silence barely move the
+    envelope; reordered content does. Same dispatch-and-degrade contract:
+    non-WAV payloads hash from sha256 (``fake``), corrupt WAVs degrade
+    per-row (``decode-error``)."""
+    if backend not in ("fake", "stdlib"):
+        raise NotImplementedError(
+            f"audio phash backend {backend!r} requires codec libraries not "
+            "present in this environment; 'stdlib' and 'fake' are available"
+        )
+
+    def fake_hash(payload: bytes) -> int:
+        h = hashlib.sha256(payload).digest()
+        return _pack64([(h[i // 8] >> (7 - i % 8)) & 1 for i in range(64)])
+
+    def phash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from chatvector_ai_spark.functions.codecs import WAV_MAGIC, decode_wav
+
+        for pdf in batches:
+            out_rows = []
+            for doc_id, span_idx, ref, payload in zip(
+                pdf["doc_id"], pdf["span_idx"], pdf["media_ref"], pdf["payload"]
+            ):
+                data = bytes(payload)
+                hv, label = None, None
+                if backend == "stdlib" and data.startswith(WAV_MAGIC):
+                    try:
+                        _rate, _ms, samples = decode_wav(data)
+                        n = len(samples)
+                        if n:
+                            energies = [
+                                sum(s * s for s in samples[i * n // 64:(i + 1) * n // 64])
+                                for i in range(64)
+                            ]
+                            mean = sum(energies) // 64
+                            hv = _pack64([1 if e > mean else 0 for e in energies])
+                            label = "stdlib-wav"
+                    except ValueError:
+                        hv, label = fake_hash(data), "decode-error"
+                if hv is None:
+                    hv, label = fake_hash(data), ("fake" if label is None else label)
+                bands = [(hv >> (48 - 16 * i)) & 0xFFFF for i in range(4)]
+                out_rows.append(
+                    {
+                        "doc_id": doc_id, "span_idx": span_idx, "media_ref": ref,
+                        "phash": hv,
+                        "band0": bands[0], "band1": bands[1],
+                        "band2": bands[2], "band3": bands[3],
+                        "phash_backend": label,
+                    }
+                )
+            yield pd.DataFrame(out_rows, columns=[
+                "doc_id", "span_idx", "media_ref", "phash",
+                "band0", "band1", "band2", "band3", "phash_backend",
+            ])
+
+    return media.where(F.col("kind") == "audio").mapInPandas(phash, schema=PHASH_ROW_DDL)
+
+
 def image_neardup_pairs(phashes: DataFrame, max_hamming: int = 3) -> DataFrame:
     """Near-duplicate image pairs from ``image_phash`` output: candidates
     are generated per 16-bit band bucket (pigeonhole: Hamming ≤ 3 over 64

@@ -238,3 +238,33 @@ def test_image_neardup_pairs_band_lsh_and_hamming(spark):
     assert not any("B" in p for p in pairs)                   # far image excluded
     # each surviving pair reported exactly once despite 4 band buckets
     assert len(pairs) == 1
+
+
+def test_audio_phash_envelope_and_cross_modal_pairing(spark):
+    from chatvector_ai_spark.functions.codecs import encode_wav
+    from chatvector_ai_spark.operators.multimodal import audio_phash, image_neardup_pairs
+
+    import pandas as pd
+
+    # loud first half / silent second half; a tiny gain ride keeps the
+    # envelope shape; the reversed signal flips it
+    loud_first = [1000] * 512 + [0] * 512
+    gain_rode = [1010] * 512 + [0] * 512
+    reversed_ = [0] * 512 + [1000] * 512
+    media = spark.createDataFrame(pd.DataFrame({
+        "doc_id": ["d"] * 4,
+        "span_idx": [0, 1, 2, 3],
+        "kind": ["audio"] * 3 + ["image"],
+        "media_ref": ["A", "A2", "R", "skip"],
+        "payload": [bytes(encode_wav(loud_first)), bytes(encode_wav(gain_rode)),
+                    bytes(encode_wav(reversed_)), b"\x89PNG\r\n\x1a\nxxxx"],
+    }))
+    got = {r["media_ref"]: r for r in audio_phash(media, backend="stdlib").collect()}
+    assert "skip" not in got  # non-audio spans filtered JVM-side
+    assert got["A"]["phash_backend"] == "stdlib-wav"
+    assert got["A"]["phash"] == got["A2"]["phash"]   # gain ride: same envelope
+    assert got["A"]["phash"] != got["R"]["phash"]    # reversed: different
+    # the shared band/DDL contract means the image pair generator works as-is
+    pairs = {(r.a_ref, r.b_ref) for r in
+             image_neardup_pairs(audio_phash(media, backend="stdlib"), max_hamming=3).collect()}
+    assert ("A", "A2") in pairs and not any("R" in p for p in pairs)
