@@ -616,7 +616,11 @@ def infer_types(edges: DataFrame) -> DataFrame:
     )
 
 
-def match_pattern(edges: DataFrame, pattern: list[tuple[str, str, str]]) -> DataFrame:
+def match_pattern(
+    edges: DataFrame,
+    pattern: list[tuple[str, str, str]],
+    optional: list[tuple[str, str, str]] | None = None,
+) -> DataFrame:
     """Basic graph pattern matching (the SPARQL BGP core): ``pattern`` is a
     list of (subject, predicate, object) terms where a term starting with
     ``?`` is a variable and anything else is a constant. Returns one
@@ -625,12 +629,21 @@ def match_pattern(edges: DataFrame, pattern: list[tuple[str, str, str]]) -> Data
     Example: ``[("?a", "acquired", "?b"), ("?b", "supplies", "?c")]`` finds
     acquisition targets that supply someone.
 
+    ``optional`` adds SPARQL OPTIONAL blocks — one triple pattern each,
+    left-joined after the required chain on its shared variables: required
+    bindings survive unmatched with NULLs in the optional-only columns
+    (the "give me the acquisition too, if any" query). Each optional
+    pattern must share at least one variable with the required part and
+    bind at least one new-or-shared variable — the guard that keeps an
+    OPTIONAL from degenerating into a cartesian product at scale.
+
     Execution: each triple pattern is a constant-filtered scan of the edge
     table projected to its variable columns; patterns chain with equi-joins
-    on shared variables (Catalyst reorders and broadcasts small sides).
-    Constants push down to the parquet scan; a pattern with a constant
-    subject additionally prunes by entity-hash bucket when the edge table
-    is bucket-partitioned. No Python runs per row."""
+    on shared variables (Catalyst reorders and broadcasts small sides),
+    OPTIONAL blocks with left equi-joins. Constants push down to the
+    parquet scan; a pattern with a constant subject additionally prunes by
+    entity-hash bucket when the edge table is bucket-partitioned. No
+    Python runs per row."""
     if not pattern:
         raise ValueError("pattern must contain at least one triple pattern")
 
@@ -662,6 +675,15 @@ def match_pattern(edges: DataFrame, pattern: list[tuple[str, str, str]]) -> Data
         step = one(tp)
         shared = [c for c in step.columns if c in out.columns and c != "__exists__"]
         out = out.join(step, on=shared) if shared else out.crossJoin(step)
+    for tp in optional or []:
+        step = one(tp)
+        shared = [c for c in step.columns if c in out.columns and c != "__exists__"]
+        if "__exists__" in step.columns or not shared:
+            raise ValueError(
+                "an optional pattern must bind variables and share at least "
+                "one with the required pattern (no cartesian OPTIONALs)"
+            )
+        out = out.join(step, on=shared, how="left")
     return out.drop("__exists__").distinct()
 
 

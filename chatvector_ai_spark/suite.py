@@ -2753,6 +2753,19 @@ KG_DUCK_SQL["kg_pattern_match"] = f"""
     WHERE p1.rel = 'acquired' AND p2.rel = 'supplies'
 """
 
+# SPARQL OPTIONAL twin (operators/graph.match_pattern optional=):
+# required (?a supplies ?b) left-joined with optional (?b acquired ?c) —
+# suppliers keep their row with NULL c when the target acquired nothing.
+KG_DUCK_SQL["kg_pattern_optional"] = f"""
+    WITH dedup AS (
+        SELECT DISTINCT src, rel, dst FROM '{_KG_FIXTURE_DIR}/edges.parquet'
+    ),
+    req AS (SELECT DISTINCT src AS a, dst AS b FROM dedup WHERE rel = 'supplies'),
+    opt AS (SELECT DISTINCT src AS b, dst AS c FROM dedup WHERE rel = 'acquired')
+    SELECT DISTINCT r.a, r.b, o.c
+    FROM req r LEFT JOIN opt o ON o.b = r.b
+"""
+
 # Connected-components twin (operators/graph.connected_components): the
 # oracle takes min over the transitive closure — equal to the star
 # algorithm's min-of-component label on any finite graph.
@@ -4498,6 +4511,18 @@ def kg_matching(spark: SparkSession, sf_dir: str) -> DataFrame:
     return maximal_matching(kg_edges(spark, sf_dir), rounds=4)
 
 
+def kg_pattern_optional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BGP with a SPARQL OPTIONAL block: (?a supplies ?b) OPTIONAL
+    (?b acquired ?c) (operators/graph.match_pattern optional=)."""
+    from chatvector_ai_spark.operators.graph import match_pattern
+
+    return match_pattern(
+        kg_edges(spark, sf_dir),
+        [("?a", "supplies", "?b")],
+        optional=[("?b", "acquired", "?c")],
+    )
+
+
 def kg_mis(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic Luby maximal independent set — hash-priority anchor
     selection (operators/graph.maximal_independent_set)."""
@@ -4616,6 +4641,7 @@ KG_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_modularity": kg_modularity,
     "kg_mis": kg_mis,
     "kg_matching": kg_matching,
+    "kg_pattern_optional": kg_pattern_optional,
 }
 
 

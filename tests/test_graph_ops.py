@@ -1506,6 +1506,27 @@ def test_relation_reachability_frontier_cap_binds_deterministically(spark):
     assert sorted(map(tuple, capped.collect())) == sorted(map(tuple, again.collect()))
 
 
+def test_match_pattern_optional_left_joins_with_nulls(spark):
+    import pytest
+
+    from chatvector_ai_spark.operators.graph import match_pattern
+
+    g = _e(spark, [("s1", "supplies", "t1"), ("s2", "supplies", "t2"),
+                   ("t1", "acquired", "x")])
+    got = {(r.a, r.b): r.c for r in match_pattern(
+        g, [("?a", "supplies", "?b")], optional=[("?b", "acquired", "?c")]
+    ).collect()}
+    assert got == {("s1", "t1"): "x", ("s2", "t2"): None}  # unmatched keeps NULL
+    # an OPTIONAL sharing no variable (would be cartesian) is rejected
+    with pytest.raises(ValueError):
+        match_pattern(g, [("?a", "supplies", "?b")],
+                      optional=[("?x", "acquired", "?y")])
+    # an all-constant OPTIONAL is rejected too
+    with pytest.raises(ValueError):
+        match_pattern(g, [("?a", "supplies", "?b")],
+                      optional=[("t1", "acquired", "x")])
+
+
 def test_maximal_matching_invariants_and_determinism(spark):
     from chatvector_ai_spark.operators.graph import maximal_matching
 
