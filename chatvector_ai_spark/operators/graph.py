@@ -620,6 +620,7 @@ def match_pattern(
     edges: DataFrame,
     pattern: list[tuple[str, str, str]],
     optional: list[tuple[str, str, str]] | None = None,
+    values: dict[str, list[str]] | None = None,
 ) -> DataFrame:
     """Basic graph pattern matching (the SPARQL BGP core): ``pattern`` is a
     list of (subject, predicate, object) terms where a term starting with
@@ -636,6 +637,13 @@ def match_pattern(
     pattern must share at least one variable with the required part and
     bind at least one new-or-shared variable — the guard that keeps an
     OPTIONAL from degenerating into a cartesian product at scale.
+
+    ``values`` is the SPARQL VALUES clause: ``{"a": ["E1", "E2"]}``
+    restricts variable ``a`` to the given constants — the federated
+    "match only these ids" query. Applied as an ``isin`` filter (a
+    broadcast-scale literal list, pushed into the scans by Catalyst)
+    before the optional blocks; naming a variable the pattern never binds
+    raises.
 
     Execution: each triple pattern is a constant-filtered scan of the edge
     table projected to its variable columns; patterns chain with equi-joins
@@ -675,6 +683,13 @@ def match_pattern(
         step = one(tp)
         shared = [c for c in step.columns if c in out.columns and c != "__exists__"]
         out = out.join(step, on=shared) if shared else out.crossJoin(step)
+    for var, allowed in (values or {}).items():
+        if var not in out.columns:
+            raise ValueError(
+                f"VALUES names variable {var!r} which the required pattern "
+                f"never binds (bound: {[c for c in out.columns if c != '__exists__']})"
+            )
+        out = out.where(F.col(var).isin(allowed))
     for tp in optional or []:
         step = one(tp)
         shared = [c for c in step.columns if c in out.columns and c != "__exists__"]

@@ -2766,6 +2766,19 @@ KG_DUCK_SQL["kg_pattern_optional"] = f"""
     FROM req r LEFT JOIN opt o ON o.b = r.b
 """
 
+# SPARQL VALUES twin: the same required+OPTIONAL shape restricted to an
+# inline binding list for ?a — the federated "only these ids" query.
+KG_DUCK_SQL["kg_pattern_values"] = f"""
+    WITH dedup AS (
+        SELECT DISTINCT src, rel, dst FROM '{_KG_FIXTURE_DIR}/edges.parquet'
+    ),
+    req AS (SELECT DISTINCT src AS a, dst AS b FROM dedup
+            WHERE rel = 'supplies' AND src IN ('E000002', 'E000007', 'E000016')),
+    opt AS (SELECT DISTINCT src AS b, dst AS c FROM dedup WHERE rel = 'acquired')
+    SELECT DISTINCT r.a, r.b, o.c
+    FROM req r LEFT JOIN opt o ON o.b = r.b
+"""
+
 # Connected-components twin (operators/graph.connected_components): the
 # oracle takes min over the transitive closure — equal to the star
 # algorithm's min-of-component label on any finite graph.
@@ -4523,6 +4536,19 @@ def kg_pattern_optional(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def kg_pattern_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BGP + OPTIONAL restricted by a SPARQL VALUES list on ?a
+    (operators/graph.match_pattern values=)."""
+    from chatvector_ai_spark.operators.graph import match_pattern
+
+    return match_pattern(
+        kg_edges(spark, sf_dir),
+        [("?a", "supplies", "?b")],
+        optional=[("?b", "acquired", "?c")],
+        values={"a": ["E000002", "E000007", "E000016"]},
+    )
+
+
 def kg_mis(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic Luby maximal independent set — hash-priority anchor
     selection (operators/graph.maximal_independent_set)."""
@@ -4642,6 +4668,7 @@ KG_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_mis": kg_mis,
     "kg_matching": kg_matching,
     "kg_pattern_optional": kg_pattern_optional,
+    "kg_pattern_values": kg_pattern_values,
 }
 
 

@@ -1527,6 +1527,28 @@ def test_match_pattern_optional_left_joins_with_nulls(spark):
                       optional=[("t1", "acquired", "x")])
 
 
+def test_match_pattern_values_clause(spark):
+    import pytest
+
+    from chatvector_ai_spark.operators.graph import match_pattern
+
+    g = _e(spark, [("s1", "supplies", "t1"), ("s2", "supplies", "t2"),
+                   ("s3", "supplies", "t3"), ("t1", "acquired", "x")])
+    got = {(r.a, r.b) for r in match_pattern(
+        g, [("?a", "supplies", "?b")], values={"a": ["s1", "s3"]}
+    ).collect()}
+    assert got == {("s1", "t1"), ("s3", "t3")}
+    # VALUES composes with OPTIONAL (filter applies before the left join)
+    rows = match_pattern(
+        g, [("?a", "supplies", "?b")],
+        optional=[("?b", "acquired", "?c")], values={"a": ["s1", "s2"]},
+    ).collect()
+    assert {(r.a, r.c) for r in rows} == {("s1", "x"), ("s2", None)}
+    # naming an unbound variable raises
+    with pytest.raises(ValueError):
+        match_pattern(g, [("?a", "supplies", "?b")], values={"z": ["s1"]})
+
+
 def test_maximal_matching_invariants_and_determinism(spark):
     from chatvector_ai_spark.operators.graph import maximal_matching
 
