@@ -621,6 +621,7 @@ def match_pattern(
     pattern: list[tuple[str, str, str]],
     optional: list[tuple[str, str, str]] | None = None,
     values: dict[str, list[str]] | None = None,
+    minus: list[tuple[str, str, str]] | None = None,
 ) -> DataFrame:
     """Basic graph pattern matching (the SPARQL BGP core): ``pattern`` is a
     list of (subject, predicate, object) terms where a term starting with
@@ -644,6 +645,12 @@ def match_pattern(
     broadcast-scale literal list, pushed into the scans by Catalyst)
     before the optional blocks; naming a variable the pattern never binds
     raises.
+
+    ``minus`` is SPARQL MINUS / FILTER NOT EXISTS — one triple pattern
+    each, anti-joined on its shared variables: bindings compatible with
+    any solution of the minus pattern drop ("suppliers that acquired
+    nothing"). The same shared-variable guard applies (a MINUS sharing no
+    variable would remove nothing or everything).
 
     Execution: each triple pattern is a constant-filtered scan of the edge
     table projected to its variable columns; patterns chain with equi-joins
@@ -690,6 +697,15 @@ def match_pattern(
                 f"never binds (bound: {[c for c in out.columns if c != '__exists__']})"
             )
         out = out.where(F.col(var).isin(allowed))
+    for tp in minus or []:
+        step = one(tp)
+        shared = [c for c in step.columns if c in out.columns and c != "__exists__"]
+        if "__exists__" in step.columns or not shared:
+            raise ValueError(
+                "a minus pattern must bind variables and share at least one "
+                "with the required pattern (a disjoint MINUS removes nothing)"
+            )
+        out = out.join(step.select(*shared).distinct(), on=shared, how="left_anti")
     for tp in optional or []:
         step = one(tp)
         shared = [c for c in step.columns if c in out.columns and c != "__exists__"]
@@ -700,6 +716,28 @@ def match_pattern(
             )
         out = out.join(step, on=shared, how="left")
     return out.drop("__exists__").distinct()
+
+
+def match_pattern_union(
+    edges: DataFrame, branches: list[list[tuple[str, str, str]]]
+) -> DataFrame:
+    """SPARQL UNION between group patterns: each branch is a full BGP
+    (the ``pattern`` argument of :func:`match_pattern`); bindings from all
+    branches merge by variable name, with variables a branch does not bind
+    NULL-filled — exactly the SPARQL alternation contract. The classic KG
+    use: "pairs related by acquisition OR merger".
+
+    Execution: each branch compiles independently (its joins, pushdowns,
+    and pruning unchanged) and the results combine with one unionByName
+    (allowMissingColumns) + distinct — the union is a no-shuffle concat;
+    only the final distinct aggregates."""
+    if not branches:
+        raise ValueError("union requires at least one branch")
+    outs = [match_pattern(edges, b) for b in branches]
+    merged = outs[0]
+    for o in outs[1:]:
+        merged = merged.unionByName(o, allowMissingColumns=True)
+    return merged.distinct()
 
 
 def export_ntriples(edges: DataFrame, base: str = "urn:cv:") -> DataFrame:

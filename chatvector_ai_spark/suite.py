@@ -2779,6 +2779,32 @@ KG_DUCK_SQL["kg_pattern_values"] = f"""
     FROM req r LEFT JOIN opt o ON o.b = r.b
 """
 
+# SPARQL MINUS twin: suppliers (?a supplies ?b) whose source acquired
+# nothing — NOT EXISTS anti-join on the shared variable a.
+KG_DUCK_SQL["kg_pattern_minus"] = f"""
+    WITH dedup AS (
+        SELECT DISTINCT src, rel, dst FROM '{_KG_FIXTURE_DIR}/edges.parquet'
+    ),
+    req AS (SELECT DISTINCT src AS a, dst AS b FROM dedup WHERE rel = 'supplies')
+    SELECT DISTINCT r.a, r.b FROM req r
+    WHERE NOT EXISTS (
+        SELECT 1 FROM dedup m WHERE m.rel = 'acquired' AND m.src = r.a
+    )
+"""
+
+# SPARQL UNION twin: pairs related by acquisition OR merger — two branch
+# selects unioned then deduplicated, same variable names both branches.
+KG_DUCK_SQL["kg_pattern_union"] = f"""
+    WITH dedup AS (
+        SELECT DISTINCT src, rel, dst FROM '{_KG_FIXTURE_DIR}/edges.parquet'
+    )
+    SELECT DISTINCT a, b FROM (
+        SELECT src AS a, dst AS b FROM dedup WHERE rel = 'acquired'
+        UNION ALL
+        SELECT src AS a, dst AS b FROM dedup WHERE rel = 'merged_with'
+    )
+"""
+
 # Connected-components twin (operators/graph.connected_components): the
 # oracle takes min over the transitive closure — equal to the star
 # algorithm's min-of-component label on any finite graph.
@@ -4549,6 +4575,29 @@ def kg_pattern_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def kg_pattern_minus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BGP with SPARQL MINUS: (?a supplies ?b) MINUS (?a acquired ?c)
+    (operators/graph.match_pattern minus=)."""
+    from chatvector_ai_spark.operators.graph import match_pattern
+
+    return match_pattern(
+        kg_edges(spark, sf_dir),
+        [("?a", "supplies", "?b")],
+        minus=[("?a", "acquired", "?c")],
+    )
+
+
+def kg_pattern_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL UNION: pairs related by acquisition OR merger
+    (operators/graph.match_pattern_union)."""
+    from chatvector_ai_spark.operators.graph import match_pattern_union
+
+    return match_pattern_union(
+        kg_edges(spark, sf_dir),
+        [[("?a", "acquired", "?b")], [("?a", "merged_with", "?b")]],
+    )
+
+
 def kg_mis(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic Luby maximal independent set — hash-priority anchor
     selection (operators/graph.maximal_independent_set)."""
@@ -4669,6 +4718,8 @@ KG_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_matching": kg_matching,
     "kg_pattern_optional": kg_pattern_optional,
     "kg_pattern_values": kg_pattern_values,
+    "kg_pattern_minus": kg_pattern_minus,
+    "kg_pattern_union": kg_pattern_union,
 }
 
 

@@ -1549,6 +1549,40 @@ def test_match_pattern_values_clause(spark):
         match_pattern(g, [("?a", "supplies", "?b")], values={"z": ["s1"]})
 
 
+def test_match_pattern_minus_removes_compatible_bindings(spark):
+    import pytest
+
+    from chatvector_ai_spark.operators.graph import match_pattern
+
+    g = _e(spark, [("s1", "supplies", "t1"), ("s2", "supplies", "t2"),
+                   ("s1", "acquired", "x")])
+    got = {(r.a, r.b) for r in match_pattern(
+        g, [("?a", "supplies", "?b")], minus=[("?a", "acquired", "?c")]
+    ).collect()}
+    assert got == {("s2", "t2")}  # s1 acquired something -> removed
+    with pytest.raises(ValueError):
+        match_pattern(g, [("?a", "supplies", "?b")],
+                      minus=[("?x", "acquired", "?y")])
+
+
+def test_match_pattern_union_merges_branches_with_null_fill(spark):
+    from chatvector_ai_spark.operators.graph import match_pattern_union
+
+    g = _e(spark, [("p", "acquired", "q"), ("r", "merged_with", "s"),
+                   ("p", "acquired", "q")])
+    got = {(r.a, r.b) for r in match_pattern_union(
+        g, [[("?a", "acquired", "?b")], [("?a", "merged_with", "?b")]]
+    ).collect()}
+    assert got == {("p", "q"), ("r", "s")}
+    # asymmetric branches: the extra variable NULL-fills on the other branch
+    rows = match_pattern_union(
+        g, [[("?a", "acquired", "?b")],
+            [("?a", "merged_with", "?b"), ("?a", "merged_with", "?c")]]
+    ).collect()
+    by_a = {r.a: r.c for r in rows}
+    assert by_a["p"] is None and by_a["r"] == "s"
+
+
 def test_maximal_matching_invariants_and_determinism(spark):
     from chatvector_ai_spark.operators.graph import maximal_matching
 
