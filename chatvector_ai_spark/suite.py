@@ -2286,7 +2286,8 @@ KG_DUCK_SQL["kg_triple_evidence"] = f"""
            count(DISTINCT doc_id) AS n_docs,
            count(DISTINCT chunk_id) AS n_chunks,
            max(CAST(round(conf * 1000000) AS BIGINT)) AS max_conf_ppm,
-           sum(CAST(round(conf * 1000000) AS BIGINT)) AS sum_conf_ppm
+           CAST(sum(CAST(round(conf * 1000000) AS BIGINT)) AS BIGINT)
+               AS sum_conf_ppm
     FROM '{_KG_FIXTURE_DIR}/edges.parquet'
     GROUP BY src, rel, dst
 """
@@ -2308,6 +2309,110 @@ KG_DUCK_SQL["kg_transe_loss"] = f"""
                greatest(0.0, 1.0 + {_duck_l1("es", "rr", "eo")}
                               - {_duck_l1("es", "rr", "en")}) AS hinge
         FROM emb
+    )
+    SELECT rel, count(*) AS n_samples,
+           CAST(sum(CASE WHEN hinge > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_active,
+           round(avg(hinge), 6) AS avg_loss
+    FROM scored GROUP BY rel
+"""
+
+# One-full-batch-SGD-step twin (operators/kgtrain.transe_sgd_step +
+# transe_loss_with): the L1 subgradients are sign vectors, so every
+# gradient accumulation is a sum of exact small-integer floats —
+# order-independent and bit-identical across engines. The step unrolls as:
+# sign(v_pos/v_neg) per active sample → four (name, grad) contribution
+# streams with the Spark code's "e:"/"r:" namespacing → per-(name, dim i)
+# sums via a 16-row index cross join → emb' = init − 0.01·grad → the same
+# margin loss re-scored against the materialized post-step tables.
+_DUCK_SGN = "CASE WHEN x > 0 THEN 1.0 WHEN x < 0 THEN -1.0 ELSE 0.0 END"
+KG_DUCK_SQL["kg_transe_step_loss"] = f"""
+    WITH samples AS (
+        SELECT * FROM ({KG_DUCK_SQL["kg_negative_samples"]})
+    ),
+    emb0 AS (
+        SELECT src, rel, dst, neg_dst,
+               {_duck_emb("te:", "src")} AS es,
+               {_duck_emb("tr:", "rel")} AS rr,
+               {_duck_emb("te:", "dst")} AS eo,
+               {_duck_emb("te:", "neg_dst")} AS en
+        FROM samples
+    ),
+    vecs AS (
+        SELECT src, rel, dst, neg_dst,
+               list_transform(range(0, {_TRANSE_DIM}),
+                              i -> es[i + 1] + rr[i + 1] - eo[i + 1]) AS vp,
+               list_transform(range(0, {_TRANSE_DIM}),
+                              i -> es[i + 1] + rr[i + 1] - en[i + 1]) AS vn
+        FROM emb0
+    ),
+    active AS (
+        SELECT src, rel, dst, neg_dst,
+               list_transform(vp, x -> {_DUCK_SGN}) AS sp,
+               list_transform(vn, x -> {_DUCK_SGN}) AS sn
+        FROM vecs
+        WHERE greatest(0.0, 1.0 + list_sum(list_transform(vp, x -> abs(x)))
+                              - list_sum(list_transform(vn, x -> abs(x)))) > 0
+    ),
+    contribs AS (
+        SELECT 'e:' || src AS name,
+               list_transform(range(0, {_TRANSE_DIM}),
+                              i -> sp[i + 1] - sn[i + 1]) AS g
+        FROM active
+        UNION ALL
+        SELECT 'r:' || rel,
+               list_transform(range(0, {_TRANSE_DIM}),
+                              i -> sp[i + 1] - sn[i + 1])
+        FROM active
+        UNION ALL
+        SELECT 'e:' || dst, list_transform(sp, x -> -x) FROM active
+        UNION ALL
+        SELECT 'e:' || neg_dst, sn FROM active
+    ),
+    dims AS (SELECT unnest(range(0, {_TRANSE_DIM})) AS i),
+    grads AS (
+        SELECT c.name, d.i, sum(c.g[d.i + 1]) AS gi
+        FROM contribs c CROSS JOIN dims d
+        GROUP BY c.name, d.i
+    ),
+    gvec AS (SELECT name, list(gi ORDER BY i) AS grad FROM grads GROUP BY name),
+    vocab AS (
+        SELECT src AS entity FROM '{_KG_FIXTURE_DIR}/edges.parquet'
+        UNION
+        SELECT dst FROM '{_KG_FIXTURE_DIR}/edges.parquet'
+    ),
+    ents AS (
+        SELECT v.entity,
+               CASE WHEN gv.grad IS NULL THEN v.init
+                    ELSE list_transform(range(0, {_TRANSE_DIM}),
+                                        i -> v.init[i + 1]
+                                             - 0.01 * gv.grad[i + 1])
+               END AS emb
+        FROM (SELECT entity, {_duck_emb("te:", "entity")} AS init
+              FROM vocab) v
+        LEFT JOIN gvec gv ON gv.name = 'e:' || v.entity
+    ),
+    rels AS (
+        SELECT r.rel,
+               CASE WHEN gv.grad IS NULL THEN r.init
+                    ELSE list_transform(range(0, {_TRANSE_DIM}),
+                                        i -> r.init[i + 1]
+                                             - 0.01 * gv.grad[i + 1])
+               END AS emb
+        FROM (SELECT rel, {_duck_emb("tr:", "rel")} AS init
+              FROM (SELECT DISTINCT rel
+                    FROM '{_KG_FIXTURE_DIR}/edges.parquet')) r
+        LEFT JOIN gvec gv ON gv.name = 'r:' || r.rel
+    ),
+    scored AS (
+        SELECT s.rel,
+               greatest(0.0, 1.0 + {_duck_l1("e1.emb", "re.emb", "e2.emb")}
+                              - {_duck_l1("e1.emb", "re.emb", "e3.emb")})
+                   AS hinge
+        FROM samples s
+        JOIN ents e1 ON e1.entity = s.src
+        JOIN ents e2 ON e2.entity = s.dst
+        JOIN ents e3 ON e3.entity = s.neg_dst
+        JOIN rels re ON re.rel = s.rel
     )
     SELECT rel, count(*) AS n_samples,
            CAST(sum(CASE WHEN hinge > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_active,
@@ -2644,7 +2749,10 @@ KG_DUCK_SQL["kg_paths"] = f"""
         WHERE w.hops < 3
           AND NOT list_contains(w.path, e.dst)
     )
-    SELECT path, rels, hops AS n_hops FROM walk WHERE hops >= 1
+    SELECT array_to_string(path, '|') AS path,
+           array_to_string(rels, '|') AS rels,
+           hops AS n_hops
+    FROM walk WHERE hops >= 1
 """
 
 # Snapshot-diff twin (operators/graph.diff_edges): old = every edge not
@@ -4164,9 +4272,11 @@ def kg_transe_loss(spark: SparkSession, sf_dir: str) -> DataFrame:
 def kg_transe_step_loss(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-relation margin loss after ONE full-batch TransE subgradient
     step (operators/kgtrain.transe_sgd_step + transe_loss_with) — the
-    train-then-evaluate loop as pure DataFrame ops. Rows-only driver check
-    (the gradient accumulation has no tractable SQL twin); the
-    loss-decrease property is pinned by tests/test_kgtrain.py."""
+    train-then-evaluate loop as pure DataFrame ops. Exact DuckDB twin:
+    the L1 subgradients are sign vectors, so gradient sums are exact
+    small-integer floats (order-independent) and the unrolled one-step
+    CTE reproduces the post-step loss bit-for-bit; the loss-decrease
+    property is additionally pinned by tests/test_kgtrain.py."""
     from chatvector_ai_spark.operators.kgtrain import (
         transe_loss_with,
         transe_sgd_step,
@@ -4274,14 +4384,21 @@ def kg_constraint_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def kg_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     """All simple directed ≤3-hop paths from a deterministic source
-    (operators/graph.paths_between)."""
+    (operators/graph.paths_between). The path/rels arrays are serialized
+    '|'-joined so every output column is atomic — the driver's value-hash
+    canonicalizer cannot hash list cells (round-4 harness error)."""
     from pyspark.sql import functions as F
 
     from chatvector_ai_spark.operators.graph import paths_between
 
     edges = kg_edges(spark, sf_dir)
     source = edges.agg(F.min("src")).first()[0]
-    return paths_between(edges, source, max_hops=3)
+    out = paths_between(edges, source, max_hops=3)
+    return out.select(
+        F.array_join("path", "|").alias("path"),
+        F.array_join("rels", "|").alias("rels"),
+        "n_hops",
+    )
 
 
 def kg_conflicts_resolved(spark: SparkSession, sf_dir: str) -> DataFrame:
