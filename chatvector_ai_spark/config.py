@@ -47,11 +47,20 @@ SKEW_SALT_BUCKETS = int(os.getenv("CVS_SKEW_SALT", "8"))
 # --- graph materialization ---------------------------------------------------
 N_BUCKETS = int(os.getenv("CVS_N_BUCKETS", "16"))
 # Write tasks (and file groups) per bucket: decouples write parallelism
-# from the bucket count. 1 = one right-sized file per bucket (correct for
-# this sandbox's data volume); at 100 TB raise it so a commit is not
-# bottlenecked on N_BUCKETS tasks and files stay near the target size —
-# bucket-pruned reads still prune (files multiply WITHIN a bucket dir).
-FILES_PER_BUCKET = int(os.getenv("CVS_FILES_PER_BUCKET", "1"))
+# from the bucket count. The default scales with the session's cores so a
+# commit is never bottlenecked on N_BUCKETS write tasks (the round-4 bench
+# lost ~40% of pipeline wall time to exactly that: 16 tasks on 32 cores,
+# with parquet MemoryManager row-group backpressure on the oversized
+# per-task writes). Bucket-pruned reads still prune — files multiply
+# WITHIN a bucket directory. At 100 TB the same rule keeps per-file size
+# near target; override with CVS_FILES_PER_BUCKET to pin a layout.
+# 2× core oversubscription of write tasks (N_BUCKETS × FILES_PER_BUCKET)
+# evens out straggler tasks; the driver's own round-4 A/B measured the
+# pipeline at 11.1 s with 4 files/bucket vs 19.1 s at 1 on 32 cores.
+_CPUS = int(os.getenv("SPARK_GRAFT_CPUS", str(os.cpu_count() or 8)))
+FILES_PER_BUCKET = int(
+    os.getenv("CVS_FILES_PER_BUCKET", str(max(1, min(8, 2 * _CPUS // N_BUCKETS))))
+)
 
 # --- warehouse (snapshot/lineage store) -------------------------------------
 WAREHOUSE_DIR = os.getenv("CVS_WAREHOUSE", "/tmp/cvs_warehouse")

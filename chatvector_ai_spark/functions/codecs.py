@@ -748,8 +748,32 @@ def mp4_sample_table(data: bytes) -> list[tuple[int, int, int]]:
         if stts is None or stsz is None or stsc is None or (stco is None and co64 is None):
             raise ValueError("stbl missing one of stts/stsz/stsc/stco")
 
+        def table_count(box, name, header, entry_size):
+            """Entry count of a full box, validated against the box end —
+            unpack_from past a declared box boundary would silently read
+            adjacent boxes' bytes (wrong offsets, no error) or raise
+            struct.error at EOF, and a hostile count would pre-allocate
+            an unbounded list; all three become the documented
+            ValueError here."""
+            if box[0] + header > box[1]:
+                raise ValueError(f"{name} box too short for its header")
+            (n,) = struct.unpack_from(">I", data, box[0] + 4)
+            if box[0] + header + n * entry_size > box[1]:
+                raise ValueError(f"{name} entry count {n} overruns its box")
+            return n
+
         # stts → per-sample start times (media timescale units)
-        (n_tts,) = struct.unpack_from(">I", data, stts[0] + 4)
+        n_tts = table_count(stts, "stts", 8, 8)
+        total = sum(
+            struct.unpack_from(">I", data, stts[0] + 8 + 8 * k)[0]
+            for k in range(n_tts)
+        )
+        # bound the expansion before allocating: a sample needs at least a
+        # time delta and a size entry somewhere in the file, so more
+        # samples than bytes in the container is always inconsistent
+        if total > len(data):
+            raise ValueError(f"stts declares {total} samples for a "
+                             f"{len(data)}-byte container")
         starts: list[int] = []
         t = 0
         for k in range(n_tts):
@@ -760,12 +784,16 @@ def mp4_sample_table(data: bytes) -> list[tuple[int, int, int]]:
         n_samples = len(starts)
 
         # stsz → per-sample sizes
+        if stsz[0] + 12 > stsz[1]:
+            raise ValueError("stsz box too short for its header")
         uniform, n_sz = struct.unpack_from(">II", data, stsz[0] + 4)
         if n_sz != n_samples:
             raise ValueError(f"stsz count {n_sz} != stts sample count {n_samples}")
         if uniform:
             sizes = [uniform] * n_samples
         else:
+            if stsz[0] + 12 + 4 * n_sz > stsz[1]:
+                raise ValueError(f"stsz entry count {n_sz} overruns its box")
             sizes = [
                 struct.unpack_from(">I", data, stsz[0] + 12 + 4 * k)[0]
                 for k in range(n_samples)
@@ -773,7 +801,7 @@ def mp4_sample_table(data: bytes) -> list[tuple[int, int, int]]:
 
         # stco/co64 → chunk offsets
         cbox, cwidth = (stco, 4) if stco is not None else (co64, 8)
-        (n_chunks,) = struct.unpack_from(">I", data, cbox[0] + 4)
+        n_chunks = table_count(cbox, "stco/co64", 8, cwidth)
         fmt = ">I" if cwidth == 4 else ">Q"
         chunk_offsets = [
             struct.unpack_from(fmt, data, cbox[0] + 8 + cwidth * k)[0]
@@ -781,7 +809,7 @@ def mp4_sample_table(data: bytes) -> list[tuple[int, int, int]]:
         ]
 
         # stsc → samples per chunk, expanded across the stco chunk list
-        (n_sc,) = struct.unpack_from(">I", data, stsc[0] + 4)
+        n_sc = table_count(stsc, "stsc", 8, 12)
         sc = [
             struct.unpack_from(">III", data, stsc[0] + 8 + 12 * k)[:2]
             for k in range(n_sc)
@@ -789,7 +817,10 @@ def mp4_sample_table(data: bytes) -> list[tuple[int, int, int]]:
         per_chunk: list[int] = []
         for k, (first_chunk, spc) in enumerate(sc):
             last = sc[k + 1][0] - 1 if k + 1 < len(sc) else n_chunks
-            per_chunk.extend([spc] * (last - first_chunk + 1))
+            span = last - first_chunk + 1
+            if span < 0 or len(per_chunk) + span > n_chunks:
+                raise ValueError("stsc first_chunk runs are inconsistent")
+            per_chunk.extend([spc] * span)
         if len(per_chunk) != n_chunks:
             raise ValueError("stsc does not cover the stco chunk list")
 

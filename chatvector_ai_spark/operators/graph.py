@@ -2588,7 +2588,7 @@ def wl_colors(edges: DataFrame, rounds: int = 2) -> DataFrame:
     return colors
 
 
-def ktruss(edges: DataFrame, k: int = 3, max_rounds: int = 4) -> DataFrame:
+def ktruss(edges: DataFrame, k: int = 3, max_rounds: int = 64) -> DataFrame:
     """k-truss decomposition (Cohen 2008): iteratively delete every
     undirected edge supported by fewer than (k−2) triangles until a fixed
     point — the edge-level cohesion analog of k-core, and the standard
@@ -2599,10 +2599,17 @@ def ktruss(edges: DataFrame, k: int = 3, max_rounds: int = 4) -> DataFrame:
     Scale shape: each round re-enumerates triangles with the same
     degree-orientation trick as ``triangles`` (O(m^1.5) wedge work,
     hub-safe), then one hash-agg for per-edge support and one semi-join
-    filter; lineage truncated per round. Early exit when a round deletes
-    nothing — the fixed point is stable, so stopping early equals running
-    all ``max_rounds`` (the DuckDB twin unrolls the full count).
+    filter; lineage truncated per round. The loop runs to the TRUE fixed
+    point (a round that deletes nothing); ``max_rounds`` is a safety
+    bound only — deep peeling cascades (e.g. a chain of triangles) need
+    one round per cascade step, so the default is generous and a warning
+    fires if it ever binds (the result would then be a supergraph of the
+    k-truss). The DuckDB twin unrolls a fixed round count; peeling is
+    monotone and the fixed point is idempotent, so the unrolled twin
+    equals the converged result whenever convergence happens within the
+    unroll depth.
     """
+    import warnings
     if k < 2:
         raise ValueError("ktruss needs k >= 2")
     cur = (
@@ -2660,6 +2667,7 @@ def ktruss(edges: DataFrame, k: int = 3, max_rounds: int = 4) -> DataFrame:
         )
         return edge_hits.groupBy("a", "b").agg(F.count("*").alias("support"))
 
+    converged = False
     for _ in range(max_rounds):
         sup = support(cur)
         cur = (
@@ -2670,8 +2678,15 @@ def ktruss(edges: DataFrame, k: int = 3, max_rounds: int = 4) -> DataFrame:
         )
         n_next = cur.count()
         if n_next == n_cur:
+            converged = True
             break
         n_cur = n_next
+    if not converged:
+        warnings.warn(
+            f"ktruss stopped at max_rounds={max_rounds} before reaching a "
+            "fixed point; the result is a supergraph of the true k-truss",
+            stacklevel=2,
+        )
     final = support(cur)
     return (
         cur.join(final, ["a", "b"], "left")

@@ -547,11 +547,15 @@ def _rotation_arrays(name: F.Column, dim: int) -> tuple[F.Column, F.Column]:
     """(cos_arr, sin_arr) — a deterministic unit rotation per dimension for
     a relation name, WITHOUT trig: two 20-bit hash draws (a, b) map to the
     rational point on the unit circle via the tan-half-angle
-    parameterization c = (a²−b²)/(a²+b²), s = 2ab/(a²+b²). Every value is
+    parameterization c = (a²−b²)/(a²+b²), s = ±2ab/(a²+b²). Every value is
     an integer ratio evaluated in one IEEE division, so the DuckDB twin is
     bit-identical — cos()/sin() across two engines' libm are not, which is
     why RotatE's phases are carried this way here. a ≥ 1 keeps the
-    denominator nonzero."""
+    denominator nonzero. The sine carries an independent hash-parity sign
+    ("rrs:" draw): with a ≥ 1, b ≥ 0 alone, s would always be ≥ 0 and every
+    phase would land in [0, π] — half the circle, with conjugate/inverse
+    rotations unrepresentable at init; the sign bit restores the full
+    [−π, π] phase space RotatE's inversion-modeling claim rests on."""
 
     def elem(i: F.Column, kind: str) -> F.Column:
         a = (
@@ -566,7 +570,15 @@ def _rotation_arrays(name: F.Column, dim: int) -> tuple[F.Column, F.Column]:
         denom = a * a + b * b
         if kind == "cos":
             return (a * a - b * b) / denom
-        return (F.lit(2.0) * a * b) / denom
+        sign = (
+            F.lit(1)
+            - F.lit(2)
+            * (
+                _h60(F.concat(F.lit("rrs:"), name, F.lit(":"), i.cast("string")))
+                % F.lit(2)
+            )
+        ).cast("double")
+        return sign * (F.lit(2.0) * a * b) / denom
 
     idx = F.sequence(F.lit(0), F.lit(dim - 1))
     return (

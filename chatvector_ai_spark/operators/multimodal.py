@@ -20,12 +20,20 @@ validation split into a quarantine output, never fail the stage
 from __future__ import annotations
 
 import hashlib
+import struct
 from collections.abc import Iterator
 
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+# Degrade-per-row contract: the stdlib decoders raise ValueError on the
+# shapes they document, but truncated/hostile bytes can also surface as
+# struct.error (short unpack) or IndexError (short buffer) from deep in a
+# parse — one corrupt payload must degrade ITS row, never fail the whole
+# Spark task, so every mapInPandas degrade handler catches all three.
+_DECODE_ERRORS = (ValueError, struct.error, IndexError)
 
 MEDIA_KINDS = ("image", "table", "audio", "video")
 
@@ -267,7 +275,7 @@ def _decode_media_stdlib(media: DataFrame) -> DataFrame:
                             w, h, gray = decode_jpeg_pixels(data)
                             feats.append([float(v) for v in png_grid_features(gray, w, h, grid=4)])
                             backends.append("stdlib-jpeg")
-                        except ValueError:
+                        except _DECODE_ERRORS:
                             w, h, _ncomp = jpeg_dimensions(data)
                             vec, _ = _fake_feature(data)
                             feats.append(vec)
@@ -283,7 +291,7 @@ def _decode_media_stdlib(media: DataFrame) -> DataFrame:
                             w, h, gray = decode_gif_pixels(data)
                             feats.append([float(v) for v in png_grid_features(gray, w, h, grid=4)])
                             backends.append("stdlib-gif")
-                        except ValueError:
+                        except _DECODE_ERRORS:
                             w, h = gif_dimensions(data)
                             vec, _ = _fake_feature(data)
                             feats.append(vec)
@@ -298,7 +306,7 @@ def _decode_media_stdlib(media: DataFrame) -> DataFrame:
                             w, h, gray = decode_bmp_pixels(data)
                             feats.append([float(v) for v in png_grid_features(gray, w, h, grid=4)])
                             backends.append("stdlib-bmp")
-                        except ValueError:
+                        except _DECODE_ERRORS:
                             w, h = bmp_dimensions(data)
                             vec, _ = _fake_feature(data)
                             feats.append(vec)
@@ -439,7 +447,7 @@ def resize_images(media: DataFrame, width: int = 32, height: int = 32, backend: 
                             w, h, gray, label = got
                             small = resize_gray(gray, w, h, width, height)
                             grid = encode_png(width, height, small, color_type=0)
-                    except ValueError:
+                    except _DECODE_ERRORS:
                         grid, _ = fake_row(data)
                         label = "decode-error"
                 if grid is None:
@@ -541,7 +549,7 @@ def image_phash(media: DataFrame, backend: str = "stdlib") -> DataFrame:
                             # flat image hashes to all-zero bits
                             mean = sum(small) // 64
                             hv = pack([1 if px > mean else 0 for px in small])
-                    except ValueError:
+                    except _DECODE_ERRORS:
                         hv, label = fake_hash(data), "decode-error"
                 if hv is None:
                     hv, label = fake_hash(data), ("fake" if label is None else label)
@@ -615,7 +623,7 @@ def audio_phash(media: DataFrame, backend: str = "stdlib") -> DataFrame:
                             mean = sum(energies) // 64
                             hv = _pack64([1 if e > mean else 0 for e in energies])
                             label = "stdlib-wav"
-                    except ValueError:
+                    except _DECODE_ERRORS:
                         hv, label = fake_hash(data), "decode-error"
                 if hv is None:
                     hv, label = fake_hash(data), ("fake" if label is None else label)
@@ -752,7 +760,7 @@ def sample_frames(media: DataFrame, every_ms: int = 1000, max_frames: int = 8, b
                             duration_ms = mp4_duration_ms(data)
                             try:
                                 table = mp4_sample_table(data)
-                            except ValueError:
+                            except _DECODE_ERRORS:
                                 table = None
                             if table:
                                 # REAL per-sample timing + payload bytes
@@ -778,7 +786,7 @@ def sample_frames(media: DataFrame, every_ms: int = 1000, max_frames: int = 8, b
                                     data, "stdlib-mp4-header",
                                     duration_ms=duration_ms,
                                 )
-                    except ValueError:
+                    except _DECODE_ERRORS:
                         frames = fake_frames(data, "decode-error")
                 if frames is None:
                     frames = fake_frames(data, "fake")

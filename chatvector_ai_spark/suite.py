@@ -3561,7 +3561,18 @@ def _duck_rot(kind: str, dim: int = _TRANSE_DIM) -> str:
         "CAST(CAST('0x' || substr(md5('rrb:' || rel || ':' || CAST(i AS VARCHAR)), 1, 15) "
         "AS BIGINT) % 1048576 AS DOUBLE)"
     )
-    num = f"({a} * {a} - {b} * {b})" if kind == "cos" else f"(2.0 * {a} * {b})"
+    # sine sign: an independent hash-parity draw ("rrs:"), matching the
+    # Spark helper — without it every phase lands in [0, π] and conjugate
+    # rotations are unrepresentable at init
+    sign = (
+        "CAST(1 - 2 * (CAST('0x' || substr(md5('rrs:' || rel || ':' || "
+        "CAST(i AS VARCHAR)), 1, 15) AS BIGINT) % 2) AS DOUBLE)"
+    )
+    num = (
+        f"({a} * {a} - {b} * {b})"
+        if kind == "cos"
+        else f"({sign} * 2.0 * {a} * {b})"
+    )
     return (
         f"list_transform(range(0, {dim}), i -> "
         f"{num} / ({a} * {a} + {b} * {b}))"
@@ -3697,7 +3708,12 @@ def _kg_ktruss_oracle_sql(k: int = 3, rounds: int = 4) -> str:
     )
 
 
-KG_DUCK_SQL["kg_ktruss"] = _kg_ktruss_oracle_sql(k=3, rounds=4)
+# 12 unrolled peel rounds: the Spark side now runs to the true fixed
+# point, and an unrolled twin equals it whenever convergence happens
+# within the unroll depth (peeling is monotone, the fixed point is
+# idempotent — extra unrolled rounds are no-ops). The fixture graph
+# converges in <12; a deep-cascade fixture is pinned by pytest instead.
+KG_DUCK_SQL["kg_ktruss"] = _kg_ktruss_oracle_sql(k=3, rounds=12)
 
 
 # One-row graph census (operators/graph.graph_stats): exact BIGINT counts,
