@@ -622,6 +622,7 @@ def match_pattern(
     optional: list[tuple[str, str, str]] | None = None,
     values: dict[str, list[str]] | None = None,
     minus: list[tuple[str, str, str]] | None = None,
+    filter_expr: str | None = None,
 ) -> DataFrame:
     """Basic graph pattern matching (the SPARQL BGP core): ``pattern`` is a
     list of (subject, predicate, object) terms where a term starting with
@@ -645,6 +646,12 @@ def match_pattern(
     broadcast-scale literal list, pushed into the scans by Catalyst)
     before the optional blocks; naming a variable the pattern never binds
     raises.
+
+    ``filter_expr`` is a SPARQL FILTER: a boolean SQL expression over the
+    bound variables (bare names, no ``?``), e.g.
+    ``"a <> c AND c LIKE 'E0%'"`` — applied after MINUS/OPTIONAL (the
+    safe-filter position), and pushed down by Catalyst when it touches
+    only required-pattern columns.
 
     ``minus`` is SPARQL MINUS / FILTER NOT EXISTS — one triple pattern
     each, anti-joined on its shared variables: bindings compatible with
@@ -715,6 +722,13 @@ def match_pattern(
                 "one with the required pattern (no cartesian OPTIONALs)"
             )
         out = out.join(step, on=shared, how="left")
+    if filter_expr is not None:
+        # SPARQL FILTER: a boolean expression over the bound variables
+        # (bare column names, no "?"), e.g. "a <> c AND c LIKE 'E0%'".
+        # Applied after MINUS/OPTIONAL (the safe-filter position); it is
+        # a plain Catalyst predicate, so comparisons/LIKEs on required
+        # columns push down into the joins and scans
+        out = out.where(F.expr(filter_expr))
     return out.drop("__exists__").distinct()
 
 
@@ -2719,3 +2733,237 @@ def harmonic_centrality(
             F.when(F.col("hop") > 0, F.expr("1000000 DIV hop")).otherwise(F.lit(0))
         ).cast("bigint").alias("harmonic_ppm"),
     )
+
+
+def coreness(edges: DataFrame, max_rounds: int = 64) -> DataFrame:
+    """Full core decomposition — every node's core number in one operator,
+    not a single-k peel like ``kcore``: coreness(v) = the largest k such
+    that v survives the k-core. Computed by iterated neighborhood
+    h-indices (Lü et al., Nature Physics 2016: h(0)=degree,
+    h(n+1)(v) = H({h(n)(u) : u ~ v}) converges to coreness), the
+    formulation that distributes: each round is one equi-join (neighbor
+    values) plus one per-node h-index — no sequential min-degree peel, so
+    no global priority queue. The reference's analytics layer has no graph
+    decomposition at all (retrieval only: backend/services/
+    retrieval_service.py); this generalizes its corroboration signal.
+
+    Scale shape per round: join neighbor list with the current value
+    vector (shuffle on entity), then the h-index per node = max over
+    rank-ordered neighbor values of min(value, rank) — one window
+    PARTITION BY entity (integer arithmetic only, deterministic under the
+    multiset regardless of tie order). The loop runs to the true fixed
+    point; ``max_rounds`` is a warned safety bound (convergence is
+    typically O(diameter)-fast in practice). Values only ever decrease
+    (monotone), so an unrolled oracle twin equals the converged result
+    whenever convergence happens within the unroll depth.
+    """
+    import warnings
+
+    from pyspark.sql import Window
+
+    sym = (
+        edges.select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    nbrs = (
+        sym.select(F.col("a").alias("entity"), F.col("b").alias("nbr"))
+        .unionByName(
+            sym.select(F.col("b").alias("entity"), F.col("a").alias("nbr"))
+        )
+        .localCheckpoint(eager=True)
+    )
+    h = nbrs.groupBy("entity").agg(F.count("*").cast("bigint").alias("h"))
+
+    w = Window.partitionBy("entity").orderBy(F.desc("v"), F.asc("nbr"))
+    converged = False
+    for _ in range(max_rounds):
+        nbr_vals = nbrs.join(
+            h.select(F.col("entity").alias("nbr"), F.col("h").alias("v")), "nbr"
+        )
+        nxt = (
+            nbr_vals.withColumn("rk", F.row_number().over(w).cast("bigint"))
+            .groupBy("entity")
+            .agg(F.max(F.least(F.col("v"), F.col("rk"))).alias("h"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            nxt.join(h.withColumnRenamed("h", "h_prev"), "entity")
+            .where(F.col("h") != F.col("h_prev"))
+            .count()
+        )
+        h = nxt
+        if changed == 0:
+            converged = True
+            break
+    if not converged:
+        warnings.warn(
+            f"coreness stopped at max_rounds={max_rounds} before the "
+            "h-index iteration reached its fixed point; values are an "
+            "upper bound on the true coreness",
+            stacklevel=2,
+        )
+    return h.select("entity", F.col("h").alias("coreness"))
+
+
+def property_path(
+    edges: DataFrame,
+    prefix_rel: str,
+    plus_rel: str,
+    max_hops: int = 3,
+) -> DataFrame:
+    """SPARQL 1.1 property path ``prefix_rel / plus_rel+`` (sequence of a
+    single hop then one-or-more hops, bounded at ``max_hops`` plus-steps):
+    returns every (a, c) with ``a --prefix_rel--> x --plus_rel^n--> c``
+    for 1 <= n <= max_hops, with ``hops`` = the SMALLEST such n — the
+    path-algebra piece the BGP operators (match_pattern and friends)
+    can't express because the hop count is existential, not fixed.
+
+    Scale shape: BFS over the plus-relation only — each round joins the
+    current frontier with the (rel = plus_rel)-filtered edge scan
+    (predicate pushed to parquet), then a min-hop hash-agg dedups the
+    frontier so a node reached two ways never re-expands twice; lineage
+    truncated per round. The bound is explicit because an unbounded ``+``
+    over a 10^12-edge graph is a full transitive closure — callers opt
+    into depth. No floats anywhere."""
+    if max_hops < 1:
+        raise ValueError("property_path needs max_hops >= 1")
+    step = (
+        edges.where(F.col("rel") == plus_rel)
+        .select(F.col("src").alias("u"), F.col("dst").alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    cur = (
+        edges.where(F.col("rel") == prefix_rel)
+        .select(F.col("src").alias("a"), F.col("dst").alias("u"))
+        .distinct()
+        .join(step, "u")
+        .select("a", F.col("v").alias("c"), F.lit(1).cast("bigint").alias("hops"))
+        .groupBy("a", "c")
+        .agg(F.min("hops").alias("hops"))
+        .localCheckpoint(eager=True)
+    )
+    out = cur
+    for _ in range(1, max_hops):
+        cur = (
+            cur.join(step, cur["c"] == step["u"])
+            .select("a", F.col("v").alias("c"), (F.col("hops") + 1).alias("hops"))
+            .groupBy("a", "c")
+            .agg(F.min("hops").alias("hops"))
+            .join(out, ["a", "c"], "left_anti")
+            .localCheckpoint(eager=True)
+        )
+        if cur.isEmpty():
+            break
+        out = out.unionByName(cur).localCheckpoint(eager=True)
+    return out
+
+
+def construct_triples(
+    edges: DataFrame,
+    pattern: list[tuple[str, str, str]],
+    template: list[tuple[str, str, str]],
+) -> DataFrame:
+    """SPARQL CONSTRUCT: match a basic graph pattern, then emit NEW
+    (src, rel, dst) triples from ``template`` — each template term is
+    either a ``?var`` bound by the pattern or a constant (typically the
+    derived relation name). The rule-materialization primitive: e.g.
+    ``[("?a","acquired","?b"),("?b","supplies","?c")]`` with template
+    ``[("?a","indirectly_supplies","?c")]`` adds the inferred supply
+    edges, ready to union back into the edge table.
+
+    Execution: one ``match_pattern`` call (constant-pushdown equi-join
+    chain) and a column projection per template triple, unioned and
+    deduplicated — the output is a graph, so set semantics. A template
+    variable the pattern never binds raises."""
+    if not template:
+        raise ValueError("construct_triples needs at least one template triple")
+    bindings = match_pattern(edges, pattern)
+
+    def term(t: str, bound: list[str]) -> F.Column:
+        if t.startswith("?"):
+            if t[1:] not in bound:
+                raise ValueError(
+                    f"template names variable {t!r} which the pattern never "
+                    f"binds (bound: {bound})"
+                )
+            return F.col(t[1:])
+        return F.lit(t)
+
+    bound = bindings.columns
+    parts = [
+        bindings.select(
+            term(s, bound).alias("src"),
+            term(p, bound).alias("rel"),
+            term(o, bound).alias("dst"),
+        )
+        for s, p, o in template
+    ]
+    out = parts[0]
+    for part in parts[1:]:
+        out = out.unionByName(part)
+    return out.distinct()
+
+
+def cheapest_paths(
+    edges: DataFrame,
+    seeds: list[str],
+    max_hops: int = 4,
+) -> DataFrame:
+    """Weighted single-source cheapest paths from landmark ``seeds``,
+    bounded at ``max_hops`` edges — the Bellman-Ford relaxation in its
+    distributed form (one relax-join + min hash-agg per round), which is
+    how weighted distance is computed when a Dijkstra priority queue
+    can't exist (no global mutable state on a cluster). Returns
+    (seed, entity, cost) with cost = the minimum total edge weight over
+    any directed path of <= max_hops edges; the seed's own zero row is
+    excluded.
+
+    Edge weights are deterministic integers 1..9 hashed from the triple
+    identity (md5 — expressible identically in DuckDB, so the oracle twin
+    is exact; parallel edges collapse to their min weight per (src, dst)).
+    A production caller would swap in a confidence- or cost-derived
+    weight column; the relaxation is weight-agnostic.
+
+    Scale shape: the frontier table is (|seeds| × reached) rows, relaxed
+    against the weighted edge scan each round (shuffle on the join key),
+    then min-combined — positive weights mean a k-edge minimum is final
+    by round k, so ``max_hops`` rounds exactly cover all bounded paths;
+    lineage truncated per round. Integer costs only."""
+    if not seeds:
+        raise ValueError("cheapest_paths needs at least one seed")
+    w60 = F.conv(
+        F.substring(
+            F.md5(F.concat_ws("|", F.lit("w:"), "src", "rel", "dst")), 1, 15
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    wedges = (
+        edges.where(F.col("src") != F.col("dst"))
+        .select("src", "dst", (F.lit(1) + w60 % 9).alias("w"))
+        .groupBy("src", "dst")
+        .agg(F.min("w").alias("w"))
+        .localCheckpoint(eager=True)
+    )
+    spark = edges.sparkSession
+    cur = spark.createDataFrame(
+        [(s, s, 0) for s in seeds], "seed string, entity string, cost long"
+    )
+    for _ in range(max_hops):
+        relaxed = (
+            cur.join(wedges, cur["entity"] == wedges["src"])
+            .select("seed", F.col("dst").alias("entity"),
+                    (F.col("cost") + F.col("w")).alias("cost"))
+        )
+        cur = (
+            cur.unionByName(relaxed)
+            .groupBy("seed", "entity")
+            .agg(F.min("cost").alias("cost"))
+            .localCheckpoint(eager=True)
+        )
+    return cur.where(F.col("entity") != F.col("seed"))

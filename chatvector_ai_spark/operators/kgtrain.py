@@ -658,3 +658,158 @@ def rotate_margin_loss(
             F.round(F.avg("hinge"), 6).alias("avg_loss"),
         )
     )
+
+
+def distmult_eval(
+    edges: DataFrame,
+    dim: int = 16,
+    hits_k: int = 3,
+    max_candidates: int = 256,
+) -> DataFrame:
+    """Filtered-ranking link-prediction quality of the deterministic-init
+    **DistMult** scorer — the same Bordes-style protocol as
+    ``transe_eval`` (every distinct positive is a test query, tail ranked
+    among the relation's type-constrained candidates, other true tails
+    filtered out of the rival set) with the trilinear score, proving the
+    eval harness is scorer-pluggable exactly like the loss layer: HIGHER
+    score is better here, so a rival beats the true tail on
+    (score DESC, id ASC). Returns per-relation
+    (rel, n_queries, mrr, hits_at_k).
+
+    Scale shape: identical to transe_eval — rank is a rival COUNT (one
+    candidate join + hash-agg, no window over the full candidate list);
+    embeddings inline ("de:"/"dr:" prefixes, the distmult_margin_loss
+    parameter space); scores round to 6 decimals before comparison so
+    both engines agree on "better"."""
+    from pyspark.sql import Window
+
+    pos = edges.select("src", "rel", "dst").distinct()
+    w_cand = Window.partitionBy("rel").orderBy(F.desc("n"), F.asc("dst"))
+    cands = (
+        pos.groupBy("rel", "dst")
+        .agg(F.count("*").alias("n"))
+        .withColumn("rk", F.row_number().over(w_cand))
+        .where(F.col("rk") <= max_candidates)
+        .select("rel", F.col("dst").alias("cand"))
+    )
+    es = _emb_expr("de:", F.col("src"), dim)
+    rr = _emb_expr("dr:", F.col("rel"), dim)
+    true_score = F.round(_dot3(es, rr, _emb_expr("de:", F.col("dst"), dim)), 6)
+    cand_score = F.round(_dot3(es, rr, _emb_expr("de:", F.col("cand"), dim)), 6)
+
+    scored = (
+        pos.withColumn("true_score", true_score)
+        .join(cands, "rel")
+        .where(F.col("cand") != F.col("dst"))
+        .withColumn("cand_score", cand_score)
+    )
+    rivals = (
+        scored.where(
+            (F.col("cand_score") > F.col("true_score"))
+            | (
+                (F.col("cand_score") == F.col("true_score"))
+                & (F.col("cand") < F.col("dst"))
+            )
+        )
+        .join(
+            pos.select("src", "rel", F.col("dst").alias("cand")),
+            ["src", "rel", "cand"],
+            "left_anti",
+        )
+        .groupBy("src", "rel", "dst")
+        .agg(F.count("*").alias("n_better"))
+    )
+    ranked = pos.join(rivals, ["src", "rel", "dst"], "left").select(
+        "src", "rel", "dst",
+        (F.coalesce(F.col("n_better"), F.lit(0)) + 1).alias("rank"),
+    )
+    return ranked.groupBy("rel").agg(
+        F.count("*").alias("n_queries"),
+        F.round(F.avg(1.0 / F.col("rank")), 6).alias("mrr"),
+        F.round(
+            F.avg((F.col("rank") <= hits_k).cast("double")), 6
+        ).alias("hits_at_k"),
+    )
+
+
+def complex_eval(
+    edges: DataFrame,
+    dim: int = 16,
+    hits_k: int = 3,
+    max_candidates: int = 256,
+) -> DataFrame:
+    """Filtered-ranking link-prediction quality of the deterministic-init
+    **ComplEx** scorer — completes the scorer-pluggable eval trio
+    (TransE L1 lower-better, DistMult trilinear higher-better, now the
+    complex trilinear real part, which is asymmetric in (h, t)): same
+    Bordes-style protocol, rank = rival COUNT, HIGHER is better. Returns
+    per-relation (rel, n_queries, mrr, hits_at_k).
+
+    Scale shape: identical to transe_eval/distmult_eval — one candidate
+    join + hash-agg, embeddings inline ("cer:"/"cei:"/"crr:"/"cri:", the
+    complex_margin_loss parameter space), 6-decimal rounding before
+    comparison."""
+    from pyspark.sql import Window
+
+    pos = edges.select("src", "rel", "dst").distinct()
+    w_cand = Window.partitionBy("rel").orderBy(F.desc("n"), F.asc("dst"))
+    cands = (
+        pos.groupBy("rel", "dst")
+        .agg(F.count("*").alias("n"))
+        .withColumn("rk", F.row_number().over(w_cand))
+        .where(F.col("rk") <= max_candidates)
+        .select("rel", F.col("dst").alias("cand"))
+    )
+    hr = _emb_expr("cer:", F.col("src"), dim)
+    hi = _emb_expr("cei:", F.col("src"), dim)
+    rr = _emb_expr("crr:", F.col("rel"), dim)
+    ri = _emb_expr("cri:", F.col("rel"), dim)
+    true_score = F.round(
+        _complex_score(
+            hr, hi, rr, ri,
+            _emb_expr("cer:", F.col("dst"), dim),
+            _emb_expr("cei:", F.col("dst"), dim),
+        ),
+        6,
+    )
+    cand_score = F.round(
+        _complex_score(
+            hr, hi, rr, ri,
+            _emb_expr("cer:", F.col("cand"), dim),
+            _emb_expr("cei:", F.col("cand"), dim),
+        ),
+        6,
+    )
+    scored = (
+        pos.withColumn("true_score", true_score)
+        .join(cands, "rel")
+        .where(F.col("cand") != F.col("dst"))
+        .withColumn("cand_score", cand_score)
+    )
+    rivals = (
+        scored.where(
+            (F.col("cand_score") > F.col("true_score"))
+            | (
+                (F.col("cand_score") == F.col("true_score"))
+                & (F.col("cand") < F.col("dst"))
+            )
+        )
+        .join(
+            pos.select("src", "rel", F.col("dst").alias("cand")),
+            ["src", "rel", "cand"],
+            "left_anti",
+        )
+        .groupBy("src", "rel", "dst")
+        .agg(F.count("*").alias("n_better"))
+    )
+    ranked = pos.join(rivals, ["src", "rel", "dst"], "left").select(
+        "src", "rel", "dst",
+        (F.coalesce(F.col("n_better"), F.lit(0)) + 1).alias("rank"),
+    )
+    return ranked.groupBy("rel").agg(
+        F.count("*").alias("n_queries"),
+        F.round(F.avg(1.0 / F.col("rank")), 6).alias("mrr"),
+        F.round(
+            F.avg((F.col("rank") <= hits_k).cast("double")), 6
+        ).alias("hits_at_k"),
+    )

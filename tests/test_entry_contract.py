@@ -12,11 +12,10 @@ def test_oracle_keys_subset_of_queries():
     qs, oracles = entrymod.queries(), entrymod.oracle_sql()
     assert set(oracles) <= set(qs)
     assert len(qs) >= 30
-    # every query — including kg_* via the committed oracle fixture — has an
-    # oracle, EXCEPT the documented rows-only set: ops whose Spark plan has
-    # no tractable SQL twin (the driver records a weaker rows-only check)
-    ROWS_ONLY = {"kg_transe_step_loss"}  # full-batch KGE subgradient step
-    assert set(qs) - set(oracles) == ROWS_ONLY
+    # every query — including kg_* via the committed oracle fixture — has
+    # an oracle; the last rows-only holdout (kg_transe_step_loss) gained an
+    # exact unrolled one-step twin, so the set difference must stay empty
+    assert set(qs) - set(oracles) == set()
 
 
 def test_all_spark_sql_parses(spark):
