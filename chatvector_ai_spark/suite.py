@@ -5375,10 +5375,102 @@ DUCK_SQL["dd_cluster_stats"] = f"""
 """
 
 
+def ann_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer-exact Lloyd k-means over the embeddings table: k=8
+    deterministic-init centroids, 2 assign/update rounds, final
+    (vec_id, cluster, dist2) assignment — the semantic-clustering /
+    IVF-cell-build primitive (operators/embedcluster.kmeans_assign)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    from chatvector_ai_spark.operators.embedcluster import kmeans_assign
+
+    return kmeans_assign(emb, k=8, iters=2)
+
+
+def _ann_kmeans_oracle_sql(
+    k: int = 8, iters: int = 2, dim: int = 64, scale: int = 1000, offset: int = 10000
+) -> str:
+    """Unrolled Lloyd twin (operators/embedcluster.kmeans_assign): same
+    positive-BIGINT quantization grid, exact integer squared-L2 argmin
+    (ties to the smaller cluster), exact integer centroid means (sums are
+    positive by the offset, so // and DIV agree), empty clusters keep the
+    previous centroid."""
+    dist = (
+        f"CAST(list_sum(list_transform(range(0, {dim}), "
+        "i -> (v.q[i+1]-c.c[i+1])*(v.q[i+1]-c.c[i+1]))) AS BIGINT)"
+    )
+    parts = [
+        f"""q AS MATERIALIZED (
+        SELECT vec_id, list_transform(embedding,
+            x -> CAST(round(CAST(x AS DOUBLE) * {scale}) + {offset} AS BIGINT)) AS q
+        FROM embeddings
+    )""",
+        f"""c0 AS MATERIALIZED (
+        SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cluster,
+               q AS c
+        FROM (SELECT vec_id, q FROM q ORDER BY vec_id LIMIT {k})
+    )""",
+    ]
+    for r in range(1, iters + 1):
+        parts.append(
+            f"""d{r} AS MATERIALIZED (
+        SELECT v.vec_id, v.q, c.cluster, {dist} AS dist2
+        FROM q v CROSS JOIN c{r - 1} c
+    )"""
+        )
+        parts.append(
+            f"""a{r} AS MATERIALIZED (
+        SELECT vec_id, q, cluster FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY vec_id ORDER BY dist2, cluster) AS rk
+            FROM d{r}) t
+        WHERE rk = 1
+    )"""
+        )
+        parts.append(
+            f"""s{r} AS MATERIALIZED (
+        SELECT a.cluster, i.i AS pos,
+               CAST(sum(a.q[i.i + 1]) AS BIGINT) AS s,
+               CAST(count(*) AS BIGINT) AS n
+        FROM a{r} a CROSS JOIN (SELECT unnest(range(0, {dim})) AS i) i
+        GROUP BY 1, 2
+    )"""
+        )
+        parts.append(
+            f"m{r} AS MATERIALIZED (SELECT cluster, list(s // n ORDER BY pos) AS c "
+            f"FROM s{r} GROUP BY cluster)"
+        )
+        parts.append(
+            f"""c{r} AS MATERIALIZED (
+        SELECT c{r - 1}.cluster, coalesce(m{r}.c, c{r - 1}.c) AS c
+        FROM c{r - 1} LEFT JOIN m{r} USING (cluster)
+    )"""
+        )
+    parts.append(
+        f"""df AS MATERIALIZED (
+        SELECT v.vec_id, c.cluster, {dist} AS dist2
+        FROM q v CROSS JOIN c{iters} c
+    )"""
+    )
+    return (
+        "WITH "
+        + ",\n    ".join(parts)
+        + """
+    SELECT vec_id, cluster, dist2 FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY vec_id ORDER BY dist2, cluster) AS rk
+        FROM df) t
+    WHERE rk = 1"""
+    )
+
+
+DUCK_SQL["ann_kmeans"] = _ann_kmeans_oracle_sql()
+
+
 # python-callable (non-SQL-expressible on the Spark side) suite queries
 PY_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dd_dup_clusters": dd_dup_clusters,
     "dd_cluster_stats": dd_cluster_stats,
+    "ann_kmeans": ann_kmeans,
 }
 
 
@@ -5393,9 +5485,9 @@ PY_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 # tx_length_deciles, ev_funnel, ev_retention), and the round-5 additions
 # (kg_coreness, kg_pattern_path, kg_pattern_filter, kg_construct,
 # kg_distmult_eval, kg_complex_eval, kg_cheapest_path, tx_tfidf_topterms,
-# dd_cluster_stats, ev_rolling_7d, tx_stopword_profile). The remaining 3
-# slots re-pin core pillars at final HEAD as continuity anchors
-# (driver-green in earlier rounds). Rows after position 50 were all
+# dd_cluster_stats, ev_rolling_7d, tx_stopword_profile, ann_kmeans). The
+# remaining 2 slots re-pin core pillars at final HEAD as continuity
+# anchors (driver-green in earlier rounds). Rows after position 50 were all
 # driver-green in rounds 1–4 and are unchanged; tools/check_oracle.py
 # still gates every query locally each round.
 _DRIVER_WINDOW_FIRST: list[str] = [
@@ -5417,9 +5509,9 @@ _DRIVER_WINDOW_FIRST: list[str] = [
     "kg_coreness", "kg_pattern_path", "kg_pattern_filter", "kg_construct",
     "kg_distmult_eval", "kg_complex_eval", "kg_cheapest_path",
     "tx_tfidf_topterms", "dd_cluster_stats", "ev_rolling_7d",
-    "tx_stopword_profile",
-    # -- continuity anchors (3) --
-    "kg_triples", "kg_edges", "j1_provenance_join",
+    "tx_stopword_profile", "ann_kmeans",
+    # -- continuity anchors (2) --
+    "kg_triples", "kg_edges",
 ]
 
 
