@@ -134,23 +134,31 @@ def main() -> int:
                     connected_components, pagerank,
                 )
                 from chatvector_ai_spark.operators.kgtrain import (
-                    transe_margin_loss,
+                    init_entity_embeddings, init_relation_embeddings,
+                    transe_loss_with,
                 )
 
                 edges = Warehouse(wh_root).read(spark, "edges", run.input_key)
+
+                def transe_probe(e=edges):
+                    # KGE training throughput via MATERIALIZED embedding
+                    # tables (the production posture): hash-init once over
+                    # the |V| vocabulary + |R| relations (localCheckpoint),
+                    # then score the margin loss through equi-joins —
+                    # instead of re-deriving 3-4 md5 arrays inline on every
+                    # sample row, which made the probe md5-bound rather
+                    # than join/shuffle-bound. Same loss values (the
+                    # embeddings are the same deterministic init); the
+                    # timed region includes the one-time materialization.
+                    ent = init_entity_embeddings(e, dim=8).localCheckpoint(eager=True)
+                    rel = init_relation_embeddings(e, dim=8).localCheckpoint(eager=True)
+                    transe_loss_with(e, ent, rel, n_neg=1).collect()
+
                 for gname, fn in (
                     ("kg_pagerank_full", lambda e=edges: pagerank(e).collect()),
                     ("kg_components_full",
                      lambda e=edges: connected_components(e).collect()),
-                    # KGE training throughput: sample negatives + score the
-                    # margin loss over the full pipeline-output edge table.
-                    # dim=8 / n_neg=1 keeps the probe ~4x lighter than the
-                    # suite's dim=16/n_neg=2 (the md5-per-element inline
-                    # embedding is the dominant, linearly-scaling cost) so
-                    # the headline total stays comparable across rounds
-                    ("kg_transe_loss_full",
-                     lambda e=edges: transe_margin_loss(
-                         e, dim=8, n_neg=1).collect()),
+                    ("kg_transe_loss_full", transe_probe),
                 ):
                     t0 = time.time()
                     fn()

@@ -623,6 +623,7 @@ def match_pattern(
     values: dict[str, list[str]] | None = None,
     minus: list[tuple[str, str, str]] | None = None,
     filter_expr: str | None = None,
+    allow_cartesian: bool = False,
 ) -> DataFrame:
     """Basic graph pattern matching (the SPARQL BGP core): ``pattern`` is a
     list of (subject, predicate, object) terms where a term starting with
@@ -646,6 +647,12 @@ def match_pattern(
     broadcast-scale literal list, pushed into the scans by Catalyst)
     before the optional blocks; naming a variable the pattern never binds
     raises.
+
+    A required pattern that shares NO variable with the patterns before it
+    is a cartesian product (a bindings×bindings explosion at 10^12 edges)
+    and raises unless ``allow_cartesian=True`` — the same guard
+    OPTIONAL/MINUS enforce; all-constant existence patterns are exempt
+    (they reduce to a one-row filter).
 
     ``filter_expr`` is a SPARQL FILTER: a boolean SQL expression over the
     bound variables (bare names, no ``?``), e.g.
@@ -696,7 +703,23 @@ def match_pattern(
     for tp in pattern[1:]:
         step = one(tp)
         shared = [c for c in step.columns if c in out.columns and c != "__exists__"]
-        out = out.join(step, on=shared) if shared else out.crossJoin(step)
+        if shared:
+            out = out.join(step, on=shared)
+        else:
+            # a required pattern sharing no variable with the chain so far
+            # is a cartesian product — a |bindings|×|bindings| explosion
+            # at 10^12 edges. OPTIONAL and MINUS already refuse this;
+            # the required chain must too, unless the caller opts in
+            # (the legitimate case: joining against a constant-bound
+            # one-row existence pattern, which `one()` already reduces
+            # to a __exists__ row)
+            if not allow_cartesian and "__exists__" not in step.columns:
+                raise ValueError(
+                    f"required pattern {tp!r} shares no variable with the "
+                    "preceding patterns — this is a cartesian product; "
+                    "pass allow_cartesian=True to opt in"
+                )
+            out = out.crossJoin(step)
     for var, allowed in (values or {}).items():
         if var not in out.columns:
             raise ValueError(
