@@ -12,8 +12,29 @@ Same semantics as the SQL suite twins (suite.py) — all JVM-side expressions
 
 from __future__ import annotations
 
+import hashlib
+
 from pyspark.sql import Column
 from pyspark.sql import functions as F
+
+# MinHash universal-hash family (Carter–Wegman affine): each token is
+# md5-hashed ONCE into a 28-bit base value x, then hash function i is
+# h_i(x) = (A_i * x + B_i) mod P with fixed md5-derived odd A_i < 2^31.
+# A_i * x < 2^59 so the arithmetic never overflows int64 in any engine.
+# This replaces the round-1..4 scheme of one salted md5 per (token, i) —
+# k md5 passes per token — with exactly one; at 100 TB the signature
+# stage's hash cost drops k-fold with the standard MinHash guarantees
+# (Broder 1997; Carter & Wegman 1979 for the affine family).
+MINHASH_P = 1_000_000_007
+
+
+def minhash_ab(i: int) -> tuple[int, int]:
+    """Deterministic (A_i, B_i) for hash function i — md5-derived, odd
+    A_i in [1, 2^31), B_i in [0, 2^31). No RNG: every engine and every
+    run derives the identical family."""
+    a = int(hashlib.md5(f"mhA:{i}".encode()).hexdigest()[:8], 16) % (1 << 31) | 1
+    b = int(hashlib.md5(f"mhB:{i}".encode()).hexdigest()[:8], 16) % (1 << 31)
+    return a, b
 
 STOPWORDS_EN = ("the", "a", "of", "to", "and", "in", "is", "on", "for", "with")
 STOPWORDS = {
@@ -35,16 +56,21 @@ def text_tokens(c: Column | str) -> Column:
 
 def minhash_signature(c: Column | str, n_hashes: int = 8) -> Column:
     """MinHash signature over distinct tokens: element i = min over tokens
-    of md5(token || ':' || i). Array<string> of length n_hashes."""
+    of (A_i * x + B_i) mod P where x = first 28 bits of md5(token) — ONE
+    md5 per token, not one per (token, i). Array<bigint> of length
+    n_hashes."""
     toks = F.array_distinct(text_tokens(c))
+    tx = F.transform(
+        toks, lambda t: F.conv(F.substring(F.md5(t), 1, 7), 16, 10).cast("bigint")
+    )
 
-    def salted(i: int):
-        def h(t: Column) -> Column:
-            return F.md5(F.concat(t, F.lit(f":{i}")))
+    def affine(i: int) -> Column:
+        a, b = minhash_ab(i)
+        return F.array_min(
+            F.transform(tx, lambda x: (F.lit(a) * x + F.lit(b)) % F.lit(MINHASH_P))
+        )
 
-        return h
-
-    return F.array(*[F.array_min(F.transform(toks, salted(i))) for i in range(n_hashes)])
+    return F.array(*[affine(i) for i in range(n_hashes)])
 
 
 def lsh_bands(sig: Column | str, n_bands: int = 2) -> Column:
@@ -52,7 +78,12 @@ def lsh_bands(sig: Column | str, n_bands: int = 2) -> Column:
     sig = _col(sig)
     return F.array(
         *[
-            F.md5(F.array_join(F.slice(sig, 1 + i * 4, 4), ""))
+            F.md5(
+                F.array_join(
+                    F.transform(F.slice(sig, 1 + i * 4, 4), lambda x: x.cast("string")),
+                    ":",
+                )
+            )
             for i in range(n_bands)
         ]
     )

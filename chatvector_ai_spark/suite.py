@@ -38,6 +38,9 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from chatvector_ai_spark.functions.text import MINHASH_P as _MINHASH_P
+from chatvector_ai_spark.functions.text import minhash_ab as _minhash_ab
+
 TABLES = (
     "region nation customer supplier part orders lineitem events documents embeddings"
 ).split()
@@ -509,14 +512,27 @@ _q(
 # come from LSH banding, never from an all-pairs blocked self-join.)
 
 
+# MinHash base hash: ONE md5 per token → 28-bit x; hash function i is the
+# Carter–Wegman affine h_i(x) = (A_i*x + B_i) mod P with fixed md5-derived
+# constants (functions/text.minhash_ab — single source for SQL twins, the
+# Column library, and the pytest recomputation). Replaces the k-salted-md5
+# scheme (k md5 passes per token) with exactly one: at 100 TB the signature
+# stage is hash-bound and this is a k-fold cut. A_i < 2^31, x < 2^28 →
+# A_i*x < 2^59, no int64 overflow in either engine.
+_MH_TX_SPARK = (
+    "transform(tk, t -> CAST(conv(substring(md5(t), 1, 7), 16, 10) AS BIGINT))"
+)
+_MH_TX_DUCK = "list_transform(tk, t -> CAST('0x' || substr(md5(t), 1, 7) AS BIGINT))"
+
+
 def _spark_minhash(i: int) -> str:
-    return (
-        f"array_min(transform(tk, t -> md5(concat(t, ':{i}'))))"
-    )
+    a, b = _minhash_ab(i)
+    return f"array_min(transform(tx, x -> ({a} * x + {b}) % {_MINHASH_P}))"
 
 
 def _duck_minhash(i: int) -> str:
-    return f"list_aggregate(list_transform(tk, t -> md5(t || ':{i}')), 'min')"
+    a, b = _minhash_ab(i)
+    return f"list_aggregate(list_transform(tx, x -> ({a} * x + {b}) % {_MINHASH_P}), 'min')"
 
 
 # MinHash + LSH banding: 8 hashes, 2 bands of 4; candidate pairs share a
@@ -525,8 +541,8 @@ _SPARK_MH = ", ".join(f"{_spark_minhash(i)} AS h{i}" for i in range(8))
 _DUCK_MH = ", ".join(f"{_duck_minhash(i)} AS h{i}" for i in range(8))
 _MH_TAIL = """
     , sigs AS (SELECT doc_id, source, tk,
-                      md5(concat(h0, h1, h2, h3)) AS band1,
-                      md5(concat(h4, h5, h6, h7)) AS band2
+                      md5({B1}) AS band1,
+                      md5({B2}) AS band2
                FROM hashes),
     cand AS (
         SELECT a.doc_id AS a_id, b.doc_id AS b_id FROM sigs a JOIN sigs b
@@ -540,8 +556,9 @@ _q(
     "dd_minhash_lsh",
     f"""
     WITH toks AS (SELECT doc_id, source, array_distinct({_SPARK_TOK.format(c='text')}) AS tk FROM documents),
-    hashes AS (SELECT doc_id, source, tk, {_SPARK_MH} FROM toks)
-    {_MH_TAIL.replace("concat(h0, h1, h2, h3)", "concat(h0, h1, h2, h3)")}
+    thash AS (SELECT doc_id, source, tk, {_MH_TX_SPARK} AS tx FROM toks),
+    hashes AS (SELECT doc_id, source, tk, {_SPARK_MH} FROM thash)
+    {_MH_TAIL.format(B1="concat(h0, ':', h1, ':', h2, ':', h3)", B2="concat(h4, ':', h5, ':', h6, ':', h7)")}
     SELECT c.a_id, c.b_id,
            round(CAST(size(array_intersect(ta.tk, tb.tk)) AS DOUBLE)
                  / CAST(size(ta.tk) + size(tb.tk) - size(array_intersect(ta.tk, tb.tk)) AS DOUBLE), 6) AS jaccard
@@ -549,8 +566,9 @@ _q(
     """,
     f"""
     WITH toks AS (SELECT doc_id, source, list_distinct({_DUCK_TOK.format(c='text')}) AS tk FROM documents),
-    hashes AS (SELECT doc_id, source, tk, {_DUCK_MH} FROM toks)
-    {_MH_TAIL.replace("concat(h0, h1, h2, h3)", "h0 || h1 || h2 || h3").replace("concat(h4, h5, h6, h7)", "h4 || h5 || h6 || h7")}
+    thash AS (SELECT doc_id, source, tk, {_MH_TX_DUCK} AS tx FROM toks),
+    hashes AS (SELECT doc_id, source, tk, {_DUCK_MH} FROM thash)
+    {_MH_TAIL.format(B1="h0 || ':' || h1 || ':' || h2 || ':' || h3", B2="h4 || ':' || h5 || ':' || h6 || ':' || h7")}
     SELECT c.a_id, c.b_id,
            round(CAST(len(list_intersect(ta.tk, tb.tk)) AS DOUBLE)
                  / CAST(len(ta.tk) + len(tb.tk) - len(list_intersect(ta.tk, tb.tk)) AS DOUBLE), 6) AS jaccard
@@ -591,8 +609,9 @@ _q(
     "dd_jaccard_pairs",
     f"""
     WITH toks AS (SELECT doc_id, source, array_distinct({_SPARK_TOK.format(c='text')}) AS tk FROM documents),
-    hashes AS (SELECT doc_id, source, {_JP_SPARK_MH} FROM toks)
-    {_jp_tail(lambda a, b: f"concat({a}, {b})")}
+    thash AS (SELECT doc_id, source, {_MH_TX_SPARK} AS tx FROM toks),
+    hashes AS (SELECT doc_id, source, {_JP_SPARK_MH} FROM thash)
+    {_jp_tail(lambda a, b: f"concat({a}, ':', {b})")}
     SELECT c.a_id, c.b_id,
            round(CAST(size(array_intersect(ta.tk, tb.tk)) AS DOUBLE)
                  / CAST(size(ta.tk) + size(tb.tk) - size(array_intersect(ta.tk, tb.tk)) AS DOUBLE), 6) AS jaccard
@@ -602,8 +621,9 @@ _q(
     """,
     f"""
     WITH toks AS (SELECT doc_id, source, list_distinct({_DUCK_TOK.format(c='text')}) AS tk FROM documents),
-    hashes AS (SELECT doc_id, source, {_JP_DUCK_MH} FROM toks)
-    {_jp_tail(lambda a, b: f"{a} || {b}")}
+    thash AS (SELECT doc_id, source, {_MH_TX_DUCK} AS tx FROM toks),
+    hashes AS (SELECT doc_id, source, {_JP_DUCK_MH} FROM thash)
+    {_jp_tail(lambda a, b: f"{a} || ':' || {b}")}
     SELECT c.a_id, c.b_id,
            round(CAST(len(list_intersect(ta.tk, tb.tk)) AS DOUBLE)
                  / CAST(len(ta.tk) + len(tb.tk) - len(list_intersect(ta.tk, tb.tk)) AS DOUBLE), 6) AS jaccard
@@ -660,8 +680,9 @@ _q(
     WITH toks0 AS (SELECT doc_id, source, {_SPARK_TOK.format(c='text')} AS tk0 FROM documents),
     toks AS (SELECT doc_id, source, {_SPARK_SHINGLES} AS tk
              FROM toks0 WHERE size(tk0) >= 2),
-    hashes AS (SELECT doc_id, source, {_JP_SPARK_MH} FROM toks)
-    {_jp_tail(lambda a, b: f"concat({a}, {b})")}
+    thash AS (SELECT doc_id, source, {_MH_TX_SPARK} AS tx FROM toks),
+    hashes AS (SELECT doc_id, source, {_JP_SPARK_MH} FROM thash)
+    {_jp_tail(lambda a, b: f"concat({a}, ':', {b})")}
     SELECT c.a_id, c.b_id,
            round(CAST(size(array_intersect(ta.tk, tb.tk)) AS DOUBLE)
                  / CAST(size(ta.tk) + size(tb.tk) - size(array_intersect(ta.tk, tb.tk)) AS DOUBLE), 6) AS jaccard
@@ -671,8 +692,9 @@ _q(
     WITH toks0 AS (SELECT doc_id, source, {_DUCK_TOK.format(c='text')} AS tk0 FROM documents),
     toks AS (SELECT doc_id, source, {_DUCK_SHINGLES} AS tk
              FROM toks0 WHERE len(tk0) >= 2),
-    hashes AS (SELECT doc_id, source, {_JP_DUCK_MH} FROM toks)
-    {_jp_tail(lambda a, b: f"{a} || {b}")}
+    thash AS (SELECT doc_id, source, {_MH_TX_DUCK} AS tx FROM toks),
+    hashes AS (SELECT doc_id, source, {_JP_DUCK_MH} FROM thash)
+    {_jp_tail(lambda a, b: f"{a} || ':' || {b}")}
     SELECT c.a_id, c.b_id,
            round(CAST(len(list_intersect(ta.tk, tb.tk)) AS DOUBLE)
                  / CAST(len(ta.tk) + len(tb.tk) - len(list_intersect(ta.tk, tb.tk)) AS DOUBLE), 6) AS jaccard
@@ -1515,8 +1537,9 @@ _q(
     "dd_containment",
     f"""
     WITH toks AS (SELECT doc_id, source, array_distinct({_SPARK_TOK.format(c='text')}) AS tk FROM documents),
-    hashes AS (SELECT doc_id, source, {_JP_SPARK_MH} FROM toks)
-    {_jp_tail(lambda a, b: f"concat({a}, {b})")}
+    thash AS (SELECT doc_id, source, {_MH_TX_SPARK} AS tx FROM toks),
+    hashes AS (SELECT doc_id, source, {_JP_SPARK_MH} FROM thash)
+    {_jp_tail(lambda a, b: f"concat({a}, ':', {b})")}
     SELECT c.a_id, c.b_id,
            CAST(size(array_intersect(ta.tk, tb.tk)) AS BIGINT) AS overlap,
            round(CAST(size(array_intersect(ta.tk, tb.tk)) AS DOUBLE)
@@ -1527,8 +1550,9 @@ _q(
     """,
     f"""
     WITH toks AS (SELECT doc_id, source, list_distinct({_DUCK_TOK.format(c='text')}) AS tk FROM documents),
-    hashes AS (SELECT doc_id, source, {_JP_DUCK_MH} FROM toks)
-    {_jp_tail(lambda a, b: f"{a} || {b}")}
+    thash AS (SELECT doc_id, source, {_MH_TX_DUCK} AS tx FROM toks),
+    hashes AS (SELECT doc_id, source, {_JP_DUCK_MH} FROM thash)
+    {_jp_tail(lambda a, b: f"{a} || ':' || {b}")}
     SELECT c.a_id, c.b_id,
            CAST(len(list_intersect(ta.tk, tb.tk)) AS BIGINT) AS overlap,
            round(CAST(len(list_intersect(ta.tk, tb.tk)) AS DOUBLE)

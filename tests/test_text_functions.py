@@ -68,11 +68,15 @@ def test_minhash_bands_and_jaccard(spark, docs):
     sig = docs.select("doc_id", "text", minhash_signature("text").alias("sig"))
     rows = sig.withColumn("bands", lsh_bands("sig")).collect()
     assert all(len(r["sig"]) == 8 and len(r["bands"]) == 2 for r in rows)
-    # value check vs a direct python recomputation
+    # value check vs a direct python recomputation of the affine family
+    from chatvector_ai_spark.functions.text import MINHASH_P, minhash_ab
+
     for r in rows[:5]:
         toks = list(dict.fromkeys(re.findall(r"[a-z0-9]+", r["text"].lower())))
+        xs = [int(hashlib.md5(t.encode()).hexdigest()[:7], 16) for t in toks]
         for i in range(8):
-            expect = min(hashlib.md5(f"{t}:{i}".encode()).hexdigest() for t in toks)
+            a, b = minhash_ab(i)
+            expect = min((a * x + b) % MINHASH_P for x in xs)
             assert r["sig"][i] == expect, (r["doc_id"], i)
     # identical docs share all bands; jaccard of a doc with itself is 1.0
     pair = docs.alias("a").join(docs.alias("b"), F.col("a.doc_id") == F.col("b.doc_id"))
