@@ -26,6 +26,19 @@ def get_spark(
         builder = builder.master(master)
     conf = {
         "spark.sql.shuffle.partitions": str(shuffle_partitions),
+        # Local-mode JVM heap: Spark's 1g default starves a 32-slot local
+        # session — the parquet MemoryManager pool (0.95 × heap) throttles
+        # row-group sizes under concurrent bucketed writers (the "Total
+        # allocation exceeds 95%" warnings in the round-4 bench log) and
+        # hash aggregations spill early. Only applied for local masters
+        # and only when the caller didn't set it; a real cluster sizes
+        # driver/executor memory in the spark-submit conf instead.
+        **(
+            {"spark.driver.memory": os.getenv("CVS_DRIVER_MEMORY", "12g")}
+            if (master or "").startswith("local")
+            and "spark.driver.memory" not in (extra_conf or {})
+            else {}
+        ),
         # Shuffle/spill on tmpfs when available: the sandbox's single shared
         # disk is a hard serial floor for shuffle-heavy stages (measured:
         # link stage 20→14 s). On a real cluster leave SPARK_LOCAL_DIRS to
