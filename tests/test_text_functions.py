@@ -82,3 +82,55 @@ def test_minhash_bands_and_jaccard(spark, docs):
     pair = docs.alias("a").join(docs.alias("b"), F.col("a.doc_id") == F.col("b.doc_id"))
     jac = pair.select(token_jaccard(F.col("a.text"), F.col("b.text")).alias("j")).collect()
     assert all(abs(r["j"] - 1.0) < 1e-9 for r in jac)
+
+
+def test_minhash_family_invariants(spark):
+    """The affine-family signature is a pure function of the token SET:
+    invariant under token order and multiplicity, sensitive to content —
+    and the family constants are odd/ranged as documented (A_i odd < 2^31,
+    so A_i*x < 2^59 never overflows int64 in any engine)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from chatvector_ai_spark.functions.text import MINHASH_P, minhash_ab
+
+    for i in range(16):
+        a, b = minhash_ab(i)
+        assert a % 2 == 1 and 1 <= a < (1 << 31) and 0 <= b < (1 << 31)
+        assert a * ((1 << 28) - 1) + b < (1 << 63)  # int64-safe
+    assert len({minhash_ab(i) for i in range(16)}) == 16  # distinct functions
+
+    import hashlib
+
+    def sig(tokens: list[str]) -> tuple:
+        xs = [int(hashlib.md5(t.encode()).hexdigest()[:7], 16) for t in tokens]
+        out = []
+        for i in range(8):
+            a, b = minhash_ab(i)
+            out.append(min((a * x + b) % MINHASH_P for x in xs))
+        return tuple(out)
+
+    token = st.text(alphabet="abc012", min_size=1, max_size=6)
+
+    @given(st.lists(token, min_size=1, max_size=20), st.randoms())
+    @settings(max_examples=50, deadline=None)
+    def check(tokens, rnd):
+        base = sorted(set(tokens))
+        shuffled = list(base)
+        rnd.shuffle(shuffled)
+        duplicated = shuffled + shuffled[: len(shuffled) // 2 + 1]
+        assert sig(base) == sig(shuffled) == sig(list(dict.fromkeys(duplicated)))
+
+    check()
+
+    # Spark agrees with the python replica on a set-vs-permuted-multiset doc
+    rows = (
+        spark.createDataFrame(
+            [("d1", "alpha beta gamma"), ("d2", "gamma beta alpha alpha beta")],
+            "doc_id string, text string",
+        )
+        .select("doc_id", minhash_signature("text").alias("sig"))
+        .collect()
+    )
+    got = {r["doc_id"]: tuple(r["sig"]) for r in rows}
+    assert got["d1"] == got["d2"] == sig(["alpha", "beta", "gamma"])
