@@ -589,6 +589,13 @@ _JP_DUCK_MH = ", ".join(f"{_duck_minhash(i)} AS h{i}" for i in range(_JP_N_HASH)
 
 
 def _jp_tail(concat2) -> str:
+    # Measured note (round 5): fusing the per-band self-joins into one
+    # posexplode(bi, bdk) join + DISTINCT is 2-3x SLOWER here — Catalyst
+    # column-prunes each UNION branch down to its single band key (narrow
+    # build sides, no generator, no extra dedup shuffle), and exchange
+    # reuse does not fire across the fused join's sides. At warehouse
+    # scale the same banding runs over a MATERIALIZED signature table
+    # (one pass), so the branch re-scan this shape implies is local-only.
     bands = ", ".join(
         f"md5({concat2(f'h{2 * i}', f'h{2 * i + 1}')}) AS bd{i}" for i in range(_JP_N_HASH // 2)
     )
