@@ -6,6 +6,10 @@ from chatvector_ai_spark.operators.canonicalize import (  # noqa: F401
     connected_components,
     linking_edges,
 )
+from chatvector_ai_spark.operators.dedup import (  # noqa: F401
+    dedup_corpus,
+    near_dup_pairs,
+)
 from chatvector_ai_spark.operators.extract import (  # noqa: F401
     extract_triples_df,
     good_triples,

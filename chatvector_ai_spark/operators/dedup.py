@@ -1,0 +1,117 @@
+"""End-to-end corpus deduplication: exact + MinHash-LSH near-dup, applied.
+
+The suite's dd_* queries measure dedup (pair sets, cluster histograms);
+this operator *applies* it — the step a training-data pipeline actually
+ships: given a documents table, return the kept rows plus an audit report.
+
+Pipeline (all candidate-generated, never all-pairs):
+
+1. **Exact** — first-wins per md5(text): one hash-groupBy.
+2. **Near-dup candidates** — the suite's verified-Jaccard pair query
+   (``dd_jaccard_pairs``: 12 affine MinHashes over one-md5-per-token base
+   values, 6 bands of 2, banded within the ``source`` block, exact token
+   Jaccard ≥ 0.8 on candidates only) run over the exact-kept set.
+3. **Clusters** — distributed connected components (large-star/small-star)
+   over the verified pair graph; representative = min doc_id.
+4. **Apply** — drop every cluster member except its representative.
+
+Reference parity: the reference has no corpus dedup (its ingest is
+per-upload, ingestion_pipeline.py); this is part of the training-data
+surface the brief adds on top. Semantics follow Lee et al. 2022
+("Deduplicating Training Data Makes Language Models Better") — exact-then-
+near, keep-one-per-cluster.
+
+100 TB posture: one hash-groupBy, band equi-joins within source blocks,
+CC in O(log² n) shuffle rounds, two anti-joins. No collects above the
+CC convergence fingerprints; no per-row Python anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from chatvector_ai_spark.operators.graph import connected_components
+
+_REQUIRED_COLS = ("doc_id", "source", "text")
+
+
+def near_dup_pairs(
+    spark: SparkSession, docs: DataFrame, threshold: float = 0.8
+) -> DataFrame:
+    """Verified near-dup pairs (a_id, b_id, jaccard) over ``docs`` via the
+    suite's LSH pair query — banded within ``source``, exact token-set
+    Jaccard on candidates. ``threshold`` tightens the verify filter; it
+    cannot go below the 0.8 the band geometry is tuned for (12 hashes /
+    6 bands of 2 → band-collision probability ≈0.998 at J=0.8; recall at
+    lower J is not engineered, so asking for it raises)."""
+    from chatvector_ai_spark.suite import SPARK_SQL
+
+    if threshold < 0.8:
+        raise ValueError(
+            f"threshold {threshold} < 0.8: the 6x2 band geometry only "
+            "guarantees candidate recall down to J=0.8 (use more/narrower "
+            "bands for lower thresholds)"
+        )
+    missing = [c for c in _REQUIRED_COLS if c not in docs.columns]
+    if missing:
+        raise ValueError(f"dedup input is missing columns {missing}")
+    view = "cvs_dedup_input_docs"
+    docs.createOrReplaceTempView(view)
+    sql = SPARK_SQL["dd_jaccard_pairs"].replace("FROM documents", f"FROM {view}")
+    pairs = spark.sql(sql)
+    if threshold > 0.8:
+        pairs = pairs.where(F.col("jaccard") >= F.lit(threshold))
+    return pairs
+
+
+def dedup_corpus(
+    spark: SparkSession, docs: DataFrame, threshold: float = 0.8
+) -> tuple[DataFrame, dict]:
+    """Exact + near-dup dedup applied to ``docs``; returns (kept, report).
+
+    ``kept`` preserves the input schema. ``report`` is a plain dict of
+    exact integer counts (driver-side scalars only — the four counts are
+    one aggregate action each, not data-scale collects). Deterministic:
+    first-wins keeps the min doc_id of every exact group and every
+    near-dup cluster, so reruns and re-partitionings keep the same rows.
+    Idempotent: every surviving pair of docs has verified Jaccard below
+    the threshold, so a second pass removes nothing.
+    """
+    n_input = docs.count()
+
+    # 1) exact: min doc_id per md5(text), within the same source block
+    # (cross-source exact dups are kept — source is the tenancy boundary,
+    # mirroring the suite's banded-within-source contract)
+    keyed = docs.withColumn("_h", F.md5(F.col("text")))
+    exact_keep = keyed.groupBy("source", "_h").agg(
+        F.min("doc_id").alias("doc_id")
+    )
+    exact_kept = keyed.join(
+        exact_keep, ["source", "_h", "doc_id"], "left_semi"
+    ).drop("_h")
+    n_exact_kept = exact_kept.count()
+
+    # 2-3) near-dup clusters over the exact survivors
+    pairs = near_dup_pairs(spark, exact_kept, threshold=threshold)
+    comp = connected_components(
+        pairs.select(F.col("a_id").alias("src"), F.col("b_id").alias("dst"))
+    )
+    drop_ids = comp.where(F.col("entity") != F.col("component")).select(
+        F.col("entity").alias("doc_id")
+    )
+    n_clusters = comp.select("component").distinct().count()
+
+    # 4) apply
+    kept = exact_kept.join(drop_ids, "doc_id", "left_anti")
+    n_kept = kept.count()
+
+    report = {
+        "n_input": n_input,
+        "exact_removed": n_input - n_exact_kept,
+        "neardup_clusters": n_clusters,
+        "neardup_removed": n_exact_kept - n_kept,
+        "n_kept": n_kept,
+        "threshold": threshold,
+    }
+    return kept, report
