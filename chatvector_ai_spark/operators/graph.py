@@ -2886,6 +2886,135 @@ def property_path(
     return out
 
 
+def eval_path(edges: DataFrame, expr, max_hops: int = 3) -> DataFrame:
+    """Compositional SPARQL 1.1 property-path evaluator — the full path
+    algebra over the bounded-``+`` primitive ``property_path`` covers only
+    as a fixed ``a/b+`` shape. ``expr`` is a nested tuple:
+
+    - ``("rel", name)``        — one hop over ``name``
+    - ``("inv", e)``           — inverse path ``^e`` (endpoints swapped)
+    - ``("seq", e1, e2, ...)`` — sequence ``e1/e2/...``
+    - ``("alt", e1, e2, ...)`` — alternation ``e1|e2|...``
+    - ``("opt", e)``           — zero-or-one ``e?``
+    - ``("plus", e)``          — one-or-more ``e+``, bounded at max_hops
+    - ``("star", e)``          — zero-or-more ``e*``, same bound
+
+    Returns distinct ``(a, c, hops)`` with ``hops`` = the exact MINIMUM
+    number of base relation hops connecting a to c under the expression
+    (zero-length paths from ``?``/``*`` bind every graph node to itself
+    with hops 0, per the SPARQL zero-length-path semantics).
+
+    Scale shape: every combinator is equi-join / unionByName / min
+    hash-agg over (a, c, hops) frames — sequence composes by join + SUM
+    then min-agg (exactly min over midpoints of summed mins), alternation
+    by union + min-agg. ``plus``/``star`` run the bounded min-hop BFS with
+    per-round lineage truncation and explicit depth opt-in (an unbounded
+    ``+`` at 10^12 edges is a transitive closure). No floats, no windows,
+    no driver-side path state."""
+    if max_hops < 1:
+        raise ValueError("eval_path needs max_hops >= 1")
+
+    def pairs(e) -> DataFrame:
+        if not isinstance(e, tuple) or not e:
+            raise ValueError(f"malformed path expression: {e!r}")
+        op = e[0]
+        if op == "rel":
+            return (
+                edges.where(F.col("rel") == e[1])
+                .select(
+                    F.col("src").alias("a"),
+                    F.col("dst").alias("c"),
+                    F.lit(1).cast("bigint").alias("hops"),
+                )
+                .groupBy("a", "c")
+                .agg(F.min("hops").alias("hops"))
+            )
+        if op == "inv":
+            return pairs(e[1]).select(
+                F.col("c").alias("a"), F.col("a").alias("c"), "hops"
+            )
+        if op == "seq":
+            out = pairs(e[1])
+            for sub in e[2:]:
+                nxt = pairs(sub).select(
+                    F.col("a").alias("_m"),
+                    F.col("c").alias("_c"),
+                    F.col("hops").alias("_h"),
+                )
+                out = (
+                    out.join(nxt, out["c"] == nxt["_m"])
+                    .select(
+                        "a",
+                        F.col("_c").alias("c"),
+                        (F.col("hops") + F.col("_h")).alias("hops"),
+                    )
+                    .groupBy("a", "c")
+                    .agg(F.min("hops").alias("hops"))
+                )
+            return out
+        if op == "alt":
+            out = pairs(e[1])
+            for sub in e[2:]:
+                out = out.unionByName(pairs(sub))
+            return out.groupBy("a", "c").agg(F.min("hops").alias("hops"))
+        if op == "opt":
+            return (
+                _graph_nodes(edges)
+                .select(
+                    F.col("node").alias("a"),
+                    F.col("node").alias("c"),
+                    F.lit(0).cast("bigint").alias("hops"),
+                )
+                .unionByName(pairs(e[1]))
+                .groupBy("a", "c")
+                .agg(F.min("hops").alias("hops"))
+            )
+        if op == "star":
+            return pairs(("opt", ("plus", e[1])))
+        if op == "plus":
+            base = (
+                pairs(e[1])
+                .where(F.col("a") != F.col("c"))
+                .localCheckpoint(eager=True)
+            )
+            step = base.select(
+                F.col("a").alias("_m"),
+                F.col("c").alias("_c"),
+                F.col("hops").alias("_h"),
+            )
+            cur = base
+            out = base
+            for _ in range(1, max_hops):
+                cur = (
+                    cur.join(step, cur["c"] == step["_m"])
+                    .select(
+                        "a",
+                        F.col("_c").alias("c"),
+                        (F.col("hops") + F.col("_h")).alias("hops"),
+                    )
+                    .groupBy("a", "c")
+                    .agg(F.min("hops").alias("hops"))
+                    .join(out, ["a", "c"], "left_anti")
+                    .localCheckpoint(eager=True)
+                )
+                if cur.isEmpty():
+                    break
+                out = out.unionByName(cur).localCheckpoint(eager=True)
+            return out
+        raise ValueError(f"unknown path operator: {op!r}")
+
+    return pairs(expr).groupBy("a", "c").agg(F.min("hops").alias("hops"))
+
+
+def _graph_nodes(edges: DataFrame) -> DataFrame:
+    """Distinct endpoint set of the edge table, column ``node``."""
+    return (
+        edges.select(F.col("src").alias("node"))
+        .unionByName(edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+
+
 def construct_triples(
     edges: DataFrame,
     pattern: list[tuple[str, str, str]],

@@ -1,0 +1,92 @@
+"""SPARQL 1.1 path-algebra evaluator (operators/graph.eval_path)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from chatvector_ai_spark.operators.graph import eval_path, property_path
+
+
+def _edges(spark, rows):
+    return spark.createDataFrame(rows, "src string, rel string, dst string")
+
+
+@pytest.fixture(scope="module")
+def g(spark):
+    #  a -p-> b -q-> c -q-> d ;  a -r-> d ;  e isolated endpoint via x -s-> e
+    return _edges(spark, [
+        ("a", "p", "b"),
+        ("b", "q", "c"),
+        ("c", "q", "d"),
+        ("a", "r", "d"),
+        ("x", "s", "e"),
+    ])
+
+
+def _rows(df):
+    return {(r["a"], r["c"], r["hops"]) for r in df.collect()}
+
+
+def test_rel_and_inverse(spark, g):
+    assert _rows(eval_path(g, ("rel", "p"))) == {("a", "b", 1)}
+    assert _rows(eval_path(g, ("inv", ("rel", "p")))) == {("b", "a", 1)}
+
+
+def test_sequence_sums_min_hops(spark, g):
+    # p/q = a->c in 2; p/q/q = a->d in 3
+    assert _rows(eval_path(g, ("seq", ("rel", "p"), ("rel", "q")))) == {("a", "c", 2)}
+    assert _rows(
+        eval_path(g, ("seq", ("rel", "p"), ("rel", "q"), ("rel", "q")))
+    ) == {("a", "d", 3)}
+
+
+def test_alternation_takes_min(spark, g):
+    # (p/q/q)|r both reach a->d; alternation keeps the 1-hop min
+    expr = ("alt", ("seq", ("rel", "p"), ("rel", "q"), ("rel", "q")), ("rel", "r"))
+    assert _rows(eval_path(g, expr)) == {("a", "d", 1)}
+
+
+def test_optional_binds_zero_length_to_every_node(spark, g):
+    got = _rows(eval_path(g, ("opt", ("rel", "p"))))
+    nodes = {"a", "b", "c", "d", "x", "e"}
+    assert {(n, n, 0) for n in nodes} <= got
+    assert ("a", "b", 1) in got
+    assert len(got) == len(nodes) + 1
+
+
+def test_plus_and_star_bounded_min_hop(spark, g):
+    plus = _rows(eval_path(g, ("plus", ("rel", "q")), max_hops=3))
+    assert plus == {("b", "c", 1), ("c", "d", 1), ("b", "d", 2)}
+    # bound binds: max_hops=1 loses the 2-hop pair
+    assert _rows(eval_path(g, ("plus", ("rel", "q")), max_hops=1)) == {
+        ("b", "c", 1), ("c", "d", 1),
+    }
+    star = _rows(eval_path(g, ("star", ("rel", "q")), max_hops=3))
+    assert {("b", "d", 2), ("a", "a", 0), ("e", "e", 0)} <= star
+
+
+def test_matches_property_path_primitive(spark, g):
+    """eval_path(("seq", p, q+)) agrees with the fixed-shape primitive —
+    eval_path counts the prefix hop, property_path counts plus-steps."""
+    via_algebra = _rows(
+        eval_path(g, ("seq", ("rel", "p"), ("plus", ("rel", "q"))), max_hops=3)
+    )
+    via_primitive = {
+        (r["a"], r["c"], r["hops"] + 1)
+        for r in property_path(g, "p", "q", max_hops=3).collect()
+    }
+    assert via_algebra == via_primitive
+
+
+def test_cycle_plus_reaches_self(spark):
+    cyc = _edges(spark, [("a", "q", "b"), ("b", "q", "a")])
+    got = _rows(eval_path(cyc, ("plus", ("rel", "q")), max_hops=2))
+    assert ("a", "a", 2) in got and ("b", "b", 2) in got
+
+
+def test_malformed_expressions_raise(spark, g):
+    with pytest.raises(ValueError, match="unknown path operator"):
+        eval_path(g, ("nope", ("rel", "p")))
+    with pytest.raises(ValueError, match="malformed"):
+        eval_path(g, "p")
+    with pytest.raises(ValueError, match="max_hops"):
+        eval_path(g, ("rel", "p"), max_hops=0)
