@@ -58,6 +58,22 @@ def _dist2(q: F.Column, c: F.Column) -> F.Column:
     )
 
 
+def kmeans_centroids(
+    embeddings: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    scale: int = 1000,
+    offset: int = 10000,
+) -> DataFrame:
+    """Trained centroid table ``(cluster, c)`` from the same deterministic
+    integer Lloyd loop as ``kmeans_assign`` — the IVF cell build step,
+    exposed so a search index can train once and probe many times."""
+    if k < 1 or iters < 0:
+        raise ValueError("kmeans_centroids needs k >= 1 and iters >= 0")
+    q = quantize(embeddings, scale, offset).localCheckpoint(eager=True)
+    return _lloyd(q, k, iters)
+
+
 def kmeans_assign(
     embeddings: DataFrame,
     k: int = 8,
@@ -77,7 +93,26 @@ def kmeans_assign(
     if k < 1 or iters < 0:
         raise ValueError("kmeans_assign needs k >= 1 and iters >= 0")
     q = quantize(embeddings, scale, offset).localCheckpoint(eager=True)
+    return _assign(q, _lloyd(q, k, iters))
 
+
+def _assign(q: DataFrame, cents_df: DataFrame) -> DataFrame:
+    """Nearest-centroid assignment: broadcast the k-row centroid table,
+    exact integer dist2, per-vector argmin as a min-struct hash-agg."""
+    scored = q.crossJoin(F.broadcast(cents_df)).withColumn(
+        "dist2", _dist2(F.col("q"), F.col("c"))
+    )
+    best = scored.groupBy("vec_id").agg(
+        F.min(F.struct("dist2", "cluster")).alias("b")
+    )
+    return best.select(
+        "vec_id", F.col("b.cluster").alias("cluster"), F.col("b.dist2").alias("dist2")
+    )
+
+
+def _lloyd(q: DataFrame, k: int, iters: int) -> DataFrame:
+    """The deterministic integer Lloyd loop over quantized vectors;
+    returns the trained (cluster, c) centroid table."""
     # init: the k smallest vec_ids (TakeOrdered — a k-row heap), cluster
     # ids 0..k-1 in vec_id order via a join-count over the k-row set
     # (zero single-partition windows, the engine-wide invariant)
@@ -90,20 +125,8 @@ def kmeans_assign(
         .select("cluster", F.col("q").alias("c"))
         .localCheckpoint(eager=True)
     )
-
-    def assign(cents_df: DataFrame) -> DataFrame:
-        scored = q.crossJoin(F.broadcast(cents_df)).withColumn(
-            "dist2", _dist2(F.col("q"), F.col("c"))
-        )
-        best = scored.groupBy("vec_id").agg(
-            F.min(F.struct("dist2", "cluster")).alias("b")
-        )
-        return best.select(
-            "vec_id", F.col("b.cluster").alias("cluster"), F.col("b.dist2").alias("dist2")
-        )
-
     for _ in range(iters):
-        assigned = assign(cents).join(q, "vec_id")
+        assigned = _assign(q, cents).join(q, "vec_id")
         sums = (
             assigned.select("cluster", F.posexplode("q").alias("pos", "v"))
             .groupBy("cluster", "pos")
@@ -126,4 +149,69 @@ def kmeans_assign(
             .select("cluster", F.coalesce("c", "c_prev").alias("c"))
             .localCheckpoint(eager=True)
         )
-    return assign(cents)
+    return cents
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_cells: int = 8,
+    n_probe: int = 2,
+    iters: int = 2,
+    scale: int = 1000,
+    offset: int = 10000,
+) -> DataFrame:
+    """K-means IVF similarity search: train ``n_cells`` Lloyd centroids
+    over the corpus, assign every corpus vector to its nearest cell, route
+    each query to its ``n_probe`` nearest cells, and exact-score only the
+    vectors in the probed cells — top ``k`` per query by exact integer
+    squared L2 on the shared quantization grid.
+
+    ``embeddings`` is (vec_id bigint, embedding array<float>); ``queries``
+    is (qid, embedding). Returns (qid, vec_id, dist2, rank 1..k), rank
+    deterministic (ties break on vec_id).
+
+    This is the trained-cell counterpart of the suite's grid-cell IVF
+    (``ann_ivf_topk``): k-means cells track the data distribution, so cell
+    populations stay balanced where a fixed grid degenerates. Scale shape:
+    the centroid table is k rows and broadcast twice (corpus assign, query
+    routing); the only data-scale shuffle is the (cell equi-join → per-qid
+    partitioned top-k window); recall is tunable with ``n_probe`` exactly
+    like FAISS IVF nprobe."""
+    if k < 1 or n_probe < 1 or n_probe > n_cells:
+        raise ValueError("ivf_topk needs k >= 1 and 1 <= n_probe <= n_cells")
+    from pyspark.sql import Window
+
+    q = quantize(embeddings, scale, offset).localCheckpoint(eager=True)
+    cents = _lloyd(q, n_cells, iters)
+    corpus = _assign(q, cents).join(q, "vec_id").select("vec_id", "cluster", "q")
+
+    qq = quantize(queries.select(F.col("qid").alias("vec_id"), "embedding"),
+                  scale, offset).select(F.col("vec_id").alias("qid"),
+                                        F.col("q").alias("qv"))
+    routed = (
+        qq.crossJoin(F.broadcast(cents))
+        .withColumn("cdist", _dist2(F.col("qv"), F.col("c")))
+        .withColumn(
+            "crank",
+            F.row_number().over(
+                Window.partitionBy("qid").orderBy("cdist", "cluster")
+            ),
+        )
+        .where(F.col("crank") <= n_probe)
+        .select("qid", "qv", "cluster")
+    )
+    scored = (
+        routed.join(corpus, "cluster")
+        .withColumn("dist2", _dist2(F.col("qv"), F.col("q")))
+        .withColumn(
+            "rank",
+            F.row_number().over(
+                Window.partitionBy("qid").orderBy("dist2", "vec_id")
+            ),
+        )
+        .where(F.col("rank") <= k)
+        .select("qid", "vec_id", "dist2", "rank")
+    )
+    return scored
