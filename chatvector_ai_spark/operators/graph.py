@@ -2907,7 +2907,9 @@ def eval_path(edges: DataFrame, expr, max_hops: int = 3) -> DataFrame:
     Scale shape: every combinator is equi-join / unionByName / min
     hash-agg over (a, c, hops) frames — sequence composes by join + SUM
     then min-agg (exactly min over midpoints of summed mins), alternation
-    by union + min-agg. ``plus``/``star`` run the bounded min-hop BFS with
+    by union + min-agg. ``plus``/``star`` run a bounded left-linear
+    relaxation (exact min hops over <= max_hops repetitions even when the
+    inner expression's pairs carry heterogeneous hop counts) with
     per-round lineage truncation and explicit depth opt-in (an unbounded
     ``+`` at 10^12 edges is a transitive closure). No floats, no windows,
     no driver-side path state."""
@@ -2972,34 +2974,42 @@ def eval_path(edges: DataFrame, expr, max_hops: int = 3) -> DataFrame:
         if op == "star":
             return pairs(("opt", ("plus", e[1])))
         if op == "plus":
-            base = (
-                pairs(e[1])
-                .where(F.col("a") != F.col("c"))
-                .localCheckpoint(eager=True)
-            )
-            step = base.select(
+            # Bounded LEFT-LINEAR RELAXATION, not frontier BFS: when the
+            # inner expression yields pairs with heterogeneous hop counts
+            # (e.g. a seq), a pair first reached expensively in round r can
+            # be improved by a cheaper 2-repetition path in round r+1 — a
+            # frontier anti-join would lock in the worse value. Each round
+            # is P ∪ (P ⋈ base) → min hash-agg, so P_r holds the exact min
+            # hops over ≤ r repetitions; early-exit when a round improves
+            # nothing. Self-pairs stay in base: (x,x) from one repetition
+            # is a valid plus result, and composing through one can never
+            # improve a min (hops only grow), so there is no divergence.
+            base = pairs(e[1]).localCheckpoint(eager=True)
+            bstep = base.select(
                 F.col("a").alias("_m"),
                 F.col("c").alias("_c"),
                 F.col("hops").alias("_h"),
             )
-            cur = base
             out = base
             for _ in range(1, max_hops):
-                cur = (
-                    cur.join(step, cur["c"] == step["_m"])
+                ext = (
+                    out.join(bstep, out["c"] == bstep["_m"])
                     .select(
                         "a",
                         F.col("_c").alias("c"),
                         (F.col("hops") + F.col("_h")).alias("hops"),
                     )
+                )
+                nxt = (
+                    out.unionByName(ext)
                     .groupBy("a", "c")
                     .agg(F.min("hops").alias("hops"))
-                    .join(out, ["a", "c"], "left_anti")
                     .localCheckpoint(eager=True)
                 )
-                if cur.isEmpty():
+                improved = nxt.join(out, ["a", "c", "hops"], "left_anti")
+                out = nxt
+                if improved.isEmpty():
                     break
-                out = out.unionByName(cur).localCheckpoint(eager=True)
             return out
         raise ValueError(f"unknown path operator: {op!r}")
 

@@ -90,3 +90,26 @@ def test_malformed_expressions_raise(spark, g):
         eval_path(g, "p")
     with pytest.raises(ValueError, match="max_hops"):
         eval_path(g, ("rel", "p"), max_hops=0)
+
+
+def test_plus_relaxation_improves_across_repetitions(spark):
+    """A pair reached in 1 repetition with hops 3 must be improved by a
+    2-repetition path with hops 2 — the case a frontier-BFS plus with an
+    anti-join would lock in wrong."""
+    g = _edges(spark, [
+        ("a", "s", "m1"), ("m1", "s", "m2"), ("m2", "s", "c"),  # 3-hop s path
+        ("a", "r", "x"), ("x", "r", "c"),                        # two 1-hop r reps
+    ])
+    expr = ("plus", ("alt", ("seq", ("rel", "s"), ("rel", "s"), ("rel", "s")),
+                     ("rel", "r")))
+    got = _rows(eval_path(g, expr, max_hops=3))
+    assert ("a", "c", 2) in got
+    assert not any(a == "a" and c == "c" and h != 2 for a, c, h in got)
+
+
+def test_plus_keeps_one_repetition_self_pairs(spark):
+    """base(x,x) from ONE repetition is a valid plus result — a 2-cycle
+    seq'd with itself yields only self-pairs, which must survive."""
+    cyc = _edges(spark, [("a", "q", "b"), ("b", "q", "a")])
+    got = _rows(eval_path(cyc, ("plus", ("seq", ("rel", "q"), ("rel", "q"))), max_hops=2))
+    assert got == {("a", "a", 2), ("b", "b", 2)}
