@@ -113,3 +113,93 @@ def test_plus_keeps_one_repetition_self_pairs(spark):
     cyc = _edges(spark, [("a", "q", "b"), ("b", "q", "a")])
     got = _rows(eval_path(cyc, ("plus", ("seq", ("rel", "q"), ("rel", "q"))), max_hops=2))
     assert got == {("a", "a", 2), ("b", "b", 2)}
+
+
+def _ref_eval(edge_list, expr, max_hops):
+    """Pure-python reference of the documented eval_path semantics."""
+    nodes = sorted({s for s, _, _ in edge_list} | {d for _, _, d in edge_list})
+    INF = 1 << 60
+
+    def merge_min(d, k, h):
+        if h < d.get(k, INF):
+            d[k] = h
+
+    def compose(left, right):
+        out = {}
+        for (a, x), h1 in left.items():
+            for (y, c), h2 in right.items():
+                if x == y:
+                    merge_min(out, (a, c), h1 + h2)
+        return out
+
+    def ev(e):
+        op = e[0]
+        if op == "rel":
+            out = {}
+            for s, r, d in edge_list:
+                if r == e[1]:
+                    merge_min(out, (s, d), 1)
+            return out
+        if op == "inv":
+            return {(c, a): h for (a, c), h in ev(e[1]).items()}
+        if op == "seq":
+            cur = ev(e[1])
+            for sub in e[2:]:
+                cur = compose(cur, ev(sub))
+            return cur
+        if op == "alt":
+            out = {}
+            for sub in e[1:]:
+                for k, h in ev(sub).items():
+                    merge_min(out, k, h)
+            return out
+        if op == "opt":
+            out = dict(ev(e[1]))
+            for n in nodes:
+                out[(n, n)] = 0
+            return out
+        if op == "star":
+            return ev(("opt", ("plus", e[1])))
+        if op == "plus":
+            base = ev(e[1])
+            out = dict(base)
+            for _ in range(1, max_hops):
+                new = dict(out)
+                for k, h in compose(out, base).items():
+                    merge_min(new, k, h)
+                if new == out:
+                    break
+                out = new
+            return out
+        raise AssertionError(op)
+
+    return ev(expr)
+
+
+def _rand_expr(rnd, depth):
+    if depth == 0 or rnd.random() < 0.3:
+        leaf = ("rel", rnd.choice(["p", "q"]))
+        return ("inv", leaf) if rnd.random() < 0.3 else leaf
+    op = rnd.choice(["seq", "alt", "opt", "plus", "star"])
+    if op in ("seq", "alt"):
+        return (op, _rand_expr(rnd, depth - 1), _rand_expr(rnd, depth - 1))
+    return (op, _rand_expr(rnd, depth - 1))
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_eval_path_matches_python_reference_on_random_cases(spark, seed):
+    import random
+
+    rnd = random.Random(1000 + seed)
+    n = rnd.randint(3, 6)
+    names = [f"n{i}" for i in range(n)]
+    edge_list = sorted({
+        (rnd.choice(names), rnd.choice(["p", "q"]), rnd.choice(names))
+        for _ in range(rnd.randint(3, 10))
+    })
+    expr = _rand_expr(rnd, 3)
+    max_hops = rnd.randint(1, 3)
+    g = _edges(spark, edge_list)
+    got = _rows(eval_path(g, expr, max_hops=max_hops))
+    want = {(a, c, h) for (a, c), h in _ref_eval(edge_list, expr, max_hops).items()}
+    assert got == want, (seed, expr, max_hops, edge_list)
