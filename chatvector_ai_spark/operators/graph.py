@@ -2886,10 +2886,88 @@ def property_path(
     return out
 
 
+def parse_path(s: str):
+    """Parse SPARQL 1.1 property-path syntax into an ``eval_path``
+    expression tuple. Supported subset (over plain relation names):
+
+    - ``a/b``   sequence          - ``a|b``  alternation
+    - ``^a``    inverse           - ``(...)`` grouping
+    - ``a+``    one-or-more       - ``a*``   zero-or-more
+    - ``a?``    zero-or-one
+
+    Precedence per the SPARQL grammar: quantifiers bind tightest (so
+    ``^a+`` is ``^(a+)``), then ``^``, then ``/``, then ``|``. Raises
+    ValueError with the offending position on malformed input."""
+    import re as _re
+
+    toks = _re.findall(r"[A-Za-z_][\w:.-]*|[/|^+*?()]|\S", s)
+    pos = 0
+
+    def peek():
+        return toks[pos] if pos < len(toks) else None
+
+    def take(expected=None):
+        nonlocal pos
+        t = peek()
+        if t is None or (expected is not None and t != expected):
+            raise ValueError(
+                f"path syntax error at token {pos} ({t!r}) in {s!r}"
+                + (f": expected {expected!r}" if expected else "")
+            )
+        pos += 1
+        return t
+
+    _QUANT = {"+": "plus", "*": "star", "?": "opt"}
+
+    def p_alt():
+        out = [p_seq()]
+        while peek() == "|":
+            take("|")
+            out.append(p_seq())
+        return out[0] if len(out) == 1 else ("alt", *out)
+
+    def p_seq():
+        out = [p_unary()]
+        while peek() == "/":
+            take("/")
+            out.append(p_unary())
+        return out[0] if len(out) == 1 else ("seq", *out)
+
+    def p_unary():
+        if peek() == "^":
+            take("^")
+            return ("inv", p_unary())
+        return p_postfix()
+
+    def p_postfix():
+        e = p_primary()
+        while peek() in _QUANT:
+            e = (_QUANT[take()], e)
+        return e
+
+    def p_primary():
+        t = peek()
+        if t == "(":
+            take("(")
+            e = p_alt()
+            take(")")
+            return e
+        if t is None or t in "/|^+*?)":
+            raise ValueError(f"path syntax error at token {pos} ({t!r}) in {s!r}")
+        return ("rel", take())
+
+    e = p_alt()
+    if pos != len(toks):
+        raise ValueError(f"path syntax error: trailing {toks[pos]!r} in {s!r}")
+    return e
+
+
 def eval_path(edges: DataFrame, expr, max_hops: int = 3) -> DataFrame:
     """Compositional SPARQL 1.1 property-path evaluator — the full path
     algebra over the bounded-``+`` primitive ``property_path`` covers only
-    as a fixed ``a/b+`` shape. ``expr`` is a nested tuple:
+    as a fixed ``a/b+`` shape. ``expr`` is SPARQL path syntax (a string —
+    ``"located_in/(acquired|^supplies)+"`` — parsed by ``parse_path``) or
+    a nested tuple:
 
     - ``("rel", name)``        — one hop over ``name``
     - ``("inv", e)``           — inverse path ``^e`` (endpoints swapped)
@@ -2915,6 +2993,8 @@ def eval_path(edges: DataFrame, expr, max_hops: int = 3) -> DataFrame:
     no driver-side path state."""
     if max_hops < 1:
         raise ValueError("eval_path needs max_hops >= 1")
+    if isinstance(expr, str):
+        expr = parse_path(expr)
 
     def pairs(e) -> DataFrame:
         if not isinstance(e, tuple) or not e:

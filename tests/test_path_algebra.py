@@ -203,3 +203,32 @@ def test_eval_path_matches_python_reference_on_random_cases(spark, seed):
     got = _rows(eval_path(g, expr, max_hops=max_hops))
     want = {(a, c, h) for (a, c), h in _ref_eval(edge_list, expr, max_hops).items()}
     assert got == want, (seed, expr, max_hops, edge_list)
+
+
+def test_parse_path_precedence_and_grouping():
+    from chatvector_ai_spark.operators.graph import parse_path
+
+    assert parse_path("p") == ("rel", "p")
+    # '|' binds loosest, '/' next, quantifier tightest
+    assert parse_path("a|b/c") == ("alt", ("rel", "a"), ("seq", ("rel", "b"), ("rel", "c")))
+    assert parse_path("(a|b)/c") == ("seq", ("alt", ("rel", "a"), ("rel", "b")), ("rel", "c"))
+    assert parse_path("^a+") == ("inv", ("plus", ("rel", "a")))  # SPARQL: ^(a+)
+    assert parse_path("(^a)+") == ("plus", ("inv", ("rel", "a")))
+    assert parse_path("a/b+|c?") == (
+        "alt",
+        ("seq", ("rel", "a"), ("plus", ("rel", "b"))),
+        ("opt", ("rel", "c")),
+    )
+    assert parse_path("a*?") == ("opt", ("star", ("rel", "a")))
+    import pytest as _pytest
+
+    for bad in ("", "a|", "(a", "a)", "+a", "a//b", "a b"):
+        with _pytest.raises(ValueError, match="path syntax"):
+            parse_path(bad)
+
+
+def test_eval_path_accepts_sparql_syntax(spark, g):
+    tuple_out = _rows(eval_path(g, ("seq", ("rel", "p"), ("plus", ("rel", "q")))))
+    str_out = _rows(eval_path(g, "p/q+"))
+    assert str_out == tuple_out
+    assert _rows(eval_path(g, "^p")) == {("b", "a", 1)}
