@@ -15,11 +15,18 @@ from chatvector_ai_spark.operators.extract import (  # noqa: F401
     good_triples,
     quarantine_df,
 )
+from chatvector_ai_spark.operators.embedcluster import (  # noqa: F401
+    ivf_topk,
+    kmeans_assign,
+    kmeans_centroids,
+)
 from chatvector_ai_spark.operators.graph import (  # noqa: F401
     cooccurring_entities,
     degrees,
     ego_edges,
+    eval_path,
     khop,
+    parse_path,
     relation_counts,
 )
 from chatvector_ai_spark.operators.delete import delete_documents  # noqa: F401
