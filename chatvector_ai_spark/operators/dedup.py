@@ -115,3 +115,73 @@ def dedup_corpus(
         "threshold": threshold,
     }
     return kept, report
+
+
+def dedup_fold(
+    spark: SparkSession,
+    kept: DataFrame,
+    new_docs: DataFrame,
+    threshold: float = 0.8,
+) -> tuple[DataFrame, dict]:
+    """Incremental dedup: fold ``new_docs`` into an already-deduped
+    ``kept`` corpus. Returns (admitted, report) where ``admitted`` is the
+    subset of new docs that survive — the caller appends them to the
+    corpus (existing kept rows are never revoked, matching the engine's
+    append-only incremental posture).
+
+    A new doc is dropped when it (a) exactly matches any kept or
+    admitted-earlier doc in its source block, or (b) lands in a near-dup
+    cluster containing a kept doc or a smaller-id new doc. Because
+    first-wins keeps minimum doc_ids and production ids increase
+    monotonically, the folded corpus is ROW-IDENTICAL to a full
+    ``dedup_corpus`` rebuild over old+new (pinned by test) — the same
+    invariant the pipeline's ``incremental_update`` holds vs full builds —
+    with ONE documented exception: a new doc that BRIDGES two kept docs
+    into one cluster. The rebuild would revoke the larger-id kept doc;
+    the append-only fold instead drops the bridge and keeps both kept
+    docs (also pinned by test). Both outcomes are valid dedup states
+    (no surviving pair exceeds the threshold against the docs that
+    clustered them); revocation-on-fold is exactly what append-only
+    lineage forbids.
+
+    Scale shape: the near-dup candidate join runs over kept ∪ new, but
+    every stage is the same banded/candidate-generated machinery as the
+    full pass; the admitted set is delta-sized.
+    """
+    n_new = new_docs.count()
+
+    # exact: a new doc survives if its (source, md5) is unseen in kept
+    # and it is the min doc_id of its hash group within the new batch
+    new_keyed = new_docs.withColumn("_h", F.md5(F.col("text")))
+    kept_keys = kept.select(
+        "source", F.md5(F.col("text")).alias("_h")
+    ).distinct()
+    fresh = new_keyed.join(kept_keys, ["source", "_h"], "left_anti")
+    batch_keep = fresh.groupBy("source", "_h").agg(F.min("doc_id").alias("doc_id"))
+    exact_ok = fresh.join(batch_keep, ["source", "_h", "doc_id"], "left_semi").drop(
+        "_h"
+    )
+    n_exact_ok = exact_ok.count()
+
+    # near-dup: clusters over kept ∪ exact-surviving-new; a new doc is
+    # admitted iff it is its component's minimum (kept docs, having the
+    # smaller ids, win their clusters; new-vs-new clusters keep the min)
+    union = kept.select(*exact_ok.columns).unionByName(exact_ok)
+    pairs = near_dup_pairs(spark, union, threshold=threshold)
+    comp = connected_components(
+        pairs.select(F.col("a_id").alias("src"), F.col("b_id").alias("dst"))
+    )
+    losers = comp.where(F.col("entity") != F.col("component")).select(
+        F.col("entity").alias("doc_id")
+    )
+    admitted = exact_ok.join(losers, "doc_id", "left_anti")
+    n_admitted = admitted.count()
+
+    report = {
+        "n_new": n_new,
+        "exact_dropped": n_new - n_exact_ok,
+        "neardup_dropped": n_exact_ok - n_admitted,
+        "n_admitted": n_admitted,
+        "threshold": threshold,
+    }
+    return admitted, report

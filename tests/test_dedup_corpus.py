@@ -84,3 +84,52 @@ def test_dedup_matches_suite_cluster_accounting(spark):
     assert near_dup_pairs(spark, kept).count() == 0  # idempotent at corpus scale
     assert report["n_kept"] + report["exact_removed"] + report["neardup_removed"] == report["n_input"]
     assert report["neardup_clusters"] >= 1
+
+
+def test_dedup_fold_matches_full_rebuild_on_monotone_ids(spark):
+    from chatvector_ai_spark.operators.dedup import dedup_fold
+
+    old = _docs(spark, [
+        (1, "web", "alpha beta gamma delta epsilon"),
+        (4, "web", "the quick brown fox jumps over the lazy dog"),
+    ])
+    kept0, _ = dedup_corpus(spark, old)
+    new = _docs(spark, [
+        (10, "web", "alpha beta gamma delta epsilon"),       # exact dup of kept 1
+        (11, "web", "epsilon delta gamma beta alpha"),       # near-dup of kept 1
+        (12, "web", "completely novel content about spark"),  # unique
+        (13, "web", "completely novel content about spark"),  # exact dup of 12
+        (14, "web", "spark about content novel completely"),  # near-dup of 12
+    ])
+    admitted, report = dedup_fold(spark, kept0, new)
+    folded = kept0.unionByName(admitted)
+    rebuilt, _ = dedup_corpus(spark, old.unionByName(new))
+    assert sorted(r["doc_id"] for r in folded.collect()) == sorted(
+        r["doc_id"] for r in rebuilt.collect()
+    ) == [1, 4, 12]
+    assert report == {
+        "n_new": 5, "exact_dropped": 2, "neardup_dropped": 2,
+        "n_admitted": 1, "threshold": 0.8,
+    }
+
+
+def test_dedup_fold_bridge_keeps_both_kept_docs(spark):
+    """The documented append-only divergence: a new doc near-dup to TWO
+    kept docs (which are not near-dups of each other) is dropped, and
+    both kept docs stay — where a full rebuild would revoke one."""
+    from chatvector_ai_spark.operators.dedup import dedup_fold
+
+    # t1..t20 vs t5..t24: J = 16/24 ~ 0.67 (kept apart);
+    # bridge = their union t1..t24: J vs each = 20/24 ~ 0.83
+    d1 = " ".join(f"t{i}" for i in range(1, 21))
+    d2 = " ".join(f"t{i}" for i in range(5, 25))
+    bridge = " ".join(f"t{i}" for i in range(1, 25))
+    old = _docs(spark, [(1, "web", d1), (2, "web", d2)])
+    kept0, rep0 = dedup_corpus(spark, old)
+    assert rep0["n_kept"] == 2  # genuinely not near-dups of each other
+    admitted, report = dedup_fold(spark, kept0, _docs(spark, [(9, "web", bridge)]))
+    assert admitted.count() == 0
+    assert report["neardup_dropped"] == 1
+    # the rebuild diverges exactly as documented: one kept doc revoked
+    rebuilt, _ = dedup_corpus(spark, old.unionByName(_docs(spark, [(9, "web", bridge)])))
+    assert sorted(r["doc_id"] for r in rebuilt.collect()) == [1]
