@@ -87,9 +87,11 @@ def test_malformed_expressions_raise(spark, g):
     with pytest.raises(ValueError, match="unknown path operator"):
         eval_path(g, ("nope", ("rel", "p")))
     with pytest.raises(ValueError, match="malformed"):
-        eval_path(g, "p")
+        eval_path(g, ["rel", "p"])  # list, not tuple/str
     with pytest.raises(ValueError, match="max_hops"):
         eval_path(g, ("rel", "p"), max_hops=0)
+    # a plain string is SPARQL path syntax now, not malformed
+    assert _rows(eval_path(g, "p")) == {("a", "b", 1)}
 
 
 def test_plus_relaxation_improves_across_repetitions(spark):
