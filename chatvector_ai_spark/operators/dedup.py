@@ -28,12 +28,19 @@ CC convergence fingerprints; no per-row Python anywhere.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from chatvector_ai_spark.operators.graph import connected_components
 
 _REQUIRED_COLS = ("doc_id", "source", "text")
+
+
+def _text_key() -> Column:
+    """Exact-dup grouping key: md5(text), with a sentinel for NULL text so
+    NULL-text rows dedup among themselves instead of vanishing through
+    NULL-key join semantics."""
+    return F.coalesce(F.md5(F.col("text")), F.lit("__null_text__"))
 
 
 def near_dup_pairs(
@@ -82,8 +89,11 @@ def dedup_corpus(
 
     # 1) exact: min doc_id per md5(text), within the same source block
     # (cross-source exact dups are kept — source is the tenancy boundary,
-    # mirroring the suite's banded-within-source contract)
-    keyed = docs.withColumn("_h", F.md5(F.col("text")))
+    # mirroring the suite's banded-within-source contract). NULL text gets
+    # a sentinel key: md5(NULL) is NULL, and NULL join keys never match, so
+    # without it every NULL-text row — including its group's min-id
+    # representative — would silently vanish in the semi-join.
+    keyed = docs.withColumn("_h", _text_key())
     exact_keep = keyed.groupBy("source", "_h").agg(
         F.min("doc_id").alias("doc_id")
     )
@@ -152,10 +162,9 @@ def dedup_fold(
 
     # exact: a new doc survives if its (source, md5) is unseen in kept
     # and it is the min doc_id of its hash group within the new batch
-    new_keyed = new_docs.withColumn("_h", F.md5(F.col("text")))
-    kept_keys = kept.select(
-        "source", F.md5(F.col("text")).alias("_h")
-    ).distinct()
+    # (same NULL-text sentinel as dedup_corpus)
+    new_keyed = new_docs.withColumn("_h", _text_key())
+    kept_keys = kept.select("source", _text_key().alias("_h")).distinct()
     fresh = new_keyed.join(kept_keys, ["source", "_h"], "left_anti")
     batch_keep = fresh.groupBy("source", "_h").agg(F.min("doc_id").alias("doc_id"))
     exact_ok = fresh.join(batch_keep, ["source", "_h", "doc_id"], "left_semi").drop(

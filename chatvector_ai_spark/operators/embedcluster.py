@@ -181,6 +181,8 @@ def ivf_topk(
     like FAISS IVF nprobe."""
     if k < 1 or n_probe < 1 or n_probe > n_cells:
         raise ValueError("ivf_topk needs k >= 1 and 1 <= n_probe <= n_cells")
+    if iters < 0:
+        raise ValueError("ivf_topk needs iters >= 0")
     from pyspark.sql import Window
 
     q = quantize(embeddings, scale, offset).localCheckpoint(eager=True)

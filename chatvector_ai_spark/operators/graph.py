@@ -710,10 +710,15 @@ def match_pattern(
             # is a cartesian product — a |bindings|×|bindings| explosion
             # at 10^12 edges. OPTIONAL and MINUS already refuse this;
             # the required chain must too, unless the caller opts in
-            # (the legitimate case: joining against a constant-bound
-            # one-row existence pattern, which `one()` already reduces
-            # to a __exists__ row)
-            if not allow_cartesian and "__exists__" not in step.columns:
+            # (the legitimate case: one side is a constant-bound one-row
+            # existence pattern, which `one()` already reduces to a
+            # __exists__ row — whether it is the step OR the chain so far,
+            # i.e. an all-constant pattern listed first)
+            if (
+                not allow_cartesian
+                and "__exists__" not in step.columns
+                and "__exists__" not in out.columns
+            ):
                 raise ValueError(
                     f"required pattern {tp!r} shares no variable with the "
                     "preceding patterns — this is a cartesian product; "
@@ -2952,7 +2957,10 @@ def parse_path(s: str):
             e = p_alt()
             take(")")
             return e
-        if t is None or t in "/|^+*?)":
+        # only NAME-shaped tokens are relations — the \S lexer fallback
+        # turns any stray character into its own token, which must error
+        # rather than silently become a zero-match relation name
+        if t is None or not _re.fullmatch(r"[A-Za-z_][\w:.-]*", t):
             raise ValueError(f"path syntax error at token {pos} ({t!r}) in {s!r}")
         return ("rel", take())
 

@@ -323,7 +323,7 @@ def _decode_media_stdlib(media: DataFrame) -> DataFrame:
                         durs.append(duration_ms)
                         backends.append("stdlib-mp4-header")
                         decoded = True
-                except (ValueError, struct.error):
+                except _DECODE_ERRORS:
                     backends_label = "decode-error"
                 else:
                     backends_label = "fake"

@@ -5172,10 +5172,12 @@ def kg_wl_colors(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def kg_ktruss(spark: SparkSession, sf_dir: str) -> DataFrame:
     """3-truss of the KG: edges supported by >= 1 triangle after iterative
-    peeling, with final support (operators/graph.ktruss)."""
+    peeling to the TRUE fixed point (operators/graph.ktruss default bound;
+    the DuckDB twin unrolls 12 rounds, which is converged for this
+    fixture — the gate would go red if the corpus ever needed more)."""
     from chatvector_ai_spark.operators.graph import ktruss
 
-    return ktruss(kg_edges(spark, sf_dir), k=3, max_rounds=4)
+    return ktruss(kg_edges(spark, sf_dir), k=3)
 
 
 def kg_coreness(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5506,19 +5508,20 @@ PY_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 
 
 # The driver's correctness snapshot records the FIRST 50 rows of
-# all_queries() in insertion order. Rotation policy (round 5): the 47
-# queries that have never had a driver-green row lead — the round-4 red
+# all_queries() in insertion order. Rotation policy (round 5): the 48
+# queries that have never had a driver-green row lead — the 3 round-4 red
 # rows now fixed (kg_transe_step_loss / kg_paths / kg_triple_evidence),
 # the round-4 late additions the r4 window had no room for (graph/KGE
 # analytics kg_scc…kg_pattern_union; LLM-pipeline dd_containment,
 # dd_exact_substring, tx_pii_redact, tx_repetition, tx_rarity,
 # tx_bigram_surprisal, tx_sampling_weights, tx_distinct_sketch, tx_split,
-# tx_length_deciles, ev_funnel, ev_retention), and the round-5 additions
-# (kg_coreness, kg_pattern_path, kg_pattern_filter, kg_construct,
+# tx_length_deciles, ev_funnel, ev_retention — 12), and the 12 round-5
+# additions (kg_coreness, kg_pattern_path, kg_pattern_filter, kg_construct,
 # kg_distmult_eval, kg_complex_eval, kg_cheapest_path, tx_tfidf_topterms,
-# dd_cluster_stats, ev_rolling_7d, tx_stopword_profile, ann_kmeans). The
-# remaining 2 slots re-pin core pillars at final HEAD as continuity
-# anchors (driver-green in earlier rounds). Rows after position 50 were all
+# dd_cluster_stats, ev_rolling_7d, tx_stopword_profile, ann_kmeans);
+# 3 + 21 + 12 + 12 = 48. The remaining 2 slots re-pin core pillars
+# (kg_triples, kg_edges) as continuity anchors (driver-green in earlier
+# rounds) — 50 exactly, pinned by a unit check below. Rows after 50 were all
 # driver-green in rounds 1–4 and are unchanged; tools/check_oracle.py
 # still gates every query locally each round.
 _DRIVER_WINDOW_FIRST: list[str] = [
@@ -5544,6 +5547,10 @@ _DRIVER_WINDOW_FIRST: list[str] = [
     # -- continuity anchors (2) --
     "kg_triples", "kg_edges",
 ]
+# the driver snapshots exactly the first 50 — a miscounted rotation edit
+# would silently push a never-checked query past the window
+assert len(_DRIVER_WINDOW_FIRST) == 50, len(_DRIVER_WINDOW_FIRST)
+assert len(set(_DRIVER_WINDOW_FIRST)) == 50, "duplicate window entries"
 
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

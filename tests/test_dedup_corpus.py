@@ -133,3 +133,16 @@ def test_dedup_fold_bridge_keeps_both_kept_docs(spark):
     # the rebuild diverges exactly as documented: one kept doc revoked
     rebuilt, _ = dedup_corpus(spark, old.unionByName(_docs(spark, [(9, "web", bridge)])))
     assert sorted(r["doc_id"] for r in rebuilt.collect()) == [1]
+
+
+def test_null_text_docs_dedup_among_themselves_not_vanish(spark):
+    """md5(NULL) is NULL and NULL join keys never match — without the
+    sentinel key every NULL-text row silently vanished from `kept`."""
+    docs = spark.createDataFrame(
+        [(1, "web", "real content here"), (2, "web", None), (3, "web", None)],
+        "doc_id bigint, source string, text string",
+    )
+    kept, report = dedup_corpus(spark, docs)
+    ids = sorted(r["doc_id"] for r in kept.collect())
+    assert ids == [1, 2]  # NULL-text group keeps its min-id representative
+    assert report["exact_removed"] == 1 and report["n_kept"] == 2

@@ -97,3 +97,5 @@ def test_ivf_guards(spark, corpus):
         ivf_topk(corpus, _queries(spark), k=3, n_cells=2, n_probe=3)
     with pytest.raises(ValueError, match="n_probe"):
         ivf_topk(corpus, _queries(spark), k=0, n_cells=2, n_probe=1)
+    with pytest.raises(ValueError, match="iters"):
+        ivf_topk(corpus, _queries(spark), k=3, n_cells=2, n_probe=1, iters=-1)

@@ -224,7 +224,7 @@ def test_parse_path_precedence_and_grouping():
     assert parse_path("a*?") == ("opt", ("star", ("rel", "a")))
     import pytest as _pytest
 
-    for bad in ("", "a|", "(a", "a)", "+a", "a//b", "a b"):
+    for bad in ("", "a|", "(a", "a)", "+a", "a//b", "a b", "%", "a|!", "a/$b"):
         with _pytest.raises(ValueError, match="path syntax"):
             parse_path(bad)
 

@@ -55,3 +55,10 @@ def test_match_pattern_rejects_disjoint_required_pattern(spark):
     # all-constant existence patterns stay exempt
     got = match_pattern(edges, [("?a", "r", "?b"), ("c", "q", "d")]).collect()
     assert {(r["a"], r["b"]) for r in got} == {("a", "b")}
+    # ... in EITHER position: an existence pattern listed FIRST must not
+    # trip the guard (the chain so far is the one-row __exists__ frame)
+    got = match_pattern(edges, [("c", "q", "d"), ("?a", "r", "?b")]).collect()
+    assert {(r["a"], r["b"]) for r in got} == {("a", "b")}
+    # and a FAILED leading existence pattern filters everything out
+    got = match_pattern(edges, [("c", "q", "MISSING"), ("?a", "r", "?b")]).collect()
+    assert got == []

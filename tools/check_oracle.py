@@ -77,7 +77,12 @@ def spark_kinds(sdf) -> dict[str, str]:
         if s.startswith(("array", "map", "struct")):
             out[f.name] = "X"
         elif s.startswith("decimal"):
-            out[f.name] = "f"
+            # toPandas renders decimals as object columns of decimal.Decimal
+            # — NOT float64 — so a decimal-emitting query would hash
+            # differently in the driver even when values match; flag it the
+            # same as the DuckDB HUGEINT class of bug (kind 'O' will
+            # mismatch a float/int oracle and force an explicit CAST)
+            out[f.name] = "O"
         else:
             out[f.name] = _SPARK_KIND.get(s, "O")
     return out
